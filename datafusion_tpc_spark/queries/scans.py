@@ -1,0 +1,93 @@
+"""Scans / sources — SURVEY.md §2.1.
+
+Reference Tier A surface: Parquet directory scan with footer schema +
+row-group pruning (reference benches/query.rs:35-40, src/main.rs:45),
+plus the Tier-B DataFusion sources (CSV scan, VALUES/MemoryExec).
+
+Spark mapping: ``spark.read.parquet`` is the vectorized reader with
+filter pushdown + row-group stats pruning on by default — the direct
+equivalent of ``parquet_pruning(true)``. The io_uring object store the
+reference uses underneath (src/object_store/file.rs) is Tier C: Spark's
+reader + Hadoop FS already do coalesced range reads.
+
+Scale notes: both scan queries push projection into the Parquet scan
+(check ``ReadSchema`` in .explain); the filter query pushes the string
+equality predicate to row-group level (``PushedFilters``). At 100 TB a
+full-scan SELECT * is IO-bound and embarrassingly parallel — one task
+per input split, no shuffle anywhere in these plans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+_CSV_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "csv")
+
+
+@query("q_scan_full", oracle="SELECT * FROM lineitem")
+def q_scan_full(spark, sf_dir):
+    """Full scan — reference `full_scan` bench: SELECT * FROM logs
+    (benches/query.rs:24), rebased onto lineitem."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_filter_proj",
+    oracle="""
+    SELECT l_orderkey, l_partkey
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def q_filter_proj(spark, sf_dir):
+    """Projection + string-equality predicate — reference `filter`
+    bench: SELECT service, pod FROM logs WHERE request_method='DELETE'
+    (benches/query.rs:25). Projection and predicate both push into the
+    Parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+
+
+@query("q_scan_csv", oracle="SELECT * FROM nation")
+def q_scan_csv(spark, sf_dir):
+    """CSV scan — DataFusion 19 CsvExec (Tier B, reference
+    Cargo.toml:15). Round-trips `nation` through CSV with an explicit
+    schema (no inference — schema inference is a full extra scan at
+    scale), so the oracle is the parquet table itself."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "nation")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out_dir)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", "true"
+    ).csv(out_dir)
+
+
+@query(
+    "q_values",
+    oracle="""
+    SELECT id, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL))
+      AS t(id, name, score)
+    """,
+)
+def q_values(spark, sf_dir):
+    """In-memory literal rows — DataFusion `VALUES` / MemoryExec
+    (Tier B, reference Cargo.toml:15). Spark: SQL VALUES → LocalRelation
+    (driver-side literal, no scan at all)."""
+    return spark.sql(
+        """
+        SELECT id, name, CAST(score AS DOUBLE) AS score
+        FROM VALUES (1, 'alpha', 1.5D), (2, 'beta', 2.5D), (3, 'gamma', CAST(NULL AS DOUBLE))
+          AS t(id, name, score)
+        """
+    )

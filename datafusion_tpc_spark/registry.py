@@ -1,0 +1,64 @@
+"""Declared-query registry.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible and deterministic) an ANSI-SQL oracle
+string for DuckDB. The driver contract (__spark_entry__.py) simply
+re-exports these dicts.
+
+Conventions (SURVEY.md §5, FIXTURES.md):
+- alias every computed column identically on both sides,
+- explicit NULLS FIRST/LAST on every ORDER BY,
+- ROUND(x, 6) on floating aggregates,
+- array_sort around collect_list/array_agg,
+- explicit casts at type-coercion edges (SUM(bigint) → DuckDB HUGEINT
+  needs CAST AS BIGINT; counts are BIGINT on both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[[Any, str], Any]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a declared query. ``oracle=None`` marks a rows-only
+    check (approx / nondeterministic / non-SQL-expressible — the `†`
+    ids in SURVEY.md §2)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        fn.query_name = name
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side-effects run."""
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        scans,
+        predicates,
+        sorts,
+        setops,
+        aggregates,
+        joins,
+        windows,
+        scalar_functions,
+        subqueries,
+        udfs,
+        events,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        asof,
+    )
+    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401

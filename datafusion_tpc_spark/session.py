@@ -1,0 +1,83 @@
+"""SparkSession bootstrap.
+
+Mirrors the reference's session setup (SessionConfig with
+``target_partitions(6)`` at reference src/main.rs:41 and
+``parquet_pruning(true)`` at benches/query.rs:38) re-expressed as
+Spark conf. Parquet filter pushdown / row-group pruning are Spark
+defaults; parallelism is ``spark.sql.shuffle.partitions``.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime coalescing + skew-join splitting replace any static
+  partition planning we could do at submit time.
+- shuffle.partitions defaults to the local core count here, but on a
+  real cluster AQE's ``advisoryPartitionSizeInBytes`` governs the
+  effective fan-out — we set an advisory size instead of hand-picking
+  partition counts per query.
+- Arrow enabled so the (rare) Pandas-UDF paths are batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "datafusion_tpc_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession for local runs.
+
+    The driver harness passes us its own session; this builder exists
+    for tests and bench. ``configure_runtime`` applies the
+    runtime-settable subset to an externally-owned session.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to a session we did not build.
+
+    The driver owns its SparkSession; these are the settings our
+    queries rely on that can be flipped post-hoc:
+    - UTC session timezone (oracle comparison: DuckDB timestamps are
+      naive/UTC),
+    - nanosAsLong (the ``events`` fixture is timestamp[ns], which the
+      Spark Parquet reader otherwise rejects — FIXTURES.md §9),
+    - AQE on (cheap insurance; default in 4.x anyway).
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.parquet.filterPushdown", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime-settable in this deployment: keep going
+    return spark

@@ -1,0 +1,92 @@
+"""Shared test fixtures: one SparkSession per test run, a DuckDB
+connection with the driver's pre-registered views, and the oracle
+comparator mirroring the driver's t2 check (row-count + schema +
+order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pytest
+
+from datafusion_tpc_spark.catalog import TABLES
+from datafusion_tpc_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="dftpc-tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    """DuckDB with the same views the driver pre-registers."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a value for order-insensitive comparison across
+    engines: floats to 9 significant-ish decimals (queries already
+    ROUND aggregates to 6), timestamps/dates to ISO strings, NaN/None
+    unified."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.6f}"
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _normalize(cols, records):
+    """column list + iterable of row dicts → (sorted cols, sorted rows)."""
+    cols = sorted(cols)
+    rows = [tuple(_norm_cell(rec[c]) for c in cols) for rec in records]
+    rows.sort()
+    return cols, rows
+
+
+def assert_matches_oracle(spark_df, ddb, oracle_sql, name=""):
+    """Mirror of the driver's t2 compare: row count, column-name set,
+    order-insensitive values. Spark side via collect() (native Python
+    values), DuckDB side via Arrow (keeps date32 as dates)."""
+    sp_rows_raw = [r.asDict() for r in spark_df.collect()]
+    du_tbl = ddb.execute(oracle_sql).fetch_arrow_table()
+    du_rows_raw = du_tbl.to_pylist()
+    sp_cols, sp_rows = _normalize(spark_df.columns, sp_rows_raw)
+    du_cols, du_rows = _normalize(du_tbl.column_names, du_rows_raw)
+    assert sp_cols == du_cols, f"{name}: column mismatch {sp_cols} vs {du_cols}"
+    assert len(sp_rows) == len(du_rows), (
+        f"{name}: row count {len(sp_rows)} vs oracle {len(du_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(sp_rows, du_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
