@@ -1,1 +1,103 @@
-"""Placeholder — filled in M2."""
+"""Set operations — SURVEY.md §2.7 (all Tier B, reference Cargo.toml:15).
+
+UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] / DISTINCT. Spark maps
+UNION → union + distinct, INTERSECT ALL → intersectAll, EXCEPT ALL →
+exceptAll; Catalyst rewrites distinct set-ops into aggregates /
+left-semi/anti joins — the same rewrites DF 19's optimizer does.
+
+Scale notes: distinct set-ops are hash aggregations on the full row —
+a shuffle keyed by every column. Keep projections narrow before the
+set-op (done here: 1-2 columns) so the shuffle carries minimal bytes.
+"""
+
+from __future__ import annotations
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def q_union(spark, sf_dir):
+    """UNION (distinct)."""
+    c = load_table(spark, sf_dir, "customer").selectExpr("CAST(c_nationkey AS INT) AS nationkey")
+    s = load_table(spark, sf_dir, "supplier").selectExpr("CAST(s_nationkey AS INT) AS nationkey")
+    return c.union(s).distinct()
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'o' AS src FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT l_orderkey AS k, 'l' AS src FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_union_all(spark, sf_dir):
+    """UNION ALL (bag union — no shuffle at all, pure concatenation)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'F'")
+        .selectExpr("o_orderkey AS k", "'o' AS src")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter("l_linenumber = 1")
+        .selectExpr("l_orderkey AS k", "'l' AS src")
+    )
+    return o.unionAll(li)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """INTERSECT (distinct) — customers with both finished and open
+    orders. Catalyst: left-semi join over distinct inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter("o_orderstatus = 'F'").selectExpr("o_custkey AS custkey")
+    op = o.filter("o_orderstatus = 'O'").selectExpr("o_custkey AS custkey")
+    return f.intersect(op)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_except(spark, sf_dir):
+    """EXCEPT (distinct) — customers minus big-order customers
+    (unfiltered orders would make this empty in the fixture).
+    Catalyst: left-anti join over distinct inputs."""
+    c = load_table(spark, sf_dir, "customer").selectExpr("c_custkey AS custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_totalprice > 300000")
+        .selectExpr("o_custkey AS custkey")
+    )
+    return c.subtract(o)
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark, sf_dir):
+    """DISTINCT — hash aggregate on the projected columns only."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
