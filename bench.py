@@ -1,0 +1,106 @@
+"""Benchmark harness — BASELINE.md protocol.
+
+Mirrors the reference's benchmark shape (criterion sample_size(10) with
+prepared-plan reuse, reference benches/query.rs:124-125 and
+src/main.rs:40-57): per query, build the DataFrame once, 2 warmup
+executions, then median of N timed executions.
+
+Timed action: write to the `noop` sink — executes the complete plan
+(all columns materialized, all operators run) without collect()'s
+driver transfer and without count()'s scan-elision shortcuts. This is
+the closest Spark analog of the reference's stream-and-count-rows
+consumption loop (src/main.rs:73-75).
+
+Output: ONE JSON line
+  {"metric": "sum_median_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": X}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_RUNS (default 10),
+SPARK_GRAFT_BENCH_QUERIES (comma list; default the headline set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_tpc_spark import registry  # noqa: E402
+from datafusion_tpc_spark.session import get_spark  # noqa: E402
+
+# Headline set: the three reference bench queries rebased (SURVEY §6)
+# + one representative per heavy operator family + extension ops.
+HEADLINE = [
+    "q_scan_full",      # reference full_scan (benches/query.rs:24)
+    "q_filter_proj",    # reference filter (benches/query.rs:25)
+    "q_agg_avg",        # reference aggregation (benches/query.rs:26)
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_win_rank",
+    "q_topk",
+    "q_evt_tumble",
+    "q_udf",
+    # extension ops (registered in later milestones; skipped if absent)
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
+]
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "10"))
+    warmups = 2
+    wanted = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    registry.load_all()
+    names = (
+        [n.strip() for n in wanted.split(",") if n.strip()]
+        if wanted
+        else [n for n in HEADLINE if n in registry.QUERIES]
+    )
+
+    spark = get_spark(app_name="dftpc-bench")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    results: dict[str, float] = {}
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)  # prepared-plan analog
+        for _ in range(warmups):
+            run_once(df)
+        times = [run_once(df) for _ in range(runs)]
+        results[name] = round(statistics.median(times), 4)
+        print(f"# {name}: median {results[name]}s over {runs} runs", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_sec",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

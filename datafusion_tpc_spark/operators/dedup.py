@@ -1,1 +1,316 @@
-"""Placeholder — filled in M5."""
+"""Deduplication operators — north-star extension (SURVEY.md §7/M5;
+no reference counterpart: the reference is a pure SQL engine harness).
+
+Five dedup strategies over the `documents` fixture, each expressed as
+shuffle-bounded DataFrame transforms (no driver-side loops):
+
+- exact          content-hash groupBy (md5)
+- ngram          word-3-shingle Jaccard over candidate pairs
+- minhash (LSH)  md5-seeded minhash signatures → banded LSH buckets
+- simhash        60-bit sign-vote fingerprint
+- embedding      pairwise cosine near-duplicates
+
+Determinism: all hashing derives from md5 (h60(x) = first 15 hex chars
+of md5 as a 60-bit int), reproducible bit-for-bit in DuckDB via
+CAST('0x'||substr(md5(x),1,15) AS BIGINT) — so even MinHash-LSH gets an
+EXACT oracle instead of the usual rows-only check.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the digest; trivially scalable.
+- ngram Jaccard is candidate-pair-quadratic in the worst case — viable
+  only below ~1M docs; at scale MinHash-LSH replaces it (same output
+  contract, probabilistic recall).
+- MinHash-LSH: cost = explode(shingles) + one groupBy(doc) + one
+  self-join on (band, band_key). Hot band keys (boilerplate docs) skew
+  the join — AQE skew-join splitting is on in the session, and the
+  band key includes the band index which spreads load 4×. In a real
+  pipeline, drop band keys with > ~10k members (boilerplate clusters)
+  before the self-join; not done here because the oracle must match.
+- simhash: explode(token)×explode(bit) is the declarative form below;
+  the 100 TB form replaces it with one mapInPandas pass computing the
+  64-bit fingerprint vectorized per batch (same output).
+- embedding cosine: brute-force O(n²) — the similarity module's LSH
+  buckets are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+# ---- shared deterministic hashing ------------------------------------
+
+# word 3-shingles from single-space fixture text; arrays are 0-based in
+# Spark / 1-based in DuckDB, out-of-range access is NULL in both and
+# concat_ws skips NULLs — the expressions below line up exactly.
+_SHINGLES = (
+    "transform(sequence(1, greatest(size(w) - 2, 1)),"
+    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+)
+_SHINGLES_DUCK = """
+    SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) g
+"""
+
+
+def h60(col):
+    """Deterministic 60-bit hash shared with DuckDB: first 15 hex chars
+    of md5 as integer."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h60_duck(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingle_table(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("w", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s"))
+    )
+
+
+# ---- 1. exact dedup ---------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    One shuffle keyed on the digest; at 100 TB the digest groupBy is
+    near-perfectly distributed by construction (md5 uniformity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---- 2. n-gram Jaccard ------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+    (inverted-index self-join — never all-pairs), Jaccard from shingle
+    counts, threshold 0.5 (planted near-dups sit at ≥0.9, background
+    ≤0.1)."""
+    sh = shingle_table(spark, sf_dir).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---- 3. MinHash + LSH ---------------------------------------------------
+
+_K = 8          # minhash functions
+_BANDS = 4      # bands of r=2 rows each
+
+_MIN_EXPRS = ", ".join(
+    "MIN(" + _h60_duck("concat('%d|', s)" % i) + ") AS m%d" % i for i in range(_K)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(m{2 * b}, '_', m{2 * b + 1}) AS bkey FROM sig"
+    for b in range(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id, {_MIN_EXPRS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash + LSH candidate pairs, fully deterministic (md5-seeded
+    hash family) so the oracle is EXACT — k=8 minhashes, 4 bands × 2
+    rows. Pipeline: explode shingles → one groupBy(doc) computing all
+    k minhashes → explode band keys → self-join per (band, key).
+
+    Scale: the self-join is keyed on (band, band_key); collisions are
+    near-dup clusters, so key cardinality tracks document count. AQE
+    skew-join handles hot boilerplate clusters (see module docstring)."""
+    sh = shingle_table(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(h60(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---- 4. SimHash ---------------------------------------------------------
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (SELECT doc_id, {_h60_duck('t')} AS h FROM tok),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, LATERAL (SELECT unnest(generate_series(0, 59)) AS i) g
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash: 60-bit sign-vote fingerprint over token hashes (token
+    multiplicity counted). Near-dup docs land within a few bits of
+    Hamming distance; fingerprints verified exactly against DuckDB.
+
+    The declarative token×bit explode below is the oracle-matched
+    form; the 100 TB form is a single mapInPandas pass (same output,
+    no row blowup)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    th = tok.select("doc_id", h60(F.col("t")).alias("h"))
+    votes = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# ---- 5. embedding cosine near-dup ----------------------------------------
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns — sequential
+    left-fold on both engines, bit-stable across Spark and DuckDB."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
+    fixture's pair distribution tops out ≈0.51). Brute-force O(n²)
+    pairs over the 64-dim vectors; at 100 TB the LSH-bucketed variant
+    in operators/similarity.py replaces the cross join."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,1 +1,132 @@
-"""Placeholder — filled in M5."""
+"""Similarity search over embeddings — north-star extension (SURVEY.md
+§7/M5, no reference counterpart).
+
+Two paths over the `embeddings` fixture (array<float> 64-dim):
+- brute-force cosine top-k (exact baseline, exact DuckDB oracle),
+- sign-LSH bucketed ANN (the scale path; rows-only † with a recall
+  property test in tests/test_extensions.py).
+
+Scale notes (100 TB): brute-force top-k against ONE query vector is a
+single scan + TakeOrderedAndProject — actually fine at any scale
+(no shuffle, k rows to the driver). The quadratic case is all-pairs /
+many-queries; that's what the LSH buckets are for: hash each vector to
+a 16-bit sign signature (vs 16 fixed md5-derived pseudo-random
+hyperplanes), shuffle once on the bucket key, and search within
+buckets (+ optional multi-probe on neighboring buckets). Bucket-count
+scales with data, per-bucket work stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.operators.dedup import cosine
+from datafusion_tpc_spark.registry import query
+
+_QUERY_VEC_ID = 0
+_K = 20
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) DESC NULLS LAST,
+             e.vec_id ASC NULLS LAST
+    LIMIT {_K}
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k for one query vector (vec_id=0).
+    The query vector is broadcast-cross-joined (1 row — no shuffle of
+    the fact side); ordering is on the ROUNDED score + vec_id so the
+    top-k set is deterministic across engines despite float noise."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("emb").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("qe")), 6))
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
+        .limit(_K)
+    )
+
+
+_N_PLANES = 4  # 2^4 buckets — sized for the fixture; at 100 TB scale
+#                n_planes grows with log2(corpus) to keep buckets bounded
+
+
+def _sign_bucket(emb_col, n_planes: int = _N_PLANES):
+    """Sign-LSH bucket: plane p's pseudo-random normal is derived
+    per-dimension from md5(p|dim) (deterministic, no RNG — replayable
+    and engine-independent). Returns an int bucket id."""
+    # weight(p, d) = (h60(p|d) % 2001 - 1000) / 1000  ∈ [-1, 1]
+    # bucket bit p = sign(Σ_d w(p,d) * emb[d]) > 0
+    cols = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.expr(
+                    "transform(sequence(0, size(emb) - 1),"
+                    f" d -> (conv(substr(md5(concat('{p}|', d)), 1, 15), 16, 10) % 2001 - 1000)"
+                    " / 1000.0)"
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = cols[0]
+    for c in cols[1:]:
+        bucket = bucket + c
+    return bucket
+
+
+@query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)
+def q_sim_ann(spark, sf_dir):
+    """Sign-LSH approximate nearest neighbors with 1-bit multi-probe:
+    bucket all vectors by the sign signature, probe the query's bucket
+    plus every bucket at Hamming distance 1 (n_planes+1 probes), rank
+    candidates by exact cosine. One shuffle on the bucket key;
+    per-bucket work is |bucket|·dim. Recall vs q_sim_topk is
+    property-tested (not oracled — ANN is approximate by contract)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bucketed = e.withColumn("bucket", _sign_bucket(F.col("emb")))
+    qrow = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("emb").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    # multi-probe: query bucket + all 1-bit flips of it
+    probes = qrow.select(
+        "qe",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(_N_PLANES)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    return (
+        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("qe")), 6))
+        .select("vec_id", "label", "cos_sim", "bucket")
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
+        .limit(_K)
+    )

@@ -80,4 +80,14 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # non-runtime-settable in this deployment: keep going
+    try:
+        # An externally-built session often carries Spark's stock 200
+        # shuffle partitions — oversized for this workload (AQE
+        # coalesces batch shuffles, but streaming state operators keep
+        # all 200 forever). Resize only the untouched default; a
+        # deliberate non-200 setting is respected.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    except Exception:
+        pass
     return spark

@@ -1,0 +1,122 @@
+"""Property tests for the extension operators — checks the oracle
+can't express: recall of the approximate paths against exact ground
+truth, heuristic accuracy, and the reference's only in-repo
+correctness property (mode equivalence under repetition/concurrency,
+reference src/main.rs:79 vs :116)."""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from datafusion_tpc_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_ngram(spark):
+    """LSH candidates must recover ≥90% of true high-Jaccard pairs
+    (planted near-dups sit at jaccard ≥0.9; with k=8, b=4, r=2 the
+    hit probability at s=0.9 is 1-(1-s²)⁴ ≈ 0.999)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_ngram"](spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.9
+    }
+    candidates = _pairs(registry.QUERIES["q_dedup_minhash"](spark, SF_DIR))
+    assert truth, "fixture should contain planted near-dup pairs"
+    recall = len(truth & candidates) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_separates_near_dups(spark):
+    """Planted near-dup pairs must be closer in Hamming distance than
+    random pairs on average."""
+    sim = {r["doc_id"]: r["simhash"] for r in registry.QUERIES["q_dedup_simhash"](spark, SF_DIR).collect()}
+    near = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_ngram"](spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.9
+    ]
+    assert near
+    ham = lambda a, b: bin(sim[a] ^ sim[b]).count("1")
+    near_avg = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sim)[:60]
+    rand_pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+    rand_avg = sum(ham(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    assert near_avg < rand_avg / 2, f"near {near_avg:.1f} vs random {rand_avg:.1f}"
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Sign-LSH ANN must place ≥1 of the true top-5 neighbors in its
+    candidate list (single-bucket probe — recall is partial by design,
+    but zero overlap would mean broken bucketing)."""
+    exact = [r["vec_id"] for r in registry.QUERIES["q_sim_topk"](spark, SF_DIR).collect()][:5]
+    approx = {r["vec_id"] for r in registry.QUERIES["q_sim_ann"](spark, SF_DIR).collect()}
+    assert approx, "ANN returned nothing — bucketing broken"
+    assert len(set(exact) & approx) >= 1, f"no overlap: exact top5 {exact}, ann {sorted(approx)[:10]}"
+
+
+def test_lang_id_accuracy(spark):
+    """The fixture's text is English-vocab soup for every lang label
+    (verified: zh-labeled rows contain no CJK), so accuracy-vs-label is
+    unmeasurable there. Instead: the heuristic must (a) classify real
+    multilingual sentences correctly, (b) call the fixture's
+    English-like text 'en'."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.operators.text import _LANG_CASE
+
+    samples = [
+        ("the quick brown fox jumps over the lazy dog and the cat is here", "en"),
+        ("der hund und die katze sind im haus und das wetter ist gut", "de"),
+        ("le chat et le chien sont dans la maison et la vie est belle", "fr"),
+        ("el perro y el gato están en la casa y los niños es feliz", "es"),
+        ("今天天气很好我们去公园散步", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "text string, expected string").withColumn(
+        "padded", F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    )
+    case = _LANG_CASE.replace("regexp_matches(text, ", "rlike(text, ")
+    rows = df.select("expected", F.expr(case).alias("pred")).collect()
+    for r in rows:
+        assert r["pred"] == r["expected"], f"{r['expected']} classified as {r['pred']}"
+
+    fixture = registry.QUERIES["q_text_lang"](spark, SF_DIR).collect()
+    en_rate = sum(1 for r in fixture if r["lang_pred"] == "en") / len(fixture)
+    assert en_rate >= 0.95, f"English-vocab fixture predicted en only {en_rate:.2f}"
+
+
+def test_exact_dedup_collapses_planted_dups(spark):
+    """Union the table with itself → every content-hash group doubles:
+    proves the collapse machinery (fixture itself has no exact dups)."""
+    from datafusion_tpc_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    doubled = d.union(d)
+    groups = (
+        doubled.groupBy(F.md5("text").alias("h"))
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert groups == 0
+
+
+def test_mode_equivalence_repeated_and_concurrent(spark):
+    """Port of the reference's only correctness check (row counts equal
+    across execution modes and repetitions, src/main.rs:65-80,103-117;
+    concurrent runs benches/query.rs:60-76): one prepared DataFrame,
+    re-executed serially and from 8 threads — identical results."""
+    df = registry.QUERIES["q_agg_avg"](spark, SF_DIR)
+    baseline = sorted(map(tuple, df.collect()))
+    for _ in range(3):
+        assert sorted(map(tuple, df.collect())) == baseline
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda _: sorted(map(tuple, df.collect())), range(8)))
+    assert all(r == baseline for r in results)
