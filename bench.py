@@ -55,6 +55,13 @@ HEADLINE = [
 ]
 
 
+# Exact-baseline ops that are quadratic by contract (SURVEY §7/M5
+# design notes): oracled and tested at sf≤0.01, replaced by their
+# scale-path twins (minhash LSH / sign-LSH ANN) above that. Excluded
+# from timing runs unless explicitly requested.
+QUADRATIC_BASELINES = {"q_dedup_ngram"}
+
+
 def run_once(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -62,16 +69,22 @@ def run_once(df) -> float:
 
 
 def main() -> None:
+    # bench reads go through the layout-optimized table copies
+    # (fixtures/optimize.py) — same rows, row groups sized so scans
+    # parallelize; override with SPARK_GRAFT_OPT_CACHE=0 to bench the
+    # raw single-row-group driver files.
+    os.environ.setdefault("SPARK_GRAFT_OPT_CACHE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "10"))
     warmups = 2
     wanted = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     registry.load_all()
-    names = (
-        [n.strip() for n in wanted.split(",") if n.strip()]
-        if wanted
-        else [n for n in HEADLINE if n in registry.QUERIES]
-    )
+    if wanted == "ALL":
+        names = [n for n in sorted(registry.QUERIES) if n not in QUADRATIC_BASELINES]
+    elif wanted:
+        names = [n.strip() for n in wanted.split(",") if n.strip()]
+    else:
+        names = [n for n in HEADLINE if n in registry.QUERIES]
 
     spark = get_spark(app_name="dftpc-bench")
     try:

@@ -17,6 +17,8 @@ metadata-only (footer reads), no data motion.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datafusion_tpc_spark.session import configure_runtime
@@ -36,9 +38,18 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes events.ts ns→µs timestamp."""
+    """Load one testdata table; normalizes events.ts ns→µs timestamp.
+
+    With SPARK_GRAFT_OPT_CACHE=1 (bench path) the read goes through
+    the layout-optimized copy (fixtures/optimize.py): identical rows,
+    row groups sized so scans parallelize across cores."""
     configure_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if os.environ.get("SPARK_GRAFT_OPT_CACHE") == "1":
+        from fixtures.optimize import ensure_optimized
+
+        path = ensure_optimized(sf_dir, name)
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch → µs timestamp. Integer DIV, not floor(x/1000):
         # double division loses precision at 1e18 ns. Truncation

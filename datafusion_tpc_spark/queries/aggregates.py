@@ -163,6 +163,30 @@ def q_agg_cube(spark, sf_dir):
 
 
 @query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot — Catalyst rewrites to the CASE-WHEN aggregation the
+    oracle states. Explicit pivot values: the two-pass value-discovery
+    scan is wasteful at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
     "q_agg_stats",
     oracle="""
     SELECT l_returnflag,

@@ -52,7 +52,10 @@ def q_agg_avg(spark, sf_dir):
            CAST(EXTRACT(hour FROM ts) AS INT) AS h,
            CAST(EXTRACT(minute FROM ts) AS INT) AS mi,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-           CAST(ts AS DATE) AS dt
+           CAST(ts AS DATE) AS dt,
+           ts + INTERVAL 3 DAY AS ts_plus3d,
+           CAST('2024-02-01 12:30:00' AS TIMESTAMP) AS fixed_ts,
+           make_timestamp(CAST(1704067200 AS BIGINT) * 1000000) AS from_epoch
     FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
     """,
 )
@@ -69,6 +72,9 @@ def q_fn_date(spark, sf_dir):
         F.minute("ts").alias("mi"),
         F.date_trunc("day", F.col("ts")).alias("day_start"),
         F.col("ts").cast("date").alias("dt"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("ts_plus3d"),
+        F.to_timestamp(F.lit("2024-02-01 12:30:00")).alias("fixed_ts"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("from_epoch"),
     )
 
 

@@ -60,16 +60,18 @@ def q_pred_algebra(spark, sf_dir):
     FROM orders
     WHERE o_orderpriority LIKE '%URGENT'
        OR o_orderpriority LIKE '_-HIGH'
+       OR o_orderpriority ILIKE '%medium%'
        OR (o_orderstatus NOT LIKE 'F%' AND o_orderpriority LIKE '%LOW%')
     """,
 )
 def q_pred_like(spark, sf_dir):
-    """LIKE / NOT LIKE with % and _ wildcards (SURVEY §2.2; DF 19
-    supports LIKE/ILIKE via sqlparser 0.30)."""
+    """LIKE / NOT LIKE / ILIKE with % and _ wildcards (SURVEY §2.2;
+    DF 19 via sqlparser 0.30; ILIKE in Spark ≥3.3)."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(
         F.col("o_orderpriority").like("%URGENT")
         | F.col("o_orderpriority").like("_-HIGH")
+        | F.col("o_orderpriority").ilike("%medium%")
         | ((~F.col("o_orderstatus").like("F%")) & F.col("o_orderpriority").like("%LOW%"))
     ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
 

@@ -190,6 +190,24 @@ def q_fn_hash(spark, sf_dir):
 
 
 @query(
+    "q_explode",
+    oracle="""
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos, w[i] AS word
+    FROM (SELECT p_partkey, string_split(p_type, ' ') AS w FROM part) t,
+         LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    """,
+)
+def q_explode(spark, sf_dir):
+    """posexplode — table-generating function (UDTF surface; absent in
+    DF 19, SURVEY §2.11, provided natively by Spark). One row per
+    word of p_type with its position."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "word")
+    ).select("p_partkey", F.col("pos").cast("int").alias("pos"), "word")
+
+
+@query(
     "q_fn_struct",
     oracle="""
     SELECT c_custkey,

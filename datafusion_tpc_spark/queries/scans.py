@@ -72,6 +72,19 @@ def q_scan_csv(spark, sf_dir):
     ).csv(out_dir)
 
 
+@query("q_scan_json", oracle="SELECT * FROM region")
+def q_scan_json(spark, sf_dir):
+    """NDJSON scan — DataFusion 19 NdJsonExec (Tier B, reference
+    Cargo.toml:15). Round-trips `region` through newline-delimited
+    JSON with an explicit schema."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "region_json")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").json(out_dir)
+    return spark.read.schema("r_regionkey int, r_name string").json(out_dir)
+
+
 @query(
     "q_values",
     oracle="""

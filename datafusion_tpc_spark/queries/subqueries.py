@@ -122,6 +122,23 @@ def q_sub_corr_scalar(spark, sf_dir):
     )
 
 
+_GSETS_SQL = """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("q_agg_gsets", oracle=_GSETS_SQL)
+def q_agg_gsets(spark, sf_dir):
+    """Explicit GROUPING SETS (DF supports since v16 — SURVEY §2.4);
+    identical SQL text runs on both engines."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
 @query(
     "q_cte",
     oracle="""

@@ -79,8 +79,8 @@ def q_udf_iter(spark, sf_dir):
 @query(
     "q_udf_grouped_map",
     oracle="""
-    SELECT o_custkey, o_orderkey,
-           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 6)
              AS demeaned
     FROM orders
     """,
@@ -89,16 +89,23 @@ def q_udf_grouped_map(spark, sf_dir):
     """applyInPandas grouped-map — per-group pandas transform
     (demeaning), verified against the window-function formulation.
 
-    Scale note: the whole group materializes in one Python worker —
-    fine for bounded per-key cardinality; for unbounded keys use the
+    Scale note: grouped-map materializes each whole group in one
+    Python worker, and per-group overhead is ~1ms — so the right shape
+    is FEW LARGE groups (here: 5 priority classes), never
+    high-cardinality keys (grouping the same data by o_custkey is
+    ~30× slower: 15k tiny groups of ~10 rows). For per-row math use a
+    scalar pandas_udf (q_udf); for high-cardinality demeaning use the
     window form the oracle shows."""
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out = pdf[["o_orderpriority", "o_orderkey"]].copy()
+        # float64 mean over the full group, identical to the SQL window
         out["demeaned"] = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()).round(6)
         return out
 
-    return o.groupBy("o_custkey").applyInPandas(
-        demean, schema="o_custkey long, o_orderkey long, demeaned double"
+    return o.groupBy("o_orderpriority").applyInPandas(
+        demean, schema="o_orderpriority string, o_orderkey long, demeaned double"
     )

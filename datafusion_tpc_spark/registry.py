@@ -53,6 +53,7 @@ def load_all() -> None:
         subqueries,
         udfs,
         events,
+        logs_queries,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,

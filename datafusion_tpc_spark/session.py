@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Local test files are single ~100MB parquets; the 128MB default
+        # split yields 1-3 scan tasks and idles the other cores. On a
+        # real cluster files are many and this knob returns to ~128MB.
+        .config("spark.sql.files.maxPartitionBytes", "8MB")
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # default 4MB open-cost floors the split size above small local
+        # files; row-group-granular splits need it out of the way
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
