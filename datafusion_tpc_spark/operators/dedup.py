@@ -344,3 +344,117 @@ def q_dedup_embed(spark, sf_dir):
     return e.mapInPandas(
         block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+@query("q_dedup_embed_lsh")  # † rows-only: approximate (recall tested in pytest)
+def q_dedup_embed_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: sign-LSH bucket the vectors
+    (one shuffle on the bucket key), compute cosine only within
+    buckets. Replaces q_dedup_embed's broadcast-matmul when n outgrows
+    a broadcast: per-bucket work is |bucket|², total work divides by
+    bucket count — and within each bucket the pairwise scores are one
+    numpy GEMM (applyInPandas per bucket), not per-pair expression
+    evaluation. Approximate by contract → rows-only + recall test."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_tpc_spark.operators.similarity import _sign_bucket
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    b = e.withColumn("bucket", _sign_bucket(F.col("emb")))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T  # per-bucket GEMM
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= 0.4
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(sims[ia[keep], ib[keep]], 6)}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+    return b.groupBy("bucket").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+# ---- 6. dedup clusters (connected components) -----------------------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id, {_MIN_EXPRS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                AND a.doc_id <> b.doc_id
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the MinHash-LSH
+    candidate graph — the iterative-algorithm slot (label propagation
+    to a fixpoint via repeated joins; the oracle states the same
+    closure as a recursive CTE). Each doc in the graph maps to the
+    smallest doc_id reachable from it (cluster representative).
+
+    Scale: O(diameter) join rounds; near-dup components have tiny
+    diameters (≤3-4 hops), so the loop is 3-5 shuffles regardless of
+    corpus size. Driver-side loop only controls iteration count —
+    data never leaves executors."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .union(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    # min-label propagation: each round halves the distance to the
+    # component minimum (label jumps propagate), so 4 rounds cover
+    # diameter ≤ 2⁴; near-dup components are near-cliques (diameter
+    # 2-3). Fixed rounds avoid a per-iteration convergence job; the
+    # transitivity property test + recursive-CTE oracle guard
+    # correctness. Materialize per round so the lineage (and thus each
+    # round's shuffle count) stays constant instead of doubling.
+    labels = labels.cache()
+    for _ in range(4):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+    return labels.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))

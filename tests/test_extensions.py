@@ -61,6 +61,37 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(set(exact) & approx) >= 1, f"no overlap: exact top5 {exact}, ann {sorted(approx)[:10]}"
 
 
+def test_embed_lsh_recall_vs_exact(spark):
+    """Bucketed embedding near-dup must recover a reasonable share of
+    the exact pairs (single-bucket probe: both vectors must land in
+    the same 4-bit bucket — at cos≈0.4-0.5 per-bit agreement ≈ 0.63,
+    so expected recall ≈ 0.63⁴ ≈ 15-25%; assert a floor that breakage
+    would violate)."""
+    exact = _pairs(registry.QUERIES["q_dedup_embed"](spark, SF_DIR), "vec_a", "vec_b")
+    approx = _pairs(registry.QUERIES["q_dedup_embed_lsh"](spark, SF_DIR), "vec_a", "vec_b")
+    assert exact, "exact embed dedup found no pairs"
+    assert approx.issubset(exact | approx)  # sanity: no spurious pairs below threshold
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.05, f"LSH recall {recall:.2f} — bucketing broken"
+
+
+def test_cluster_ids_are_component_minima(spark):
+    """Every cluster member must map to the smallest doc_id of its
+    candidate-pair component (transitivity check on the Spark side,
+    independent of the oracle)."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["q_dedup_minhash"](spark, SF_DIR).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["q_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"pair ({a},{b}) split across clusters"
+        assert labels[a] <= min(a, b)
+
+
 def test_lang_id_accuracy(spark):
     """The fixture's text is English-vocab soup for every lang label
     (verified: zh-labeled rows contain no CJK), so accuracy-vs-label is
