@@ -189,6 +189,22 @@ def q_fn_hash(spark, sf_dir):
     )
 
 
+@query("q_fn_nondet")  # † rows-only: uuid/random are nondeterministic by contract
+def q_fn_nondet(spark, sf_dir):
+    """Nondeterministic functions — DF 19 registry `random` and `uuid`
+    (SURVEY §2.8 marks them †). Shape checks only: uuid format, rand
+    range; values can never hash-match an oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.expr("uuid()").alias("row_uuid"),
+        F.rand(42).alias("rand_val"),
+        F.randn(42).alias("randn_val"),
+    ).filter(
+        (F.length("row_uuid") == 36) & F.col("rand_val").between(0.0, 1.0)
+    )
+
+
 @query(
     "q_explode",
     oracle="""
