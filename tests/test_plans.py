@@ -17,8 +17,6 @@ from __future__ import annotations
 import io
 import contextlib
 
-import pytest
-
 from datafusion_tpc_spark import registry
 from tests.conftest import SF_DIR
 

@@ -1,0 +1,138 @@
+"""Property-based cross-engine fuzzing (mini-SQLsmith).
+
+Hypothesis generates random predicate trees and aggregation specs in
+the Spark∩DuckDB shared SQL dialect; the same SQL text runs on both
+engines over `lineitem` and must agree row-for-row. This generalizes
+the hand-written oracle queries: any dialect-semantics divergence
+(coercion, null ordering, rounding, precedence) shows up as a
+counterexample, not a silent wrong answer.
+
+Determinism: fixed seed via hypothesis derandomize, bounded example
+counts to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+from tests.conftest import SF_DIR
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+STR_VALS = ["A", "N", "R", "O", "F"]
+
+_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def comparison(draw):
+    kind = draw(st.sampled_from(["num", "int", "str", "between", "in", "null"]))
+    if kind == "num":
+        col = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(_OPS))
+        val = round(draw(st.floats(0, 100, allow_nan=False, allow_infinity=False)), 2)
+        return f"{col} {op} {val}"
+    if kind == "int":
+        col = draw(st.sampled_from(INT_COLS))
+        op = draw(st.sampled_from(_OPS))
+        val = draw(st.integers(0, 20000))
+        return f"{col} {op} {val}"
+    if kind == "str":
+        col = draw(st.sampled_from(STR_COLS))
+        op = draw(st.sampled_from(["=", "<>"]))
+        val = draw(st.sampled_from(STR_VALS))
+        return f"{col} {op} '{val}'"
+    if kind == "between":
+        col = draw(st.sampled_from(NUM_COLS))
+        lo = round(draw(st.floats(0, 50, allow_nan=False)), 2)
+        hi = round(lo + draw(st.floats(0, 50, allow_nan=False)), 2)
+        return f"{col} BETWEEN {lo} AND {hi}"
+    if kind == "in":
+        col = draw(st.sampled_from(STR_COLS))
+        vals = draw(st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({quoted})"
+    return f"{draw(st.sampled_from(NUM_COLS))} IS NOT NULL"
+
+
+@st.composite
+def predicate(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(comparison())
+    left = draw(predicate(depth=depth + 1))
+    right = draw(predicate(depth=depth + 1))
+    op = draw(st.sampled_from(["AND", "OR"]))
+    neg = "NOT " if draw(st.booleans()) else ""
+    return f"{neg}(({left}) {op} ({right}))"
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return "∅" if math.isnan(v) else f"{v:.6f}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _run_both(spark, ddb, sql):
+    from datafusion_tpc_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR)
+    sp = sorted(
+        tuple(_norm(v) for v in row)
+        for row in (tuple(r) for r in spark.sql(sql).collect())
+    )
+    du = sorted(
+        tuple(_norm(v) for v in row) for row in ddb.execute(sql).fetchall()
+    )
+    assert sp == du, f"divergence on:\n{sql}\nspark={sp[:3]}…\nduck={du[:3]}…"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate())
+def test_fuzz_filter_count(spark, ddb, pred):
+    """Random predicate → both engines agree on the qualifying
+    multiset of keys (count + checksum projection)."""
+    sql = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT) AS key_sum
+        FROM lineitem WHERE {pred}
+    """
+    _run_both(spark, ddb, sql)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(STR_COLS + ["l_linenumber"]),
+    agg_col=st.sampled_from(NUM_COLS),
+    pred=predicate(),
+)
+def test_fuzz_grouped_agg(spark, ddb, key, agg_col, pred):
+    """Random grouped aggregation over a random predicate — two-phase
+    agg semantics agree across engines."""
+    sql = f"""
+        SELECT {key},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM({agg_col}), 4) AS s,
+               ROUND(MIN({agg_col}), 4) AS mn,
+               ROUND(MAX({agg_col}), 4) AS mx
+        FROM lineitem WHERE {pred}
+        GROUP BY {key}
+    """
+    _run_both(spark, ddb, sql)
