@@ -194,6 +194,9 @@ def q_dedup_minhash(spark, sf_dir):
             for i in range(_K)
         ]
     )
+    # cache the (doc_id, band, bkey) table: it is tiny (4 rows/doc)
+    # and both sides of the self-join read it — uncached, the whole
+    # shingle→hash→min pipeline would execute twice
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -211,7 +214,7 @@ def q_dedup_minhash(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", "bb.band", "bb.bkey").cache()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
