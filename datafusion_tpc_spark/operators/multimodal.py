@@ -116,6 +116,43 @@ def q_mm_decode(spark, sf_dir):
     )
 
 
+@query("q_mm_resize")  # † rows-only: resize runs through the stubbed decode seam
+def q_mm_resize(spark, sf_dir):
+    """Resize plumbing: decode (stubbed, deterministic) → target-size
+    computation preserving aspect ratio → 're-encoded' digest. The
+    real pipeline swaps `_decode_fake` for a PIL/libvips call; batch
+    shape, schema, and the derived geometry math are exercised for
+    real."""
+    mm = multimodal_table(spark, sf_dir).select("doc_id", "payload")
+    target = 128
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = _decode_fake(payload)
+                scale = target / max(w, h)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        max(1, round(w * scale)),
+                        max(1, round(h * scale)),
+                        hashlib.md5(payload + b"|resized").hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_w", "out_h", "resized_md5"],
+            )
+
+    return mm.mapInPandas(
+        resize,
+        schema="doc_id long, width int, height int, out_w int, out_h int, resized_md5 string",
+    )
+
+
 @query(
     "q_mm_frames",
     oracle="""

@@ -94,6 +94,85 @@ def _sign_bucket(emb_col, n_planes: int = _N_PLANES):
     return bucket
 
 
+@query("q_sim_ivf")  # † rows-only: approximate (recall tested in pytest)
+def q_sim_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate nearest neighbors — the
+    k-means-cell alternative to sign-LSH:
+
+    1. train a coarse quantizer: deterministic k-means (centroids
+       seeded from the first k vectors by vec_id, 5 Lloyd iterations)
+       on a driver-side sample — at 100 TB the sample is a tiny
+       fraction and training stays O(sample·k·dim);
+    2. assign every vector to its nearest centroid via one broadcast
+       mapInPandas pass (block GEMM — no shuffle);
+    3. search only the query's nprobe=2 nearest cells, exact cosine
+       within them.
+
+    Cell sizes are data-adaptive (unlike LSH's fixed hyperplanes), so
+    recall is typically higher at equal candidate-set size."""
+    import numpy as np
+    import pandas as pd
+
+    k_cells, nprobe = 8, 2
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample = e.orderBy("vec_id").limit(256).collect()  # deterministic sample
+    mat = np.asarray([r["emb"] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    centroids = mat[:k_cells].copy()
+    for _ in range(5):  # Lloyd iterations on the normalized sample
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(k_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+    qv = np.asarray(
+        [r["emb"] for r in sample if r["vec_id"] == _QUERY_VEC_ID], dtype=np.float64
+    )
+    if not len(qv):
+        qv = np.asarray(
+            [e.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["emb"]]
+        )
+    qv = qv[0] / np.linalg.norm(qv[0])
+    probe_cells = set(int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe])
+
+    sc = spark.sparkContext
+    b_cent, b_q = sc.broadcast(centroids), sc.broadcast(qv)
+
+    def search(batches):
+        cent, q = b_cent.value, b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["emb"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = (m @ cent.T).argmax(axis=1)
+            in_probe = np.isin(cells, list(probe_cells))
+            keep = in_probe & (pdf["vec_id"].to_numpy() != _QUERY_VEC_ID)
+            if not keep.any():
+                continue
+            sims = m[keep] @ q
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "cos_sim": np.round(sims, 6),
+                    "cell": cells[keep],
+                }
+            ).astype(
+                {"vec_id": "int64", "label": "int32", "cos_sim": "float64", "cell": "int32"}
+            )
+
+    candidates = e.mapInPandas(
+        search, schema="vec_id long, label int, cos_sim double, cell int"
+    )
+    return candidates.orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    ).limit(_K)
+
+
 @query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)
 def q_sim_ann(spark, sf_dir):
     """Sign-LSH approximate nearest neighbors with 1-bit multi-probe:

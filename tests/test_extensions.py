@@ -61,6 +61,17 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(set(exact) & approx) >= 1, f"no overlap: exact top5 {exact}, ann {sorted(approx)[:10]}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 of 8 cells must recover a majority of the
+    true top-10 (cells are data-adaptive, so recall should beat the
+    single-probe sign-LSH variant)."""
+    exact = [r["vec_id"] for r in registry.QUERIES["q_sim_topk"](spark, SF_DIR).collect()][:10]
+    approx = {r["vec_id"] for r in registry.QUERIES["q_sim_ivf"](spark, SF_DIR).collect()}
+    assert approx, "IVF returned nothing"
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} over top-10"
+
+
 def test_embed_lsh_recall_vs_exact(spark):
     """Bucketed embedding near-dup must recover a reasonable share of
     the exact pairs (single-bucket probe: both vectors must land in
