@@ -113,6 +113,65 @@ def test_fuzz_filter_count(spark, ddb, pred):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    func=st.sampled_from(
+        ["row_number()", "rank()", "dense_rank()", "ntile(3)", "lag(l_quantity)", "lead(l_quantity)"]
+    ),
+    frame_lo=st.integers(0, 4),
+    frame_hi=st.integers(0, 4),
+    agg_col=st.sampled_from(NUM_COLS),
+    desc=st.booleans(),
+)
+def test_fuzz_window(spark, ddb, func, frame_lo, frame_hi, agg_col, desc):
+    """Random ranking/analytic function + random ROWS frame aggregate
+    over a fully-tiebroken ordering — frame semantics agree."""
+    direction = "DESC" if desc else "ASC"
+    order = (
+        f"l_linenumber {direction} NULLS LAST, l_partkey ASC NULLS LAST, "
+        "l_suppkey ASC NULLS LAST, l_quantity ASC NULLS LAST, "
+        "l_extendedprice ASC NULLS LAST"
+    )
+    sql = f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST({func} OVER w AS DOUBLE) AS fval,
+               ROUND(SUM({agg_col}) OVER (PARTITION BY l_orderkey ORDER BY {order}
+                     ROWS BETWEEN {frame_lo} PRECEDING AND {frame_hi} FOLLOWING), 4) AS fsum
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY {order})
+    """
+    _run_both(spark, ddb, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    join_type=st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL OUTER JOIN"]),
+    pred=predicate(),
+)
+def test_fuzz_join(spark, ddb, join_type, pred):
+    """Random outer-join type between orders and a filtered lineitem
+    subset — match/no-match row accounting agrees."""
+    sql = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_left,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_right
+        FROM orders o
+        {join_type} (SELECT * FROM lineitem WHERE {pred}) l
+          ON o.o_orderkey = l.l_orderkey
+    """
+    _run_both(spark, ddb, sql)
+
+
+@settings(
     max_examples=15,
     deadline=None,
     derandomize=True,
