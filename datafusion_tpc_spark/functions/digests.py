@@ -1,0 +1,55 @@
+"""Digest helpers beyond Spark's built-ins — SURVEY.md §2.8.
+
+The reference links blake2/blake3 into datafusion-physical-expr via
+its `digest` scalar function (reference Cargo.lock:1222-1223). Spark
+ships md5/sha1/sha2 natively (covered by q_fn_hash); blake2b comes
+from Python stdlib hashlib wrapped in an Arrow-vectorized pandas_udf
+here. blake3 has no stdlib implementation and its wheel is not in
+this container, so it gates behind an import probe and degrades to a
+clear error instead of an ImportError mid-query.
+
+Scale note: a pandas_udf digest is the documented slow path vs JVM
+md5/sha2 (one Arrow hop per batch) — use it only for the algorithms
+Spark lacks; the per-batch loop itself is C-speed hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+@F.pandas_udf("string")
+def blake2b_hex(s: pd.Series) -> pd.Series:  # type: ignore[misc]
+    """64-hex-char BLAKE2b-256 digest of a string column (stdlib
+    hashlib — no extra dependency), NULL-preserving."""
+    return s.map(
+        lambda v: None
+        if v is None
+        else hashlib.blake2b(v.encode("utf-8"), digest_size=32).hexdigest()
+    )
+
+
+def blake3_hex():
+    """BLAKE3 digest UDF — returns the pandas_udf when the `blake3`
+    wheel is importable, else raises RuntimeError (the wheel is not in
+    this container; the reference gets blake3 from its Rust `digest`
+    dependency)."""
+    try:
+        import blake3  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "blake3 requires the `blake3` wheel (not installed in this "
+            "environment); blake2b_hex is the stdlib-available digest"
+        ) from exc
+
+    @F.pandas_udf("string")
+    def _blake3_hex(s: pd.Series) -> pd.Series:  # type: ignore[misc]
+        return s.map(
+            lambda v: None if v is None else blake3.blake3(v.encode("utf-8")).hexdigest()
+        )
+
+    return _blake3_hex

@@ -26,9 +26,10 @@ Scale notes (100 TB):
   band key includes the band index which spreads load 4×. In a real
   pipeline, drop band keys with > ~10k members (boilerplate clusters)
   before the self-join; not done here because the oracle must match.
-- simhash: explode(token)×explode(bit) is the declarative form below;
-  the 100 TB form replaces it with one mapInPandas pass computing the
-  64-bit fingerprint vectorized per batch (same output).
+- simhash: one mapInPandas pass computes the 60-bit fingerprint
+  vectorized per Arrow batch — zero shuffle, no row blowup (the
+  declarative token×bit explode alternative multiplies shuffle input
+  60× and was replaced in round 2).
 - embedding cosine: brute-force O(n²) — the similarity module's LSH
   buckets are the scale path.
 """
@@ -255,26 +256,38 @@ def q_dedup_simhash(spark, sf_dir):
     multiplicity counted). Near-dup docs land within a few bits of
     Hamming distance; fingerprints verified exactly against DuckDB.
 
-    The declarative token×bit explode below is the oracle-matched
-    form; the 100 TB form is a single mapInPandas pass (same output,
-    no row blowup)."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    th = tok.select("doc_id", h60(F.col("t")).alias("h"))
-    votes = (
-        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END")
-            ).alias("v")
-        )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long")
-        .alias("simhash")
-    )
+    100 TB shape: ONE mapInPandas pass — each Arrow batch computes its
+    documents' fingerprints with a numpy token×bit vote matrix. No
+    explode, no shuffle at all (the fingerprint is per-document); the
+    earlier declarative token×60-bit explode form multiplied shuffle
+    input 60× and is gone. Hash family is the same md5-derived h60 as
+    everywhere else, so the exact DuckDB oracle is unchanged."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def simhash_batches(batches):
+        bits = np.arange(60, dtype=np.int64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                votes = (((hs[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
+                ids.append(doc_id)
+                hashes.append(int(((votes > 0).astype(np.int64) << bits).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes}).astype(
+                {"doc_id": "int64", "simhash": "int64"}
+            )
+
+    return d.mapInPandas(simhash_batches, schema="doc_id long, simhash long")
 
 
 # ---- 5. embedding cosine near-dup ----------------------------------------
@@ -312,12 +325,26 @@ def q_dedup_embed(spark, sf_dir):
     broadcast replaces the O(n²)-row join. Beyond broadcastable n, the
     sign-LSH buckets in operators/similarity.py bound the candidate
     set first."""
+    import os
+
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # Guard the driver-side materialization: this is the exact small-n
+    # baseline, and its broadcast build side is the WHOLE table — the
+    # driver copy grows linearly with data. Fail fast past the
+    # threshold instead of OOMing a 100 TB driver silently.
+    max_rows = int(os.environ.get("SPARK_GRAFT_EMBED_BROADCAST_MAX", "2000000"))
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"q_dedup_embed materializes all {n} embeddings on the driver "
+            f"(limit {max_rows}; SPARK_GRAFT_EMBED_BROADCAST_MAX to raise). "
+            "Use q_dedup_embed_lsh — the bucketed scale path — instead."
+        )
     rows = e.collect()  # n×64 doubles — driver-side copy of the broadcast side only
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["emb"] for r in rows], dtype=np.float64)
@@ -422,10 +449,15 @@ def q_dedup_clusters(spark, sf_dir):
     closure as a recursive CTE). Each doc in the graph maps to the
     smallest doc_id reachable from it (cluster representative).
 
-    Scale: O(diameter) join rounds; near-dup components have tiny
-    diameters (≤3-4 hops), so the loop is 3-5 shuffles regardless of
-    corpus size. Driver-side loop only controls iteration count —
-    data never leaves executors."""
+    Scale: O(eccentricity of the component minimum) join rounds —
+    plain neighbor-min propagation moves the minimum one hop per round
+    (NOT 2^rounds: there is no pointer doubling here), so the loop runs
+    to an observed fixpoint (changed-label count == 0, one cheap job
+    per round) instead of a fixed round count that would silently
+    truncate chain-shaped duplicate families. Near-dup components are
+    near-cliques (2-4 rounds in practice); a hard cap of 50 rounds
+    guards against pathological inputs. Driver-side loop only controls
+    iteration count — data never leaves executors."""
     pairs = q_dedup_minhash(spark, sf_dir)
     edges = (
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
@@ -433,31 +465,52 @@ def q_dedup_clusters(spark, sf_dir):
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
+    labels = min_label_propagation(edges)
+    return labels.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+def min_label_propagation(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Propagate the minimum node id through an undirected edge table
+    (columns a, b — both directions present) until no label changes.
+    Returns (doc_id, cluster_id). Runs to an observed fixpoint — one
+    changed-label count job per round — rather than a fixed round
+    count; chain-shaped components longer than any fixed cutoff still
+    converge (tests/test_extensions.py::test_clusters_converge_on_chain)."""
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
     )
-    # min-label propagation: each round halves the distance to the
-    # component minimum (label jumps propagate), so 4 rounds cover
-    # diameter ≤ 2⁴; near-dup components are near-cliques (diameter
-    # 2-3). Fixed rounds avoid a per-iteration convergence job; the
-    # transitivity property test + recursive-CTE oracle guard
-    # correctness. Materialize per round so the lineage (and thus each
-    # round's shuffle count) stays constant instead of doubling.
-    labels = labels.cache()
-    for _ in range(4):
+    # Materialize per round so the lineage (and thus each round's
+    # shuffle count) stays constant instead of doubling.
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                "cluster_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
             )
             .cache()
         )
-    return labels.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        changed = stepped.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        prev = labels
+        labels = stepped.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        ).cache()
+        labels.count()  # materialize before dropping the parents
+        prev.unpersist()
+        stepped.unpersist()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min_label_propagation did not converge in {max_rounds} rounds"
+    )

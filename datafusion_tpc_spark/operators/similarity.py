@@ -70,20 +70,26 @@ def _sign_bucket(emb_col, n_planes: int = _N_PLANES):
     """Sign-LSH bucket: plane p's pseudo-random normal is derived
     per-dimension from md5(p|dim) (deterministic, no RNG — replayable
     and engine-independent). Returns an int bucket id."""
+    from datafusion_tpc_spark.operators.dedup import h60
+
     # weight(p, d) = (h60(p|d) % 2001 - 1000) / 1000  ∈ [-1, 1]
     # bucket bit p = sign(Σ_d w(p,d) * emb[d]) > 0
+    # h60 already casts conv()'s STRING result to BIGINT so the modulo
+    # is exact integer math (a bare conv() % would coerce through
+    # DOUBLE and round away the low ~7 bits of the 60-bit hash); the
+    # weight array is derived from the passed-in column, not a
+    # hard-coded column name, so aliased callers work.
     cols = []
     for p in range(n_planes):
+        weights = F.transform(
+            F.sequence(F.lit(0), F.size(emb_col) - 1),
+            lambda d, _p=p: (
+                h60(F.concat(F.lit(f"{_p}|"), d.cast("string"))) % 2001 - 1000
+            )
+            / F.lit(1000.0),
+        )
         proj = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.expr(
-                    "transform(sequence(0, size(emb) - 1),"
-                    f" d -> (conv(substr(md5(concat('{p}|', d)), 1, 15), 16, 10) % 2001 - 1000)"
-                    " / 1000.0)"
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(emb_col, weights, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -36,6 +36,29 @@ from datafusion_tpc_spark.registry import query
 
 
 @query(
+    "q_agg_arrayagg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(array_agg(n_name)), '|') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_arrayagg(spark, sf_dir):
+    """array_agg → collect_list, wrapped in array_sort on both sides
+    (both engines' agg order is nondeterministic — SURVEY §2.4), then
+    string-joined to a scalar: the external driver's hash canonicalizer
+    (pandas sort_values) cannot factorize array-typed cells, so oracled
+    output must never contain a bare array/map column. The raw
+    array-typed form stays covered by a direct pytest case
+    (tests/test_extensions.py::test_arrayagg_raw_array)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
     "q_agg_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -261,22 +284,6 @@ def q_agg_approxd(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
-
-
-@query(
-    "q_agg_arrayagg",
-    oracle="""
-    SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS nations
-    FROM nation
-    GROUP BY n_regionkey
-    """,
-)
-def q_agg_arrayagg(spark, sf_dir):
-    """array_agg → collect_list, wrapped in array_sort on both sides
-    (both engines' agg order is nondeterministic — SURVEY §2.4)."""
-    n = load_table(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
 
 
 @query(

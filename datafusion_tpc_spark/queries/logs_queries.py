@@ -12,21 +12,36 @@ fixtures/gen_logs.py) so the DuckDB oracle can read the same parquet
 by absolute path. The AVG query rounds on both sides per the oracle
 conventions; the SQL text the engine executes is otherwise identical
 to the reference's strings.
+
+Scale pinning: the reference's logs dataset is a FIXED dataset (its
+data dirs are hard-coded, reference src/main.rs:28-29) — it does not
+scale with the TPC sf. The oracle strings are static text, so both
+sides read the same canonical sf0.01 fixture regardless of the
+driver's sf_dir; parity therefore holds at every scale the driver
+might pick (previously the Spark side followed sf_dir while the
+oracle stayed pinned, silently breaking at non-0.01 scales). Bench
+opts into larger fixtures via SPARK_GRAFT_LOGS_SF (bench.py sets it
+from its sf_dir; the oracle is never consulted on the bench path).
 """
 
 from __future__ import annotations
 
-from fixtures.gen_logs import ensure_all, logs_path, sf_of
+import os
+
+from fixtures.gen_logs import ensure_all, logs_path
 
 from datafusion_tpc_spark.registry import query
 from datafusion_tpc_spark.session import configure_runtime
 
 ensure_all()
 
+_CANONICAL_SF = "0.01"
+
 
 def _logs(spark, sf_dir):
     configure_runtime(spark)
-    df = spark.read.parquet(logs_path(sf_of(sf_dir)))
+    sf = os.environ.get("SPARK_GRAFT_LOGS_SF", _CANONICAL_SF)
+    df = spark.read.parquet(logs_path(sf))
     df.createOrReplaceTempView("logs")
     return df
 

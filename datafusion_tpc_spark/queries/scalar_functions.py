@@ -250,3 +250,17 @@ def q_fn_struct(spark, sf_dir):
         .cast("int")
         .alias("arr_len"),
     )
+
+
+@query("q_fn_blake")  # † rows-only: DuckDB 1.0 has no blake2 counterpart
+def q_fn_blake(spark, sf_dir):
+    """blake2b-256 digest — the reference's `digest` function links
+    blake2/blake3 (Cargo.lock:1222-1223, SURVEY §2.8). Spark has no
+    native blake; functions/digests.py wraps stdlib hashlib.blake2b in
+    an Arrow-vectorized pandas_udf. Deterministic, but DuckDB 1.0 has
+    no blake2 either → rows-only here; exact digests are asserted
+    against hashlib in tests/test_sources_and_skew.py."""
+    from datafusion_tpc_spark.functions.digests import blake2b_hex
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", blake2b_hex("text").alias("h_blake2b"))

@@ -104,3 +104,29 @@ def q_values(spark, sf_dir):
           AS t(id, name, score)
         """
     )
+
+
+# Avro scan — DataFusion 19 AvroExec (Tier B, reference Cargo.toml:15,
+# SURVEY §2.1 "CSV / NDJSON / Avro"). spark-avro is an external Spark
+# module; its jar is probed at import (sources/connectors.avro_available)
+# and the query only registers when the datasource can actually run —
+# in jar-less environments the gated read_any(..., "avro") path raises
+# ConnectorUnavailable instead (tested either way in
+# tests/test_sources_and_skew.py).
+from datafusion_tpc_spark.sources.connectors import avro_available  # noqa: E402
+
+if avro_available():
+
+    @query("q_scan_avro", oracle="SELECT * FROM region")
+    def q_scan_avro(spark, sf_dir):
+        """Avro round-trip scan: write `region` to Avro once, read it
+        back through the spark-avro datasource; oracle is the parquet
+        table itself."""
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        out_dir = os.path.join(_CSV_CACHE, key, "region_avro")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            load_table(spark, sf_dir, "region").coalesce(1).write.mode(
+                "overwrite"
+            ).format("avro").save(out_dir)
+        return spark.read.format("avro").load(out_dir)

@@ -9,9 +9,15 @@ todo!()).
 Spark's equivalents: the Hadoop FileSystem registry covers file:// and
 s3a:// natively; reads are in catalog.py. This module adds:
 
-- the format matrix helpers (parquet/csv/json/orc read+write),
+- the format matrix helpers (parquet/csv/json/orc/avro read+write),
 - a partitioned parquet writer (the write path the reference never
   finished — here it's one line of Spark),
+- Avro (reference ships AvroExec via DataFusion 19, Cargo.toml:15 —
+  SURVEY §2.1 Tier B) gated behind a spark-avro jar probe: the
+  datasource is an external Spark module whose jar is not in this
+  container, so it degrades to ConnectorUnavailable; when the jar IS
+  present, q_scan_avro (queries/scans.py) registers a parquet→avro
+  round-trip with an exact oracle,
 - lakehouse connectors (Delta/Iceberg/Hudi) gated behind import/
   classpath probes — their jars are not in this container, so they
   degrade to a clear ConnectorUnavailable instead of a classpath
@@ -20,11 +26,27 @@ s3a:// natively; reads are in catalog.py. This module adds:
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 class ConnectorUnavailable(RuntimeError):
     """Raised when a lakehouse format's jars are not on the classpath."""
+
+
+def avro_available() -> bool:
+    """True when the spark-avro datasource jar is on the classpath.
+    Probed from the pyspark jars directory (no session needed — this
+    runs at registry-import time to decide whether q_scan_avro
+    registers)."""
+    import pyspark
+
+    jar_dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        jar_dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    return any(_glob.glob(os.path.join(d, "spark-avro*.jar")) for d in jar_dirs)
 
 
 def read_any(spark: SparkSession, fmt: str, path: str, schema: str | None = None) -> DataFrame:
@@ -42,6 +64,14 @@ def read_any(spark: SparkSession, fmt: str, path: str, schema: str | None = None
         return reader.orc(path)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "avro":
+        if not avro_available():
+            raise ConnectorUnavailable(
+                "avro requires the spark-avro external module jar "
+                "(org.apache.spark:spark-avro) on the classpath — not "
+                "present in this environment"
+            )
+        return reader.format("avro").load(path)
     return _lakehouse_read(spark, fmt, path)
 
 

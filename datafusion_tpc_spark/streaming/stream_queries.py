@@ -157,9 +157,13 @@ def q_stream_stateful(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    # update-mode sink may hold several versions per key — keep the last
+    # update-mode sink may hold several versions per key — keep the
+    # LAST version as a unit: the row with the maximal n_events
+    # (monotone across micro-batches). Independent per-column maxes
+    # would be wrong for total_value, which is a running SUM and only
+    # monotone while event values are non-negative.
     sink = spark.table(name)
-    return (
-        sink.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 
 from datafusion_tpc_spark import registry
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 registry.load_all()
 
@@ -162,3 +162,44 @@ def test_mode_equivalence_repeated_and_concurrent(spark):
     with ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(lambda _: sorted(map(tuple, df.collect())), range(8)))
     assert all(r == baseline for r in results)
+
+
+def test_clusters_converge_on_chain(spark):
+    """Chain-shaped duplicate family (0-1-2-…-9, diameter 9 — longer
+    than any small fixed round count): min-label propagation must run
+    to the fixpoint and label every node with the chain minimum.
+    Guards the ADVICE finding that plain neighbor-min propagation
+    moves the minimum ONE hop per round, not 2^rounds."""
+    from datafusion_tpc_spark.operators.dedup import min_label_propagation
+
+    n = 10
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], "a long, b long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in min_label_propagation(edges).collect()}
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_arrayagg_raw_array(spark, ddb):
+    """The raw array-typed collect_list form, kept out of the driver
+    registry (its hash canonicalizer cannot factorize list cells —
+    q_agg_arrayagg ships the string-joined form instead) but verified
+    here with the list-aware comparator."""
+    from datafusion_tpc_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, SF_DIR, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+    )
+    assert_matches_oracle(
+        df,
+        ddb,
+        """
+        SELECT n_regionkey, list_sort(array_agg(n_name)) AS nations
+        FROM nation GROUP BY n_regionkey
+        """,
+        name="arrayagg_raw",
+    )

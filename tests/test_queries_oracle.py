@@ -20,8 +20,8 @@ ROWS_ONLY = sorted(n for n in registry.QUERIES if n not in registry.ORACLE)
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, ddb, name):
-    if name.startswith("q_logs") and not SF_DIR.rstrip("/").endswith("sf0.01"):
-        pytest.skip("logs oracle is pinned to the driver's sf0.01 fixture path")
+    # q_logs_* needs no sf skip: both sides read the canonical sf0.01
+    # logs fixture regardless of SF_DIR (logs_queries._logs).
     df = registry.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, ddb, registry.ORACLE[name], name=name)
 

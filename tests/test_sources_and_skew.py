@@ -88,3 +88,55 @@ def test_salted_join_matches_plain(spark):
         )
     )
     assert salted == plain
+
+
+def test_avro_gated_or_roundtrips(spark):
+    """Avro (SURVEY §2.1 Tier B): when the spark-avro jar is present
+    the round-trip must match the parquet source; when absent the
+    gated path must raise ConnectorUnavailable, not a classpath
+    stack trace. Green either way."""
+    from datafusion_tpc_spark.sources.connectors import avro_available, read_any
+
+    region = load_table(spark, SF_DIR, "region")
+    if avro_available():
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "region_avro")
+            region.write.format("avro").save(path)
+            back = read_any(spark, "avro", path)
+            assert sorted(map(tuple, back.collect())) == sorted(
+                map(tuple, region.collect())
+            )
+    else:
+        with pytest.raises(ConnectorUnavailable, match="spark-avro"):
+            read_any(spark, "avro", "/nonexistent")
+
+
+def test_blake2b_matches_hashlib(spark):
+    """blake2b pandas_udf (SURVEY §2.8 digest family) must equal
+    stdlib hashlib exactly, and preserve NULLs."""
+    import hashlib
+
+    from datafusion_tpc_spark.functions.digests import blake2b_hex
+
+    df = spark.createDataFrame(
+        [("hello world",), ("",), (None,)], "s string"
+    ).select("s", blake2b_hex("s").alias("h"))
+    got = {r["s"]: r["h"] for r in df.collect()}
+    expect = lambda v: hashlib.blake2b(v.encode(), digest_size=32).hexdigest()
+    assert got["hello world"] == expect("hello world")
+    assert got[""] == expect("")
+    assert got[None] is None
+
+
+def test_blake3_gated(spark):
+    """blake3 has no stdlib implementation — either the wheel imports
+    and the UDF works, or the factory raises a clear RuntimeError."""
+    from datafusion_tpc_spark.functions.digests import blake3_hex
+
+    try:
+        udf = blake3_hex()
+    except RuntimeError as exc:
+        assert "blake3" in str(exc)
+        return
+    df = spark.createDataFrame([("x",)], "s string").select(udf("s").alias("h"))
+    assert len(df.collect()[0]["h"]) == 64

@@ -26,7 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from datafusion_tpc_spark import registry  # noqa: E402
 from datafusion_tpc_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["q_scan_full", "q_filter_proj", "q_agg_avg"]  # the reference trio
+# The reference trio (benches/query.rs:23-27) plus one representative
+# per heavy operator family from bench.py's headline set — joins,
+# windows, dedup, similarity under 12-way concurrency (VERDICT r1
+# next-round #9). Override with SPARK_GRAFT_BENCH_QUERIES.
+QUERIES = [
+    "q_scan_full",
+    "q_filter_proj",
+    "q_agg_avg",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_win_rank",
+    "q_topk",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
+]
 N_CONCURRENT = 12  # reference run_concurrent(…, 12)
 RUNS = 5
 
@@ -44,8 +61,11 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    wanted = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [n.strip() for n in wanted.split(",") if n.strip()] if wanted else QUERIES
+
     results: dict[str, float] = {}
-    for name in QUERIES:
+    for name in names:
         df = registry.QUERIES[name](spark, sf_dir)  # prepared plan, reused
 
         def one_run() -> float:
