@@ -61,6 +61,10 @@ HEADLINE = [
 # from timing runs unless explicitly requested.
 QUADRATIC_BASELINES = {"q_dedup_ngram"}
 
+# Documented Python-speed fallback seams (pure-Python blake3 when the
+# wheel is absent) — correctness surface, not a throughput claim.
+PYTHON_FALLBACKS = {"q_fn_blake3"}
+
 
 def run_once(df) -> float:
     t0 = time.perf_counter()
@@ -80,7 +84,8 @@ def main() -> None:
     wanted = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     registry.load_all()
     if wanted == "ALL":
-        names = [n for n in sorted(registry.QUERIES) if n not in QUADRATIC_BASELINES]
+        skip = QUADRATIC_BASELINES | PYTHON_FALLBACKS
+        names = [n for n in sorted(registry.QUERIES) if n not in skip]
     elif wanted:
         names = [n.strip() for n in wanted.split(",") if n.strip()]
     else:
@@ -92,6 +97,10 @@ def main() -> None:
     from fixtures.gen_logs import sf_of
 
     os.environ["SPARK_GRAFT_LOGS_SF"] = sf_of(sf_dir)
+    # marker gating the override: _logs ignores SPARK_GRAFT_LOGS_SF
+    # unless this is set, so an ambient leak of the var can never
+    # desync oracled verification (queries/logs_queries.py)
+    os.environ["SPARK_GRAFT_BENCH"] = "1"
 
     spark = get_spark(app_name="dftpc-bench")
     try:

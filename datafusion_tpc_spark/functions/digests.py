@@ -34,22 +34,25 @@ def blake2b_hex(s: pd.Series) -> pd.Series:  # type: ignore[misc]
 
 
 def blake3_hex():
-    """BLAKE3 digest UDF — returns the pandas_udf when the `blake3`
-    wheel is importable, else raises RuntimeError (the wheel is not in
-    this container; the reference gets blake3 from its Rust `digest`
-    dependency)."""
+    """BLAKE3 digest UDF. Prefers the `blake3` wheel (Rust-speed) when
+    importable; otherwise falls back to the pure-Python spec
+    implementation in functions/blake3_py.py (bit-exact, Python-speed
+    — the documented slow seam; ship the wheel in production)."""
     try:
-        import blake3  # noqa: F401
-    except ImportError as exc:
-        raise RuntimeError(
-            "blake3 requires the `blake3` wheel (not installed in this "
-            "environment); blake2b_hex is the stdlib-available digest"
-        ) from exc
+        import blake3
+
+        def _digest(v: str) -> str:
+            return blake3.blake3(v.encode("utf-8")).hexdigest()
+    except ImportError:
+        from datafusion_tpc_spark.functions.blake3_py import (
+            blake3_hex as _py_blake3,
+        )
+
+        def _digest(v: str) -> str:
+            return _py_blake3(v.encode("utf-8"))
 
     @F.pandas_udf("string")
     def _blake3_hex(s: pd.Series) -> pd.Series:  # type: ignore[misc]
-        return s.map(
-            lambda v: None if v is None else blake3.blake3(v.encode("utf-8")).hexdigest()
-        )
+        return s.map(lambda v: None if v is None else _digest(v))
 
     return _blake3_hex

@@ -23,9 +23,11 @@ Scale notes (100 TB):
 - MinHash-LSH: cost = explode(shingles) + one groupBy(doc) + one
   self-join on (band, band_key). Hot band keys (boilerplate docs) skew
   the join — AQE skew-join splitting is on in the session, and the
-  band key includes the band index which spreads load 4×. In a real
-  pipeline, drop band keys with > ~10k members (boilerplate clusters)
-  before the self-join; not done here because the oracle must match.
+  band key includes the band index which spreads load 4×. The
+  mega-band guard (lsh_candidate_pairs band_cap / the
+  q_dedup_minhash_capped variant) drops band keys above a member
+  threshold before the self-join, bounding hot-key work at cap²; the
+  oracled q_dedup_minhash keeps the guard off so exact-match holds.
 - simhash: one mapInPandas pass computes the 60-bit fingerprint
   vectorized per Arrow batch — zero shuffle, no row blowup (the
   declarative token×bit explode alternative multiplies shuffle input
@@ -178,44 +180,63 @@ _MINHASH_ORACLE = f"""
     """
 
 
-@query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash + LSH candidate pairs, fully deterministic (md5-seeded
-    hash family) so the oracle is EXACT — k=8 minhashes, 4 bands × 2
-    rows. Pipeline: explode shingles → one groupBy(doc) computing all
-    k minhashes → explode band keys → self-join per (band, key).
-
-    Scale: the self-join is keyed on (band, band_key); collisions are
-    near-dup clusters, so key cardinality tracks document count. AQE
-    skew-join handles hot boilerplate clusters (see module docstring)."""
-    sh = shingle_table(spark, sf_dir)
+def band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band table from a (doc_id, text)
+    DataFrame — k=8 md5-seeded minhashes, 4 bands × 2 rows. Cached:
+    it is tiny (4 rows/doc) and both sides of the candidate self-join
+    read it — uncached, the whole shingle→hash→min pipeline would
+    execute twice."""
+    sh = docs.withColumn("w", F.split("text", " ")).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(h60(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
             for i in range(_K)
         ]
     )
-    # cache the (doc_id, band, bkey) table: it is tiny (4 rows/doc)
-    # and both sides of the self-join read it — uncached, the whole
-    # shingle→hash→min pipeline would execute twice
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"m{2 * b}").cast("string"),
-                            F.col(f"m{2 * b + 1}").cast("string"),
-                        ).alias("bkey"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey").cache()
+    return (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                F.col(f"m{2 * b}").cast("string"),
+                                F.col(f"m{2 * b + 1}").cast("string"),
+                            ).alias("bkey"),
+                        )
+                        for b in range(_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bkey")
+        .cache()
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """Self-join the band table on (band, bkey) → candidate pairs.
+
+    band_cap is the mega-band guard: band keys with more members than
+    the cap (boilerplate clusters — license headers, templated pages)
+    are DROPPED before the self-join, bounding per-key join work at
+    cap² instead of letting one hot key go quadratic in the corpus.
+    The sizing pass shuffles on the same key as the join itself, so it
+    adds no new shuffle shape; None disables the guard (the oracled
+    q_dedup_minhash keeps it off so its exact-match contract holds)."""
+    if band_cap is not None:
+        sizes = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("n_members") <= band_cap).select("band", "bkey"),
+            ["band", "bkey"],
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -227,6 +248,38 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("q_dedup_minhash", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash + LSH candidate pairs, fully deterministic (md5-seeded
+    hash family) so the oracle is EXACT — k=8 minhashes, 4 bands × 2
+    rows. Pipeline: explode shingles → one groupBy(doc) computing all
+    k minhashes → explode band keys → self-join per (band, key).
+
+    Scale: the self-join is keyed on (band, band_key); collisions are
+    near-dup clusters, so key cardinality tracks document count. AQE
+    skew-join handles hot boilerplate clusters; q_dedup_minhash_capped
+    is the variant that drops mega-band keys outright."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(band_table(docs), band_cap=None)
+
+
+@query("q_dedup_minhash_capped")  # † rows-only: guard changes recall by design
+def q_dedup_minhash_capped(spark, sf_dir):
+    """q_dedup_minhash with the mega-band guard ON: band keys above
+    SPARK_GRAFT_LSH_BAND_CAP members (default 1000) are dropped before
+    the self-join. At 100 TB this is the difference between a bounded
+    cap²-per-key join and one boilerplate cluster (a license header
+    shared by 10M docs) going quadratic. Approximate by contract —
+    boilerplate families are deliberately not paired — so rows-only;
+    the guard's semantics are pytest-checked on a skewed fixture
+    (tests/test_extensions.py::test_minhash_band_cap_drops_boilerplate)."""
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_LSH_BAND_CAP", "1000"))
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(band_table(docs), band_cap=cap)
 
 
 # ---- 4. SimHash ---------------------------------------------------------
@@ -274,6 +327,10 @@ def q_dedup_simhash(spark, sf_dir):
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # match oracle semantics: unnest(string_split(NULL))
+                    # emits no rows, so NULL-text docs are omitted
+                    continue
                 toks = text.split(" ")
                 hs = np.fromiter(
                     (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
@@ -480,10 +537,14 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    # Materialize per round so the lineage (and thus each round's
-    # shuffle count) stays constant instead of doubling.
+    # localCheckpoint per round truncates the LOGICAL PLAN, not just the
+    # data: cache() alone leaves each round's plan referencing the
+    # previous round's plan twice (via neighbor_min and the left join),
+    # doubling the analyzed tree per round — a 10-hop chain overflows a
+    # 2 GiB plan string. Checkpointing pins the round result as a leaf,
+    # so plan size and per-round shuffle count stay constant.
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -499,16 +560,10 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("new_cluster_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
-        prev = labels
-        labels = stepped.select(
-            "doc_id", F.col("new_cluster_id").alias("cluster_id")
-        ).cache()
-        labels.count()  # materialize before dropping the parents
-        prev.unpersist()
-        stepped.unpersist()
+        labels = stepped.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             return labels
     raise RuntimeError(

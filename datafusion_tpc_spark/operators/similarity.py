@@ -79,14 +79,22 @@ def _sign_bucket(emb_col, n_planes: int = _N_PLANES):
     # DOUBLE and round away the low ~7 bits of the 60-bit hash); the
     # weight array is derived from the passed-in column, not a
     # hard-coded column name, so aliased callers work.
+    # NOTE: the lambda passed to F.transform must be UNARY — a second
+    # parameter (even a defaulted one, e.g. `lambda d, _p=p:`) makes
+    # PySpark treat it as the (element, index) binary form, binding the
+    # default to the index Column and embedding its repr in the hash
+    # input instead of the plane number. A closure factory keeps p out
+    # of the signature entirely.
+    def _plane_weights(p: int):
+        return lambda d: (
+            h60(F.concat(F.lit(f"{p}|"), d.cast("string"))) % 2001 - 1000
+        ) / F.lit(1000.0)
+
     cols = []
     for p in range(n_planes):
         weights = F.transform(
             F.sequence(F.lit(0), F.size(emb_col) - 1),
-            lambda d, _p=p: (
-                h60(F.concat(F.lit(f"{_p}|"), d.cast("string"))) % 2001 - 1000
-            )
-            / F.lit(1000.0),
+            _plane_weights(p),
         )
         proj = F.aggregate(
             F.zip_with(emb_col, weights, lambda x, w: x * w),

@@ -144,20 +144,31 @@ def q_text_lang(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: min shingle-hash (1-permutation MinHash —
     the rolling-hash fingerprint of SURVEY §7/M5) plus an 8-hex sketch
-    of the lexicographic shingle extremes."""
+    of the lexicographic shingle extremes.
+
+    100 TB shape: ZERO shuffle. A document's shingles live in its own
+    row, so min-hash and lexicographic extremes are array folds
+    (array_min/array_max over transform) — per-row, scan-speed, stays
+    in WholeStageCodegen. The earlier explode+groupBy form paid a
+    per-shingle row blowup and a per-doc shuffle for aggregates that
+    never needed to cross rows; this one shuffles nothing at all."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.withColumn("w", F.split("text", " ")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(w) - 2, 1)),"
-                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
-            )
-        ).alias("s"),
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
     )
-    return sh.groupBy("doc_id").agg(
-        F.min(h60(F.col("s"))).cast("bigint").alias("fingerprint"),
-        F.substring(F.md5(F.concat_ws("", F.min("s"), F.max("s"))), 1, 8).alias("sketch"),
+    return (
+        d.withColumn("w", F.split("text", " "))
+        .withColumn("sh", sh)
+        .select(
+            "doc_id",
+            F.array_min(F.transform(F.col("sh"), h60)).cast("bigint").alias(
+                "fingerprint"
+            ),
+            F.substring(
+                F.md5(F.concat(F.array_min("sh"), F.array_max("sh"))), 1, 8
+            ).alias("sketch"),
+        )
     )
 
 

@@ -273,6 +273,37 @@ def q_agg_pctl(spark, sf_dir):
     )
 
 
+@query(
+    "q_agg_pctl_w",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS w_median,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS w_p90
+    FROM (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem, LATERAL (
+        SELECT unnest(generate_series(1, CAST(l_quantity AS INT))) AS rep
+      ) g
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pctl_w(spark, sf_dir):
+    """Weighted percentile — DataFusion's
+    approx_percentile_cont_with_weight (SURVEY §2.4). Spark ≥3.5
+    percentile() takes a frequency column: each value counts weight
+    times in the interpolated percentile. Exact on both engines — the
+    oracle states the same multiset by repeating each row l_quantity
+    times (fine at sf0.01; the SPARK side never expands — frequency is
+    sketch-free aggregate state, the 100 TB shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("int")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6).alias("w_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6).alias("w_p90"),
+    )
+
+
 @query("q_agg_approxd")  # † rows-only: HLL constants differ
 def q_agg_approxd(spark, sf_dir):
     """approx_distinct (HLL) — fixed-size sketch state, the 100 TB

@@ -40,7 +40,15 @@ _CANONICAL_SF = "0.01"
 
 def _logs(spark, sf_dir):
     configure_runtime(spark)
-    sf = os.environ.get("SPARK_GRAFT_LOGS_SF", _CANONICAL_SF)
+    # SPARK_GRAFT_LOGS_SF is honored ONLY under the bench harness
+    # (bench.py exports SPARK_GRAFT_BENCH=1 alongside it). An ambient
+    # leak of the var — e.g. exported in a shell that later runs
+    # oracled verification — must NOT move the Spark side off the
+    # canonical sf while the oracle strings stay pinned to sf0.01.
+    if os.environ.get("SPARK_GRAFT_BENCH") == "1":
+        sf = os.environ.get("SPARK_GRAFT_LOGS_SF", _CANONICAL_SF)
+    else:
+        sf = _CANONICAL_SF
     df = spark.read.parquet(logs_path(sf))
     df.createOrReplaceTempView("logs")
     return df

@@ -264,3 +264,17 @@ def q_fn_blake(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", blake2b_hex("text").alias("h_blake2b"))
+
+
+@query("q_fn_blake3")  # † rows-only: DuckDB 1.0 has no blake3 counterpart
+def q_fn_blake3(spark, sf_dir):
+    """blake3 digest — the second algorithm of the reference's `digest`
+    function (Cargo.lock:1222-1223, SURVEY §2.8). Uses the blake3 wheel
+    when installed, else the pure-Python spec implementation
+    (functions/blake3_py.py — spec vectors pinned in
+    tests/test_sources_and_skew.py). Rows-only: no DuckDB counterpart;
+    bench-excluded (Python-speed fallback is the documented slow seam)."""
+    from datafusion_tpc_spark.functions.digests import blake3_hex
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", blake3_hex()("text").alias("h_blake3"))

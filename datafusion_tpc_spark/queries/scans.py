@@ -107,26 +107,40 @@ def q_values(spark, sf_dir):
 
 
 # Avro scan — DataFusion 19 AvroExec (Tier B, reference Cargo.toml:15,
-# SURVEY §2.1 "CSV / NDJSON / Avro"). spark-avro is an external Spark
-# module; its jar is probed at import (sources/connectors.avro_available)
-# and the query only registers when the datasource can actually run —
-# in jar-less environments the gated read_any(..., "avro") path raises
-# ConnectorUnavailable instead (tested either way in
-# tests/test_sources_and_skew.py).
-from datafusion_tpc_spark.sources.connectors import avro_available  # noqa: E402
+# SURVEY §2.1 "CSV / NDJSON / Avro"). spark-avro is an external Scala
+# module whose jar is absent here and unfetchable (no network), so the
+# scan runs through sources/avro_py.py: a pure-Python implementation of
+# the public Avro Object Container File spec exposed via Spark 4's
+# Python DataSource API, with one InputPartition per Avro block (sync-
+# marker splits — the same splittability story as spark-avro itself).
+# When a spark-avro jar IS present, connectors.read_any prefers it.
 
-if avro_available():
 
-    @query("q_scan_avro", oracle="SELECT * FROM region")
-    def q_scan_avro(spark, sf_dir):
-        """Avro round-trip scan: write `region` to Avro once, read it
-        back through the spark-avro datasource; oracle is the parquet
-        table itself."""
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        out_dir = os.path.join(_CSV_CACHE, key, "region_avro")
-        marker = os.path.join(out_dir, "_SUCCESS")
-        if not os.path.exists(marker):
-            load_table(spark, sf_dir, "region").coalesce(1).write.mode(
-                "overwrite"
-            ).format("avro").save(out_dir)
-        return spark.read.format("avro").load(out_dir)
+@query("q_scan_avro", oracle="SELECT * FROM nation")
+def q_scan_avro(spark, sf_dir):
+    """Avro round-trip scan: write `nation` to a multi-block deflate
+    Avro container once (pure-Python writer — deterministic sync
+    marker), read it back distributed through the `pyavro` Python
+    DataSource; oracle is the parquet table the bytes came from."""
+    from datafusion_tpc_spark.sources import avro_py
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "nation_avro")
+    path = os.path.join(out_dir, "nation.avro")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        schema = {
+            "type": "record",
+            "name": "nation",
+            "fields": [
+                {"name": "n_nationkey", "type": "int"},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "int"},
+            ],
+        }
+        rows = [r.asDict() for r in load_table(spark, sf_dir, "nation").collect()]
+        tmp = path + ".tmp"
+        avro_py.write_avro(tmp, schema, rows, rows_per_block=8)
+        os.replace(tmp, path)
+    avro_py.register(spark)
+    return spark.read.format("pyavro").load(path)

@@ -43,37 +43,40 @@ def load_all() -> None:
     """Import every query module so registration side-effects run.
 
     ORDER MATTERS: the external driver verifies queries in dict
-    insertion order with a bounded window (exactly 50 rows in round
-    1), so modules whose queries have not yet earned a driver
-    CORRECTNESS row import FIRST: operators/*, subqueries, udfs,
-    events, logs_queries, streaming (41 queries), then
-    scalar_functions (8 — its tail, q_fn_struct, fell just outside
-    round 1's window, and q_fn_blake is new), then aggregates whose
-    first registration is the round-2-fixed q_agg_arrayagg at position
-    exactly 50. The remaining modules all hash-passed in
-    CORRECTNESS_r01.json and queue behind.
+    insertion order with a bounded window (exactly 50 rows in rounds
+    1-2), so the window is re-pointed each round at (a) every module
+    CHANGED this round and (b) the stalest green rows. Round 3 order:
+    the round-3-touched modules first — dedup (8: clusters
+    localCheckpoint fix, simhash NULL fix, new minhash_capped),
+    similarity (3: sign-bucket arity fix), text (4: zero-shuffle
+    fingerprint rewrite), logs_queries (3: bench-gated SF override),
+    aggregates (13: new q_agg_pctl_w), scans (7: new pyavro
+    q_scan_avro) — that's 38; joins (12, r1-verified, unchanged)
+    fills the window to exactly 50. Everything after queues behind
+    with r1/r2 green rows. tests/test_registry_order.py pins the
+    window contents so silent shifts fail loudly.
     """
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
         similarity,
         text,
-        multimodal,
-        asof,
     )
     from datafusion_tpc_spark.queries import (  # noqa: F401
+        logs_queries,
+        aggregates,
+        scans,
+        joins,
+        windows,
+        sorts,
+        predicates,
+        setops,
+        scalar_functions,
         subqueries,
         udfs,
         events,
-        logs_queries,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        multimodal,
+        asof,
     )
     from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        scalar_functions,
-        aggregates,
-        joins,
-        windows,
-        scans,
-        predicates,
-        sorts,
-        setops,
-    )

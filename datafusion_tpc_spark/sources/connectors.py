@@ -13,11 +13,11 @@ s3a:// natively; reads are in catalog.py. This module adds:
 - a partitioned parquet writer (the write path the reference never
   finished — here it's one line of Spark),
 - Avro (reference ships AvroExec via DataFusion 19, Cargo.toml:15 —
-  SURVEY §2.1 Tier B) gated behind a spark-avro jar probe: the
-  datasource is an external Spark module whose jar is not in this
-  container, so it degrades to ConnectorUnavailable; when the jar IS
-  present, q_scan_avro (queries/scans.py) registers a parquet→avro
-  round-trip with an exact oracle,
+  SURVEY §2.1 Tier B): read_any prefers the spark-avro jar when one is
+  on the classpath, otherwise falls back to the jar-less pure-Python
+  OCF datasource in sources/avro_py.py (Spark 4 Python DataSource API,
+  block-split partitions) — so q_scan_avro (queries/scans.py) always
+  registers with an exact oracle,
 - lakehouse connectors (Delta/Iceberg/Hudi) gated behind import/
   classpath probes — their jars are not in this container, so they
   degrade to a clear ConnectorUnavailable instead of a classpath
@@ -65,13 +65,16 @@ def read_any(spark: SparkSession, fmt: str, path: str, schema: str | None = None
     if fmt == "parquet":
         return reader.parquet(path)
     if fmt == "avro":
-        if not avro_available():
-            raise ConnectorUnavailable(
-                "avro requires the spark-avro external module jar "
-                "(org.apache.spark:spark-avro) on the classpath — not "
-                "present in this environment"
-            )
-        return reader.format("avro").load(path)
+        if avro_available():
+            return reader.format("avro").load(path)
+        # jar-less fallback: pure-Python OCF reader via the Spark 4
+        # Python DataSource API (sources/avro_py.py) — block-split
+        # partitions, null/deflate codecs, primitive + nullable types
+        from datafusion_tpc_spark.sources import avro_py
+
+        avro_py.register(spark)
+        r = spark.read.schema(schema) if schema else spark.read
+        return r.format("pyavro").load(path)
     return _lakehouse_read(spark, fmt, path)
 
 

@@ -203,3 +203,54 @@ def test_arrayagg_raw_array(spark, ddb):
         """,
         name="arrayagg_raw",
     )
+
+
+def test_sign_bucket_deterministic_across_constructions(spark):
+    """Two INDEPENDENT constructions of _sign_bucket must assign every
+    vector the same bucket. Guards the ADVICE finding that a defaulted
+    second lambda parameter (`lambda d, _p=p:`) flips F.transform into
+    its (element, index) binary form, binding the default to the index
+    Column — whose fresh-name repr then varies per construction, so the
+    same data silently got different buckets each time."""
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.operators.similarity import _sign_bucket
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    first = {
+        r["vec_id"]: r["bucket"]
+        for r in e.withColumn("bucket", _sign_bucket(F.col("emb"))).collect()
+    }
+    second = {
+        r["vec_id"]: r["bucket"]
+        for r in e.withColumn("bucket", _sign_bucket(F.col("emb"))).collect()
+    }
+    assert first == second
+    # buckets must actually spread the data (all-one-bucket would mean
+    # the plane projections collapsed)
+    assert len(set(first.values())) > 1
+
+
+def test_minhash_band_cap_drops_boilerplate(spark):
+    """Mega-band guard: 120 identical boilerplate docs share every band
+    key (a 120-member mega-band → 7140 quadratic pairs uncapped); two
+    planted unique near-dups sit in small band keys. With cap=50 the
+    boilerplate family must produce ZERO pairs while the planted pair
+    survives."""
+    from datafusion_tpc_spark.operators.dedup import band_table, lsh_candidate_pairs
+
+    boiler = "all rights reserved this document is provided as is " * 4
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(120)] + [(1000, near_a), (1001, near_b)],
+        "doc_id long, text string",
+    )
+    bands = band_table(docs)
+    capped = _pairs(lsh_candidate_pairs(bands, band_cap=50))
+    uncapped = lsh_candidate_pairs(bands, band_cap=None).count()
+    assert (1000, 1001) in capped
+    assert all(a >= 1000 for a, _ in capped), "boilerplate pairs must be dropped"
+    assert uncapped > 7000  # the quadratic blowup the guard prevents

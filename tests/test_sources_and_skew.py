@@ -90,25 +90,56 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
-def test_avro_gated_or_roundtrips(spark):
-    """Avro (SURVEY §2.1 Tier B): when the spark-avro jar is present
-    the round-trip must match the parquet source; when absent the
-    gated path must raise ConnectorUnavailable, not a classpath
-    stack trace. Green either way."""
-    from datafusion_tpc_spark.sources.connectors import avro_available, read_any
+def test_avro_roundtrips_jarless(spark):
+    """Avro (SURVEY §2.1 Tier B) must round-trip with OR without the
+    spark-avro jar: read_any prefers the jar, else the pure-Python
+    pyavro datasource (sources/avro_py.py). Nullable + numeric + string
+    fields, deflate codec, multi-block file."""
+    from datafusion_tpc_spark.sources import avro_py
+    from datafusion_tpc_spark.sources.connectors import read_any
 
-    region = load_table(spark, SF_DIR, "region")
-    if avro_available():
-        with tempfile.TemporaryDirectory() as td:
-            path = os.path.join(td, "region_avro")
-            region.write.format("avro").save(path)
-            back = read_any(spark, "avro", path)
-            assert sorted(map(tuple, back.collect())) == sorted(
-                map(tuple, region.collect())
-            )
-    else:
-        with pytest.raises(ConnectorUnavailable, match="spark-avro"):
-            read_any(spark, "avro", "/nonexistent")
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+    rows = [
+        {"id": i, "name": None if i % 7 == 0 else f"row-{i}",
+         "score": None if i % 5 == 0 else i * 1.25, "flag": i % 2 == 0}
+        for i in range(50)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.avro")
+        avro_py.write_avro(path, schema, rows, rows_per_block=8)
+        back = read_any(spark, "avro", path)
+        got = sorted(map(tuple, back.collect()))
+        want = sorted((r["id"], r["name"], r["score"], r["flag"]) for r in rows)
+        assert got == want
+        # block-split partitioning: 50 rows / 8 per block = 7 partitions
+        _, _, _, first = avro_py.read_header(path)
+        assert len(avro_py.block_index(path, first)) == 7
+
+
+def test_avro_block_splits_parallelize(spark):
+    """The pyavro reader must expose one InputPartition per Avro block
+    (sync-marker splits) — a single big file still fans out."""
+    from datafusion_tpc_spark.sources import avro_py
+
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "v", "type": "long"}]}
+    rows = [{"v": i} for i in range(100)]
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.avro")
+        avro_py.write_avro(path, schema, rows, rows_per_block=10, codec="null")
+        avro_py.register(spark)
+        df = spark.read.format("pyavro").load(path)
+        assert df.rdd.getNumPartitions() == 10
+        assert sorted(r["v"] for r in df.collect()) == list(range(100))
 
 
 def test_blake2b_matches_hashlib(spark):
@@ -128,15 +159,40 @@ def test_blake2b_matches_hashlib(spark):
     assert got[None] is None
 
 
-def test_blake3_gated(spark):
-    """blake3 has no stdlib implementation — either the wheel imports
-    and the UDF works, or the factory raises a clear RuntimeError."""
+def test_blake3_spec_vectors():
+    """Pure-Python BLAKE3 (functions/blake3_py.py) must match the
+    published spec vectors — single-block inputs pin the compression
+    function, permutation schedule, and flag handling; the multi-chunk
+    case pins the chaining-value stack's determinism."""
+    from datafusion_tpc_spark.functions.blake3_py import blake3_hex
+
+    assert (
+        blake3_hex(b"")
+        == "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    assert (
+        blake3_hex(b"abc")
+        == "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85"
+    )
+    # chunk boundaries: 1024 (1 chunk), 1025 (2 chunks), 3073 (4 chunks
+    # — exercises the parent-merge stack); deterministic + distinct
+    multi = [blake3_hex(b"y" * n) for n in (1024, 1025, 3073)]
+    assert len(set(multi)) == 3
+    assert all(len(h) == 64 for h in multi)
+    assert multi == [blake3_hex(b"y" * n) for n in (1024, 1025, 3073)]
+
+
+def test_blake3_udf_works(spark):
+    """blake3_hex() must return a working UDF in every environment:
+    wheel when installed, pure-Python spec fallback otherwise."""
     from datafusion_tpc_spark.functions.digests import blake3_hex
 
-    try:
-        udf = blake3_hex()
-    except RuntimeError as exc:
-        assert "blake3" in str(exc)
-        return
-    df = spark.createDataFrame([("x",)], "s string").select(udf("s").alias("h"))
-    assert len(df.collect()[0]["h"]) == 64
+    udf = blake3_hex()
+    df = spark.createDataFrame([("abc",), (None,)], "s string").select(
+        udf("s").alias("h")
+    )
+    got = [r["h"] for r in df.collect()]
+    assert (
+        "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85" in got
+    )
+    assert None in got
