@@ -226,9 +226,14 @@ def lsh_candidate_pairs(bands: DataFrame, band_cap: int | None = None) -> DataFr
     the cap (boilerplate clusters — license headers, templated pages)
     are DROPPED before the self-join, bounding per-key join work at
     cap² instead of letting one hot key go quadratic in the corpus.
-    The sizing pass shuffles on the same key as the join itself, so it
-    adds no new shuffle shape; None disables the guard (the oracled
-    q_dedup_minhash keeps it off so its exact-match contract holds)."""
+    The sizing pass is a partial-aggregated groupBy on the join key +
+    a join back — NOT a window COUNT over the same partitioning: the
+    window variant saves one shuffle but must SORT every partition and
+    cannot be skew-split (AQE splits skewed JOIN partitions, not
+    window partitions — and the skewed key is the exact case this
+    guard exists for); measured slower locally too. None disables the
+    guard (the oracled q_dedup_minhash keeps it off so its
+    exact-match contract holds)."""
     if band_cap is not None:
         sizes = bands.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).alias("n_members")

@@ -295,12 +295,20 @@ def q_agg_pctl_w(spark, sf_dir):
     times in the interpolated percentile. Exact on both engines — the
     oracle states the same multiset by repeating each row l_quantity
     times (fine at sf0.01; the SPARK side never expands — frequency is
-    sketch-free aggregate state, the 100 TB shape)."""
+    sketch-free aggregate state, the 100 TB shape). Both percentiles
+    come from ONE percentile(…, array(0.5, 0.9), w) aggregate — a
+    single sorted-state build instead of two independent ones (two
+    separate calls each hold and sort the full per-group value
+    multiset; measured ~2× slower)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = F.col("l_quantity").cast("int")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5), w), 6).alias("w_median"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9), w), 6).alias("w_p90"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), w
+    ).alias("pcts")
+    return li.groupBy("l_returnflag").agg(pcts).select(
+        "l_returnflag",
+        F.round(F.col("pcts")[0], 6).alias("w_median"),
+        F.round(F.col("pcts")[1], 6).alias("w_p90"),
     )
 
 

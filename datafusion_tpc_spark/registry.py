@@ -46,18 +46,20 @@ def load_all() -> None:
     insertion order with a bounded window (exactly 50 rows in rounds
     1-2), so the window is re-pointed each round at (a) every module
     CHANGED this round and (b) the stalest green rows. Round 3 order:
-    the round-3-touched modules first — dedup (8: clusters
-    localCheckpoint fix, simhash NULL fix, new minhash_capped),
-    similarity (3: sign-bucket arity fix), text (4: zero-shuffle
-    fingerprint rewrite), logs_queries (3: bench-gated SF override),
-    aggregates (13: new q_agg_pctl_w), scans (7: new pyavro
-    q_scan_avro) — that's 38; joins (12, r1-verified, unchanged)
-    fills the window to exactly 50. Everything after queues behind
-    with r1/r2 green rows. tests/test_registry_order.py pins the
-    window contents so silent shifts fail loudly.
+    the round-3-touched modules first — pipeline (9 NEW curation ops;
+    importing it pulls dedup's 8 in first: clusters localCheckpoint
+    fix, simhash NULL fix, new minhash_capped), similarity (3:
+    sign-bucket arity fix), text (4: zero-shuffle fingerprint
+    rewrite), logs_queries (3: bench-gated SF override), aggregates
+    (13: new q_agg_pctl_w), scans (7: new pyavro q_scan_avro) —
+    that's 47; joins (r1-verified, unchanged) fills the window to
+    exactly 50. Everything after queues behind with r1/r2 green rows.
+    tests/test_registry_order.py pins the window contents so silent
+    shifts fail loudly.
     """
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
+        pipeline,
         similarity,
         text,
     )

@@ -16,7 +16,8 @@ from datafusion_tpc_spark import registry
 registry.load_all()
 
 # The round-3 driver window: every module touched in round 3 (dedup,
-# similarity, text, logs, aggregates, scans) + the r1-only joins set.
+# NEW pipeline, similarity, text, logs, aggregates, scans) + the
+# r1-only joins head.
 EXPECTED_WINDOW_50 = [
     "q_dedup_exact",
     "q_dedup_ngram",
@@ -26,6 +27,15 @@ EXPECTED_WINDOW_50 = [
     "q_dedup_embed",
     "q_dedup_embed_lsh",
     "q_dedup_clusters",
+    "q_pipe_sample",
+    "q_pipe_split",
+    "q_pipe_sample_stratified",
+    "q_pipe_quality_filter",
+    "q_pipe_tfidf",
+    "q_pipe_bm25",
+    "q_pipe_pii_redact",
+    "q_pipe_contamination",
+    "q_pipe_canonical",
     "q_sim_topk",
     "q_sim_ivf",
     "q_sim_ann",
@@ -59,15 +69,6 @@ EXPECTED_WINDOW_50 = [
     "q_join_broadcast",
     "q_join_left",
     "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_join_residual",
-    "q_win_rank",
 ]
 
 
