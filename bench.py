@@ -52,6 +52,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk",
     "q_text_stats",
+    # curation-layer representatives (operators/pipeline.py, round 3)
+    "q_pipe_quality_filter",
+    "q_pipe_tfidf",
 ]
 
 
