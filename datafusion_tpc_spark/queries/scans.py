@@ -144,3 +144,41 @@ def q_scan_avro(spark, sf_dir):
         os.replace(tmp, path)
     avro_py.register(spark)
     return spark.read.format("pyavro").load(path)
+
+
+@query(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_scan_partitioned(spark, sf_dir):
+    """Partition-pruned scan: round-trip `orders` through a hive-style
+    directory layout partitioned on the low-cardinality o_orderstatus
+    (sources/connectors.write_partitioned), then read back with a
+    partition-key predicate. Catalyst turns the predicate into a
+    PartitionFilter — pruned directories are never listed, let alone
+    read (tests/test_plans.py asserts the plan). At 100 TB this is THE
+    first-order scan optimization: a day-partitioned table answers a
+    one-day query by touching 1/365th of the bytes. Oracle is the
+    unpartitioned parquet with the same predicate."""
+    from datafusion_tpc_spark.sources.connectors import write_partitioned
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "orders_part")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_partitioned(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+            ),
+            out_dir,
+            partition_by=["o_orderstatus"],
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )

@@ -1,0 +1,180 @@
+"""Classic TPC-H query shapes beyond the Q3/Q5 pair in joins.py —
+the reference is a TPC-flavored engine (thinkharderdev/datafusion-tpc,
+data dir `tpc-1` in src/main.rs:28-29), so the canonical analytic
+shapes are first-class parity targets:
+
+- Q1  (pricing summary): the map-side-combine showcase — wide
+  multi-aggregate over a near-full scan, 4-group output. At 100 TB
+  the shuffle carries ONLY 4 rows × agg-state per mapper; everything
+  else is scan-local arithmetic inside WholeStageCodegen.
+- Q10 (returned items): 4-table join + top-20 by revenue —
+  selective fact filter first, dims broadcast, TakeOrdered final.
+- Q18 (large-volume customers): the classic self-aggregation +
+  semi-join shape (HAVING subquery feeding the main join).
+
+Column set matches the driver testdata subset of TPC-H (TESTDATA.md);
+dates are TIMESTAMP columns, money columns DOUBLE (rounded per the
+oracle conventions in CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report): the canonical two-phase
+    aggregation — 8 aggregates over a filtered scan collapsing to a
+    handful of groups. Partial aggregation means shuffle bytes are
+    per-mapper group states, independent of input size; the arithmetic
+    runs inside WholeStageCodegen at scan speed."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC NULLS LAST, c.c_custkey ASC NULLS LAST
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): who returned the most
+    revenue. Selective filters land on the fact tables before the
+    joins; nation (tiny dim) broadcasts; final top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("c_custkey").asc_nulls_last())
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC NULLS LAST, o.o_orderkey ASC NULLS LAST
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the self-aggregation +
+    semi-join shape — lineitem aggregated by order, HAVING-filtered,
+    then semi-joined back to prune orders before the main join. The
+    aggregate and the semi-join share the l_orderkey/o_orderkey
+    partitioning, so the big tables meet co-keyed; only qualifying
+    orders (a tiny fraction) reach the customer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(li, o_big.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
+        .limit(100)
+    )

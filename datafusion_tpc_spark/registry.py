@@ -76,6 +76,7 @@ def load_all() -> None:
         subqueries,
         udfs,
         events,
+        tpch,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         multimodal,

@@ -167,3 +167,49 @@ def q_stream_stateful(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@query("q_stream_join")  # † rows-only: streaming run
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join: click events joined to the same
+    user's purchase events landing within the following hour — the
+    attribution-window pattern. Both sides carry watermarks so the
+    state store can evict: a buffered click is dropped once the
+    purchase-side watermark passes click_ts + 1h (Spark derives the
+    retention bound from the join condition), so state is bounded by
+    the interval x arrival rate, not the stream length.
+
+    Scale: the join keys on user_id — state and compute shard by key
+    across executors; the time-range residual is evaluated within
+    each key's buffered rows. tests/test_streaming.py checks the
+    result against the batch interval join of the same fixture."""
+    clicks = (
+        _events_streaming(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_streaming(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _drain(joined, spark, "stream_join")

@@ -86,3 +86,53 @@ def test_scalar_pipeline_stays_in_codegen(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} fell off the JVM fast path"
         )
+
+
+def test_partitioned_scan_prunes(spark):
+    """q_scan_partitioned's status predicate must become a partition
+    filter (pruned directories never listed), not a data filter."""
+    registry.QUERIES["q_scan_partitioned"](spark, SF_DIR)  # ensure layout exists
+    plan = _plan(spark, "q_scan_partitioned")
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in pf  # predicate landed in PartitionFilters
+    # and it is not re-checked as a pushed data filter
+    assert "EqualTo(o_orderstatus,F)" not in plan.replace(pf, "")
+
+
+def test_pipeline_rowlocal_ops_stay_in_codegen(spark):
+    """Sampling/split/redaction are scan-speed row-local expressions:
+    no Python boundary, no shuffle anywhere in the plan."""
+    for name in ("q_pipe_sample", "q_pipe_split", "q_pipe_pii_redact",
+                 "q_pipe_quality_filter"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange" not in plan, name
+        # formatted mode marks codegen stages with a `*` prefix
+        assert "* Project" in plan or "* Filter" in plan, name
+
+
+def test_pipeline_tfidf_broadcasts_df_side(spark):
+    """TF-IDF/BM25: the document-frequency side (vocabulary-sized)
+    broadcasts; the corpus is never shuffled twice for it."""
+    for name in ("q_pipe_tfidf", "q_pipe_bm25"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    plan = _plan(spark, "q_pipe_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_shapes(spark):
+    """Q1 partial-aggregates before its exchange; Q10 ends in
+    TakeOrdered with nation broadcast; Q18's HAVING subquery reaches
+    the orders join as a semi-join."""
+    q1 = _plan(spark, "q_tpch_q1")
+    assert q1.count("HashAggregate") >= 2  # partial + final
+    q10 = _plan(spark, "q_tpch_q10")
+    assert "TakeOrderedAndProject" in q10
+    assert "BroadcastHashJoin" in q10
+    q18 = _plan(spark, "q_tpch_q18")
+    assert "LeftSemi" in q18
+    assert "TakeOrderedAndProject" in q18

@@ -65,10 +65,10 @@ EXPECTED_WINDOW_50 = [
     "q_scan_json",
     "q_values",
     "q_scan_avro",
+    "q_scan_partitioned",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_left",
-    "q_join_right",
 ]
 
 

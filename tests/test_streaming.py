@@ -84,3 +84,48 @@ def test_stream_stateful_converges_to_batch(spark):
     assert stream
     for key, srow in stream.items():
         assert srow["n_events"] == batch[key]["n_events"], key
+
+
+def test_stream_join_matches_batch_interval_join(spark):
+    """Every (click, purchase) pair the stream-stream join emits must
+    exist in the batch interval join of the same fixture, and the
+    stream must emit a meaningful fraction of it (append mode may
+    withhold pairs still inside the final watermark)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = set(
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"), "click_ts", "purchase_ts"
+        )
+        .collect()
+    )
+    stream = [
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in registry.QUERIES["q_stream_join"](spark, SF_DIR).collect()
+    ]
+    assert stream, "stream-stream join emitted nothing"
+    assert len(stream) == len(set(stream)), "duplicate pairs emitted"
+    for t in stream:
+        assert t in batch, t
+    assert len(stream) >= len(batch) * 0.5  # bounded watermark holdback
