@@ -379,3 +379,48 @@ def q_udaf(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(weighted_avg("l_extendedprice", "l_quantity"), 6).alias("weighted_avg_price")
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark, sf_dir):
+    """Two-phase SALTED aggregation (functions/skew.salted_aggregate):
+    phase 1 aggregates on (key, salt) spreading each hot key over 16
+    reducers, phase 2 merges the partials — the manual skew weapon for
+    aggregation keys, which AQE does not salt (AQE splits skewed JOIN
+    partitions only). Oracled exactly against the plain GROUP BY: the
+    decomposition is algebraic for sum/count/min/max, and the 6-dp
+    round absorbs double-summation-order differences. On this fixture
+    the salt costs one extra (tiny) shuffle of 5×16 partial rows —
+    at 100 TB with one dominant event_type it is the difference
+    between one straggler reducer and 16 balanced ones."""
+    from datafusion_tpc_spark.functions.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": "count",
+            "total_value": "sum:value",
+            "min_value": "min:value",
+            "max_value": "max:value",
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("total_value", 6).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

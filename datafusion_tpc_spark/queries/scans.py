@@ -182,3 +182,19 @@ def q_scan_partitioned(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@query("q_scan_orc", oracle="SELECT * FROM supplier")
+def q_scan_orc(spark, sf_dir):
+    """ORC scan — Spark's second native columnar format (vectorized
+    reader, predicate pushdown, same split-per-stripe parallelism
+    story as Parquet). Round-trips `supplier` once; oracle is the
+    parquet table the bytes came from."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "supplier_orc")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "supplier").coalesce(1).write.mode(
+            "overwrite"
+        ).orc(out_dir)
+    return spark.read.orc(out_dir)

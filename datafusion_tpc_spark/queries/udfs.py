@@ -111,3 +111,43 @@ def q_udf_grouped_map(spark, sf_dir):
     return o.groupBy("o_orderpriority").applyInPandas(
         demean, schema="o_orderpriority string, o_orderkey long, demeaned double"
     )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+         LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    """,
+)
+def q_udtf(spark, sf_dir):
+    """Python UDTF (Spark 4, SURVEY §2.11): a table function LATERAL-
+    joined per input row — the user-extensible generator slot (the
+    built-in generator surface is q_explode/posexplode). This one
+    tokenizes with positions, so the DuckDB oracle states the same
+    expansion via unnest(generate_series).
+
+    Scale note: Python UDTFs are row-at-a-time — the documented slow
+    path, for logic a built-in generator genuinely can't express.
+    Everything SQL-expressible (like this demo's tokenize) should use
+    explode/posexplode (JVM codegen) instead; the point here is
+    verifying the API plumbing end-to-end."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class ExpandTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("expand_tokens", ExpandTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_for_udtf d, LATERAL expand_tokens(d.text) t
+        """
+    )

@@ -59,6 +59,7 @@ EXPECTED_WINDOW_50 = [
     "q_agg_approxd",
     "q_agg_having",
     "q_udaf",
+    "q_agg_salted",
     "q_scan_full",
     "q_filter_proj",
     "q_scan_csv",
@@ -66,9 +67,8 @@ EXPECTED_WINDOW_50 = [
     "q_values",
     "q_scan_avro",
     "q_scan_partitioned",
+    "q_scan_orc",
     "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
 ]
 
 
