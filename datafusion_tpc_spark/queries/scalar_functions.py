@@ -278,3 +278,33 @@ def q_fn_blake3(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", blake3_hex()("text").alias("h_blake3"))
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_json(spark, sf_dir):
+    """JSON path extraction (schema-on-read) — get_json_object pulls a
+    typed value out of the `props` JSON string column, then aggregates
+    by event_type. The extraction is a JVM expression evaluated inside
+    the scan stage; no Python, no extra pass — the pattern for
+    semi-structured event payloads at scale (parse once, project the
+    fields you need, let partial aggregation collapse the rest).
+    DuckDB's json_extract states the same path query."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
