@@ -330,6 +330,18 @@ def q_dedup_simhash(spark, sf_dir):
     def simhash_batches(batches):
         bits = np.arange(60, dtype=np.int64)
         for pdf in batches:
+            # hash each DISTINCT token once per batch: md5 work is then
+            # ∝ batch vocabulary (Zipf-bounded), not token occurrences —
+            # the dict is dropped per batch so task memory stays bounded
+            memo: dict[str, int] = {}
+
+            def h(t: str) -> int:
+                v = memo.get(t)
+                if v is None:
+                    v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    memo[t] = v
+                return v
+
             ids, hashes = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
@@ -338,9 +350,7 @@ def q_dedup_simhash(spark, sf_dir):
                     continue
                 toks = text.split(" ")
                 hs = np.fromiter(
-                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
-                    dtype=np.int64,
-                    count=len(toks),
+                    (h(t) for t in toks), dtype=np.int64, count=len(toks)
                 )
                 votes = (((hs[:, None] >> bits) & 1) * 2 - 1).sum(axis=0)
                 ids.append(doc_id)
@@ -455,7 +465,9 @@ def q_dedup_embed_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    b = e.withColumn("bucket", _sign_bucket(F.col("emb")))
+    # one-row metadata probe → literal bucket weights (similarity.py)
+    dim = e.select(F.size("emb")).first()[0]
+    b = e.withColumn("bucket", _sign_bucket(F.col("emb"), dim=dim))
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()

@@ -391,8 +391,14 @@ def q_pipe_contamination(spark, sf_dir):
     shingles, deterministically chosen, standing in for a benchmark's
     n-grams). The eval set is broadcast — real benchmarks are tiny
     relative to a 100 TB corpus — so the membership check rides the
-    document scan; the only shuffle is the per-doc hit count."""
-    sh = shingle_table(spark, sf_dir)
+    document scan; the only shuffle is the per-doc hit count.
+
+    The shingle table is cached because BOTH sides read it here (the
+    eval-set aggregation and the join probe) — uncached, the explode
+    pipeline executes twice per run. In production the eval set comes
+    from outside the corpus, the probe side is one pass, and nothing
+    corpus-sized needs caching."""
+    sh = shingle_table(spark, sf_dir).cache()
     eval5 = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("nf"))

@@ -66,11 +66,49 @@ _N_PLANES = 4  # 2^4 buckets — sized for the fixture; at 100 TB scale
 #                n_planes grows with log2(corpus) to keep buckets bounded
 
 
-def _sign_bucket(emb_col, n_planes: int = _N_PLANES):
+def _plane_weights_py(p: int, dim: int) -> list[float]:
+    """Python twin of the md5(p|dim) weight family — bit-identical to
+    the column-expression form (same strings hashed, same 15-hex-char
+    h60 prefix, same integer modulo), verified by
+    tests/test_extensions.py::test_sign_bucket_literal_matches_expression."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def _sign_bucket(emb_col, n_planes: int = _N_PLANES, dim: int | None = None):
     """Sign-LSH bucket: plane p's pseudo-random normal is derived
     per-dimension from md5(p|dim) (deterministic, no RNG — replayable
-    and engine-independent). Returns an int bucket id."""
+    and engine-independent). Returns an int bucket id.
+
+    When `dim` is known, the weight vectors are precomputed in Python
+    and embedded as array literals: the weights depend only on
+    (plane, dim), but the expression form re-evaluates n_planes×dim
+    md5s PER ROW (≈512k digests for 2000×64-dim vectors — measured
+    ~4× the whole query's runtime). The literal path keeps the same
+    zip_with/aggregate fold, so buckets are bit-identical; dim=None
+    falls back to the expression form (works without knowing the
+    dimension, e.g. ragged test data)."""
     from datafusion_tpc_spark.operators.dedup import h60
+
+    if dim is not None:
+        cols = []
+        for p in range(n_planes):
+            weights = F.array(*[F.lit(w) for w in _plane_weights_py(p, dim)])
+            proj = F.aggregate(
+                F.zip_with(emb_col, weights, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bucket = cols[0]
+        for c in cols[1:]:
+            bucket = bucket + c
+        return bucket
 
     # weight(p, d) = (h60(p|d) % 2001 - 1000) / 1000  ∈ [-1, 1]
     # bucket bit p = sign(Σ_d w(p,d) * emb[d]) > 0
@@ -198,7 +236,10 @@ def q_sim_ann(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bucketed = e.withColumn("bucket", _sign_bucket(F.col("emb")))
+    # one-row metadata probe: the embedding dimension, so the bucket
+    # weights compile to literals instead of per-row md5s
+    dim = e.select(F.size("emb")).first()[0]
+    bucketed = e.withColumn("bucket", _sign_bucket(F.col("emb"), dim=dim))
     qrow = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("emb").alias("qe"), F.col("bucket").alias("qbucket")
     )

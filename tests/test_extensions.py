@@ -254,3 +254,28 @@ def test_minhash_band_cap_drops_boilerplate(spark):
     assert (1000, 1001) in capped
     assert all(a >= 1000 for a, _ in capped), "boilerplate pairs must be dropped"
     assert uncapped > 7000  # the quadratic blowup the guard prevents
+
+
+def test_sign_bucket_literal_matches_expression(spark):
+    """The literal-weights fast path (dim known → md5s precomputed in
+    Python) must assign bit-identical buckets to the expression path
+    (per-row md5 evaluation) — same hash family, same fold order."""
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.operators.similarity import _sign_bucket
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = e.select(F.size("emb")).first()[0]
+    expr_path = {
+        r["vec_id"]: r["bucket"]
+        for r in e.withColumn("bucket", _sign_bucket(F.col("emb"))).collect()
+    }
+    lit_path = {
+        r["vec_id"]: r["bucket"]
+        for r in e.withColumn(
+            "bucket", _sign_bucket(F.col("emb"), dim=dim)
+        ).collect()
+    }
+    assert expr_path == lit_path
