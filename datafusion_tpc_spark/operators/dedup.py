@@ -238,10 +238,14 @@ def lsh_candidate_pairs(bands: DataFrame, band_cap: int | None = None) -> DataFr
         sizes = bands.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).alias("n_members")
         )
+        # cache the guarded table: BOTH self-join sides read it, and
+        # without the cache each side re-runs the sizing aggregation +
+        # guard join (measured ~2× the whole query). Same footprint
+        # class as the already-cached band table it derives from.
         bands = bands.join(
             sizes.filter(F.col("n_members") <= band_cap).select("band", "bkey"),
             ["band", "bkey"],
-        )
+        ).cache()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

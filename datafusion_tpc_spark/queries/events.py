@@ -195,3 +195,48 @@ def q_evt_session(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "q_evt_hop",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - k.k) * 900) * 1000000)
+               AS window_start,
+             event_type, value
+      FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM b
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_hop(spark, sf_dir):
+    """Sliding/hopping event-time window (batch): 1-hour windows every
+    15 minutes — each event belongs to exactly 4 overlapping windows.
+    Spark's window(ts, '1 hour', '15 minutes') expands rows window-
+    count times BEFORE the shuffle (an Expand, like DISTINCT aggs), so
+    shuffle volume is slide-ratio × input — the reason production
+    dashboards pick modest overlap ratios. The oracle states the same
+    window assignment arithmetic via generate_series. SURVEY §2.10/M4;
+    streaming twin: q_stream_hop†."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -213,3 +213,29 @@ def q_stream_join(spark, sf_dir):
         "purchase_value",
     )
     return _drain(joined, spark, "stream_join")
+
+
+@query("q_stream_hop")  # † rows-only: streaming run
+def q_stream_hop(spark, sf_dir):
+    """Streaming sliding window: the watermarked twin of q_evt_hop
+    (1-hour windows every 15 minutes). State holds 4 open windows per
+    (window, event_type) group at a time; the 1-hour watermark closes
+    a window when event time passes window_end + delay, so state is
+    bounded by overlap × key cardinality, independent of stream
+    length."""
+    ev = _events_streaming(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, spark, "stream_hop")

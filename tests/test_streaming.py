@@ -129,3 +129,20 @@ def test_stream_join_matches_batch_interval_join(spark):
     for t in stream:
         assert t in batch, t
     assert len(stream) >= len(batch) * 0.5  # bounded watermark holdback
+
+
+def test_stream_hop_matches_batch(spark):
+    batch = _by_key(
+        registry.QUERIES["q_evt_hop"](spark, SF_DIR).collect(),
+        ("window_start", "event_type"),
+    )
+    stream = _by_key(
+        registry.QUERIES["q_stream_hop"](spark, SF_DIR).collect(),
+        ("window_start", "event_type"),
+    )
+    assert stream, "streaming hop emitted nothing"
+    # append mode: only watermark-closed windows — subset of batch
+    for key, srow in stream.items():
+        brow = batch[key]
+        assert srow["n"] == brow["n"], key
+        assert abs(srow["total_value"] - brow["total_value"]) < 1e-6, key
