@@ -195,3 +195,114 @@ def test_fuzz_grouped_agg(spark, ddb, key, agg_col, pred):
         GROUP BY {key}
     """
     _run_both(spark, ddb, sql)
+
+
+@st.composite
+def string_expr(draw, depth=0):
+    """Random nested expression from the dialect-shared string-function
+    subset (identical semantics in Spark and DuckDB for these argument
+    ranges: 1-based substr with positive start, lpad/rpad truncation,
+    repeat n≥0)."""
+    base = draw(
+        st.sampled_from(
+            ["l_returnflag", "l_linestatus", "concat(l_returnflag, l_linestatus)"]
+        )
+    )
+    if depth >= 3:
+        return base
+    inner = draw(string_expr(depth=depth + 1))
+    kind = draw(
+        st.sampled_from(
+            ["upper", "lower", "reverse", "substr", "lpad", "rpad", "repeat",
+             "replace", "concat", "trim", "base"]
+        )
+    )
+    if kind in ("upper", "lower", "reverse", "trim"):
+        return f"{kind}({inner})"
+    if kind == "substr":
+        start = draw(st.integers(1, 4))
+        ln = draw(st.integers(0, 5))
+        return f"substr({inner}, {start}, {ln})"
+    if kind in ("lpad", "rpad"):
+        ln = draw(st.integers(0, 8))
+        pad = draw(st.sampled_from(["x", "_", "ab"]))
+        return f"{kind}({inner}, {ln}, '{pad}')"
+    if kind == "repeat":
+        return f"repeat({inner}, {draw(st.integers(0, 3))})"
+    if kind == "replace":
+        a = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+        b = draw(st.sampled_from(["", "z", "qq"]))
+        return f"replace({inner}, '{a}', '{b}')"
+    if kind == "concat":
+        other = draw(string_expr(depth=depth + 1))
+        return f"concat({inner}, {other})"
+    return inner
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=string_expr())
+def test_fuzz_string_exprs(spark, ddb, expr):
+    """Random shared-dialect string expression → per-row equality on a
+    deterministic subset (string fns have no FP noise, so the compare
+    is exact)."""
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, {expr} AS s
+        FROM lineitem WHERE l_orderkey < 2000
+    """
+    _run_both(spark, ddb, sql)
+
+
+@st.composite
+def math_expr(draw, depth=0):
+    """Random nested expression from the IEEE-exact math subset: + - * /
+    abs ceil floor round sqrt are all bit-deterministic across engines
+    (ln/exp are deliberately EXCLUDED — libm last-ulp differences can
+    flip a 6-dp round at midpoints)."""
+    base = draw(st.sampled_from(["l_quantity", "l_extendedprice", "l_discount"]))
+    if depth >= 3:
+        return base
+    inner = draw(math_expr(depth=depth + 1))
+    kind = draw(
+        st.sampled_from(
+            ["abs", "ceil", "floor", "round", "sqrt", "add", "sub", "mul",
+             "div", "base"]
+        )
+    )
+    if kind in ("abs", "ceil", "floor"):
+        return f"{kind}({inner})"
+    if kind == "round":
+        return f"round({inner}, {draw(st.integers(0, 4))})"
+    if kind == "sqrt":
+        return f"sqrt(abs({inner}))"
+    if kind in ("add", "sub", "mul", "div"):
+        other = draw(math_expr(depth=depth + 1))
+        op = {"add": "+", "sub": "-", "mul": "*", "div": "/"}[kind]
+        if kind == "div":
+            return f"(({inner}) / (abs({other}) + 1))"
+        return f"(({inner}) {op} ({other}))"
+    return inner
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=math_expr())
+def test_fuzz_math_exprs(spark, ddb, expr):
+    """Random IEEE-exact math expression → per-row equality at 6 dp on
+    a deterministic subset. The final CAST TO DOUBLE unifies integer-
+    returning functions whose result TYPE differs by dialect (Spark
+    ceil/floor → BIGINT, DuckDB → DOUBLE) — the values must still
+    agree exactly."""
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, CAST(ROUND({expr}, 6) AS DOUBLE) AS v
+        FROM lineitem WHERE l_orderkey < 2000
+    """
+    _run_both(spark, ddb, sql)
