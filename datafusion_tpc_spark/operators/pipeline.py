@@ -482,3 +482,108 @@ def q_pipe_canonical(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("n_members").cast("bigint").alias("n_members"),
     )
+
+
+# ---- end-to-end curation composition ----------------------------------
+
+
+@query(
+    "q_pipe_kept",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id, {_MIN_EXPRS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                AND a.doc_id <> b.doc_id
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT l.doc_id,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM labels l JOIN documents d USING (doc_id)
+    ),
+    dup_losers AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    quality AS (
+      SELECT doc_id,
+             CASE WHEN n_words < 20 THEN 'too_short'
+                  WHEN n_words > 80 THEN 'too_long'
+                  WHEN awl < 4.8 OR awl > 6.0 THEN 'word_len'
+                  WHEN diversity < 0.35 THEN 'repetitive'
+                  ELSE 'pass' END AS verdict
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS awl,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS diversity
+        FROM documents
+      )
+    )
+    SELECT d.doc_id AS doc_id,
+           CASE WHEN ({_h60_duck('CAST(d.doc_id AS VARCHAR)')} % 100) < 90 THEN 'train'
+                WHEN ({_h60_duck('CAST(d.doc_id AS VARCHAR)')} % 100) < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN quality q ON q.doc_id = d.doc_id
+    WHERE q.verdict = 'pass'
+      AND d.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+    """,
+)
+def q_pipe_kept(spark, sf_dir):
+    """End-to-end curation: the composition a real pipeline ships —
+    quality-filter the corpus (Gopher rules), near-dup cluster it
+    (MinHash-LSH + connected components), keep one canonical doc per
+    cluster, and assign the survivors a train/val/test split. Output
+    is the kept corpus's (doc_id, split) ledger.
+
+    Built entirely by composing the other registered operators —
+    q_pipe_quality_filter, q_dedup_clusters, the canonical ranking,
+    q_pipe_split — which is the point: each stage is a bounded-shuffle
+    DataFrame transform, so the composition inherits the scale story
+    (filter rides the scan; the semi/anti joins key on doc_id; only
+    the LSH stage shuffles corpus-sized data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality_pass = (
+        q_pipe_quality_filter(spark, sf_dir)
+        .filter(F.col("verdict") == "pass")
+        .select("doc_id")
+    )
+    labels = q_dedup_clusters(spark, sf_dir)
+    ranked = labels.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    dup_losers = ranked.filter(F.col("rn") > 1).select("doc_id")
+    return (
+        docs.join(quality_pass, "doc_id", "left_semi")
+        .join(dup_losers, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.when(_bucket() < 90, "train")
+            .when(_bucket() < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -124,3 +124,22 @@ def test_canonical_one_per_cluster(spark):
         by_cluster.setdefault(m.cluster_id, set()).add(m.doc_id)
     for r in rows:
         assert r.canonical_doc_id in by_cluster[r.cluster_id]
+
+
+def test_kept_corpus_composition(spark):
+    """q_pipe_kept = quality-pass ∩ not-a-duplicate-loser, with a
+    valid split for every survivor."""
+    kept = {r.doc_id: r.split for r in P.q_pipe_kept(spark, SF_DIR).collect()}
+    assert kept and set(kept.values()) <= {"train", "val", "test"}
+    quality = {
+        r.doc_id: r.verdict for r in P.q_pipe_quality_filter(spark, SF_DIR).collect()
+    }
+    canon = {r.canonical_doc_id for r in P.q_pipe_canonical(spark, SF_DIR).collect()}
+    clustered = {r.doc_id for r in P.q_dedup_clusters(spark, SF_DIR).collect()}
+    losers = clustered - canon
+    for doc_id in kept:
+        assert quality[doc_id] == "pass"
+        assert doc_id not in losers
+    # and no pass-quality non-loser is missing
+    expected = {d for d, v in quality.items() if v == "pass"} - losers
+    assert set(kept) == expected

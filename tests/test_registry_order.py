@@ -36,6 +36,7 @@ EXPECTED_WINDOW_50 = [
     "q_pipe_pii_redact",
     "q_pipe_contamination",
     "q_pipe_canonical",
+    "q_pipe_kept",
     "q_sim_topk",
     "q_sim_ivf",
     "q_sim_ann",
@@ -68,7 +69,6 @@ EXPECTED_WINDOW_50 = [
     "q_scan_avro",
     "q_scan_partitioned",
     "q_scan_orc",
-    "q_join_inner",
 ]
 
 
