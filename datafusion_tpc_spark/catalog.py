@@ -4,11 +4,15 @@
 ``ctx.read_parquet`` (reference src/main.rs:45).
 
 Schema comes from Parquet footers, exactly like the reference; the one
-normalization we apply is the ``events.ts`` nanosecond column
-(FIXTURES.md §9): Spark's reader has no ns timestamp type, so we read
-it as long (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+normalization we apply is the ``events.ts`` column, which has shipped
+as BOTH timestamp[ns] and timestamp[us] across driver testdata drops
+(FIXTURES.md §9). We probe the loaded dtype: ns files surface as long
+(``spark.sql.legacy.parquet.nanosAsLong``) and are truncated to
 microseconds — the same truncation DuckDB applies when casting
-TIMESTAMP_NS → TIMESTAMP, so oracles line up exactly.
+TIMESTAMP_NS → TIMESTAMP — while µs files read natively. The
+streaming twin of this probe is
+``streaming/stream_queries._events_streaming`` (footer-level, since
+streaming sources need the schema up front).
 
 Scale note: at 100 TB these reads hit a distributed store via the
 Hadoop FS layer; nothing here is local-mode-specific. Registration is

@@ -34,7 +34,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from datafusion_tpc_spark.registry import query
 from datafusion_tpc_spark.session import configure_runtime
 
-EVENT_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+_EVENT_SCHEMA_TS = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+_EVENT_SCHEMA_NS = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def _events_ts_is_ns_long(sf_dir: str) -> bool:
+    """Probe the events.parquet footer for the physical ts type —
+    the streaming twin of catalog.load_table's dtype probe
+    (catalog.py:53). Streaming sources need an explicit schema, so
+    the probe must happen BEFORE the read: int64 means ns-epoch data
+    (read as long, integer-DIV to µs), a real timestamp type means
+    the file already stores µs and must be read as timestamp —
+    applying the DIV path to µs data compresses the time range 1000×
+    and silently breaks every watermark."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    return pat.is_integer(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
 
 
 def _drain(df, spark, name_prefix: str):
@@ -57,13 +73,16 @@ def _drain(df, spark, name_prefix: str):
 
 def _events_streaming(spark, sf_dir):
     configure_runtime(spark)
+    ns_long = _events_ts_is_ns_long(sf_dir)
     src = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_EVENT_SCHEMA_NS if ns_long else _EVENT_SCHEMA_TS)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ns_long:
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return src
 
 
 @query("q_stream_tumble")  # † rows-only: streaming run
@@ -213,6 +232,32 @@ def q_stream_join(spark, sf_dir):
         "purchase_value",
     )
     return _drain(joined, spark, "stream_join")
+
+
+@query("q_stream_enrich")  # † rows-only: streaming run
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the click-stream × dimension
+    pattern — every incoming event picks up its customer attributes
+    from a static table. The static side is read per micro-batch
+    (Spark re-plans it, so a dimension refresh is picked up at the
+    next trigger) and broadcast: the stream side never shuffles, so
+    enrichment adds zero exchange to the streaming plan and state is
+    EMPTY — stateless operator, unlimited run length.
+
+    tests/test_streaming.py checks row-for-row equivalence against
+    the batch join of the same fixture."""
+    from datafusion_tpc_spark.catalog import load_table
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    ev = _events_streaming(spark, sf_dir)
+    enriched = ev.join(
+        F.broadcast(customers), ev.user_id == customers.c_custkey
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value", "c_name", "c_nationkey"
+    )
+    return _drain(enriched, spark, "stream_enrich")
 
 
 @query("q_stream_hop")  # † rows-only: streaming run

@@ -18,6 +18,26 @@ def _by_key(rows, keys):
     return {tuple(r[k] for k in keys): r for r in (row.asDict() for row in rows)}
 
 
+def test_stream_ts_unit_matches_batch(spark):
+    """Ts-unit regression guard (round-3 verdict item 2): the
+    streaming reader's explicit schema must land on the SAME instant
+    values the batch reader produces, whatever unit (int64-ns or
+    timestamp[us]) the testdata files carry. A unit mismatch shows up
+    here as a min(ts) off by ~1000× instead of as silently-empty
+    windows downstream."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.streaming.stream_queries import _events_streaming
+
+    batch_min = load_table(spark, SF_DIR, "events").agg(F.min("ts")).collect()[0][0]
+    sink = registry.QUERIES["q_stream_dedup"](spark, SF_DIR)
+    stream_min = sink.agg(F.min("ts")).collect()[0][0]
+    assert stream_min == batch_min, (stream_min, batch_min)
+    # and the streaming schema itself resolves ts to a timestamp
+    assert dict(_events_streaming(spark, SF_DIR).dtypes)["ts"] == "timestamp"
+
+
 def test_stream_tumble_matches_batch(spark):
     batch = _by_key(
         registry.QUERIES["q_evt_tumble"](spark, SF_DIR).collect(),
@@ -129,6 +149,29 @@ def test_stream_join_matches_batch_interval_join(spark):
     for t in stream:
         assert t in batch, t
     assert len(stream) >= len(batch) * 0.5  # bounded watermark holdback
+
+
+def test_stream_enrich_matches_batch_join(spark):
+    """Stream-static enrichment is stateless — the streaming result
+    must equal the batch join exactly (no watermark holdback)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    batch = {
+        (r["event_id"], r["c_name"], r["c_nationkey"])
+        for r in ev.join(cust, ev.user_id == cust.c_custkey).collect()
+    }
+    stream = [
+        (r["event_id"], r["c_name"], r["c_nationkey"])
+        for r in registry.QUERIES["q_stream_enrich"](spark, SF_DIR).collect()
+    ]
+    assert len(stream) == len(batch)
+    assert set(stream) == batch
 
 
 def test_stream_hop_matches_batch(spark):
