@@ -125,6 +125,86 @@ def q_tpch_q10(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS LAST
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to the testdata
+    column set: the canonical EXISTS-decorrelation shape. The testdata
+    lineitem has no l_commitdate/l_receiptdate, so the "late" predicate
+    becomes l_shipdate > o_orderdate + 30 days — which makes the
+    correlation RICHER than stock Q4: the EXISTS carries a non-equi
+    residual against the outer row, so Catalyst must decorrelate to a
+    LEFT SEMI join with a composite condition (key equality + date
+    range), not a plain semi-join on the key.
+
+    Scale: the 9-month o_orderdate filter prunes the orders scan
+    before the shuffle; the semi-join shuffles both sides on orderkey
+    once and the residual is evaluated within co-partitioned matches —
+    no second pass, no distinct materialization."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure filtered aggregate —
+    the predicate-pushdown stress test. All four predicates reach the
+    parquet scan (PushedFilters; row-group stats prune whole groups on
+    l_shipdate), the multiply-sum runs inside WholeStageCodegen, and
+    the single-row result needs one scalar-state shuffle. At 100 TB
+    this is scan-bandwidth-bound — exactly what you want."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
     "q_tpch_q18",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,

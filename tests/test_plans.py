@@ -136,3 +136,28 @@ def test_tpch_shapes(spark):
     q18 = _plan(spark, "q_tpch_q18")
     assert "LeftSemi" in q18
     assert "TakeOrderedAndProject" in q18
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    """Q4's EXISTS must decorrelate to a LEFT SEMI join carrying the
+    non-equi date residual — never a distinct+inner-join
+    materialization — and the 9-month window must prune the orders
+    scan (pushed filters on o_orderdate)."""
+    q4 = _plan(spark, "q_tpch_q4")
+    assert "LeftSemi" in q4
+    assert "GreaterThanOrEqual(o_orderdate" in q4  # date filter pushed to scan
+    assert "HashAggregate" in q4
+
+
+def test_tpch_q6_predicates_reach_scan(spark):
+    """Q6 is the predicate-pushdown stress: all range predicates must
+    reach the parquet reader (row-group pruning on l_shipdate stats),
+    read schema limited to the 4 referenced columns, and the single
+    aggregate two-phased."""
+    q6 = _plan(spark, "q_tpch_q6")
+    pushed = next(l for l in q6.splitlines() if "PushedFilters" in l)
+    for want in ("l_shipdate", "l_discount", "l_quantity"):
+        assert want in pushed, (want, pushed)
+    read_schema = next(l for l in q6.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+    assert q6.count("HashAggregate") >= 2  # partial + final
