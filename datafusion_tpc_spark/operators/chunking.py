@@ -1,0 +1,271 @@
+"""Chunking / packing / repetition-removal operators — the tokenizer-
+adjacent half of the training-data pipeline (extends operators/
+pipeline.py; SURVEY.md §7/M5 family, beyond the reference's own
+relational surface, reference src/main.rs:40-57).
+
+Between curation (dedup/quality/PII) and tokenized shards, a corpus
+pipeline runs:
+
+- **chunking** — split each document into fixed-size overlapping
+  windows (RAG indexing, long-doc truncation). Pure row-local
+  expression work: `sequence → posexplode → substring`, no shuffle,
+  scan-speed at 100 TB. Exact DuckDB oracle (generate_series +
+  unnest).
+- **repetition signals** — Gopher-style intra-document repetition
+  (duplicate-word fraction, top-bigram fraction) used to drop
+  boilerplate/spam. One explode→groupBy per signal, keyed on
+  (doc_id, gram): shuffle bytes ∝ distinct grams, map-side combine
+  collapses repeats. Exact DuckDB oracle (list_transform + unnest).
+- **sequence packing** — greedy first-fit-sequential packing of docs
+  into fixed-capacity contexts (padding-free pretraining batches).
+  Greedy packing is inherently sequential, so it shards: documents
+  hash-bucket deterministically (h60 % NB), each bucket packs its
+  docs in doc_id order inside one `applyInPandas` group. Parallelism
+  = bucket count; state = one open pack per bucket. Rows-only (†):
+  the sequential scan inside each bucket is not SQL-expressible
+  without recursive CTEs — invariants are pinned in
+  tests/test_chunking.py instead (every doc packed exactly once,
+  no pack over capacity unless single-doc, bit-identical re-runs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.operators.dedup import h60
+from datafusion_tpc_spark.registry import query
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+PACK_CAPACITY = 600  # chars per packed context (demo scale: ~2 docs)
+PACK_BUCKETS = 32
+
+
+@query(
+    "q_pipe_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           substring(text, CAST(s + 1 AS INTEGER), {CHUNK_SIZE}) AS chunk_text
+    FROM documents,
+         UNNEST(generate_series(0, GREATEST(length(text) - 1, 0), {CHUNK_STRIDE}))
+           AS t(s)
+    ORDER BY doc_id NULLS LAST, chunk_id NULLS LAST
+    """,
+)
+def q_pipe_chunk(spark, sf_dir):
+    """Fixed-size overlapping character chunks (size 200, stride 150,
+    50-char overlap) — the RAG-indexing / long-context-truncation
+    primitive. Chunk starts come from `sequence(0, len-1, stride)`
+    so every document yields ≥1 chunk (empty-ish docs produce one
+    short chunk) and the final partial chunk keeps the tail.
+
+    Scale: zero shuffle — the explode multiplies rows ~len/stride×
+    inside the scan stage and everything stays in WholeStageCodegen;
+    output partitioning follows the input, ready for a downstream
+    embed/tokenize mapInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("text") - 1, F.lit(0)),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.expr(f"substring(text, chunk_start + 1, {CHUNK_SIZE})").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last(), F.col("chunk_id").asc_nulls_last())
+    )
+
+
+# words / bigrams on both engines: split on single spaces (the fixture
+# text is single-space word salad; real corpora would pre-normalize
+# whitespace upstream in q_text_stats' cleaning pass)
+_REP_THRESH_DUP = 0.80  # keep if dup_word_frac below
+_REP_THRESH_BIGRAM = 0.20  # and top_bigram_frac below
+
+
+@query(
+    "q_pipe_rep",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    ),
+    wc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM words GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, bg
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, GREATEST(len(string_split(text, ' ')), 1)),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1]
+               ) AS bgs
+        FROM documents
+      ), UNNEST(bgs) AS t(bg)
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bigrams GROUP BY doc_id, bg
+    ),
+    bg_top AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             MAX(c) AS top_n,
+             MIN(bg) FILTER (
+               WHERE c = (SELECT MAX(c) FROM bg_counts b2
+                          WHERE b2.doc_id = bg_counts.doc_id)
+             ) AS top_bigram
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT wc.doc_id,
+           wc.n_words,
+           ROUND(1.0 - CAST(wc.n_distinct AS DOUBLE) / wc.n_words, 6)
+             AS dup_word_frac,
+           bg_top.top_bigram,
+           ROUND(CAST(bg_top.top_n AS DOUBLE) / bg_top.n_bigrams, 6)
+             AS top_bigram_frac,
+           (1.0 - CAST(wc.n_distinct AS DOUBLE) / wc.n_words
+              < {_REP_THRESH_DUP}
+            AND CAST(bg_top.top_n AS DOUBLE) / bg_top.n_bigrams
+              < {_REP_THRESH_BIGRAM}) AS keep
+    FROM wc JOIN bg_top ON wc.doc_id = bg_top.doc_id
+    ORDER BY wc.doc_id NULLS LAST
+    """,
+)
+def q_pipe_rep(spark, sf_dir):
+    """Intra-document repetition signals (Gopher-style repetition
+    filters): duplicate-word fraction and most-frequent-bigram mass,
+    plus the keep/drop verdict at the documented thresholds. Ties on
+    the top bigram break to the lexicographically smallest so both
+    engines agree bit-for-bit.
+
+    Scale: two explode→groupBy passes keyed on (doc_id, gram) —
+    map-side combine collapses repeated grams before the shuffle, so
+    shuffle bytes ∝ distinct grams per doc, not corpus tokens. The
+    final per-doc join is co-keyed on doc_id (both sides already
+    hash-partitioned by the groupBy)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    wc = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+    )
+    bg_counts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(ws[i - 1], ' ', ws[i]))")
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_top = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").alias("top_n"),
+        F.expr("min_by(bg, struct(-c, bg))").alias("top_bigram"),
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.col("top_n").cast("double") / F.col("n_bigrams")
+    return (
+        wc.join(bg_top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            "top_bigram",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((dup_frac < _REP_THRESH_DUP) & (top_frac < _REP_THRESH_BIGRAM)).alias(
+                "keep"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )
+
+
+@query("q_pipe_pack")  # † rows-only: greedy packing is sequential per bucket
+def q_pipe_pack(spark, sf_dir):
+    """Greedy first-fit-sequential sequence packing: assign documents
+    to fixed-capacity contexts (PACK_CAPACITY chars) so pretraining
+    batches carry minimal padding. Documents shard into PACK_BUCKETS
+    deterministic hash buckets (h60(doc_id) % NB — same digest family
+    as the dedup/sampling ops); within a bucket, docs pack in doc_id
+    order: a doc joins the open pack if it fits, else opens a new
+    pack. Oversized docs (> capacity) get a pack of their own —
+    packing never truncates; truncation is q_pipe_chunk's job.
+
+    Output: one row per doc — (doc_id, n_chars, pack_id, pack_pos,
+    pack_fill). pack_id = bucket * 2^32 + seq is globally unique and
+    reproducible run-to-run, cluster-to-cluster.
+
+    Scale: parallelism = bucket count (set ∝ corpus / executor
+    count), state per group = one open pack counter — applyInPandas
+    streams each bucket's docs through pandas once. The only shuffle
+    is the bucket groupBy. Rows-only (†): the in-bucket sequential
+    scan has no SQL twin; invariants live in tests/test_chunking.py."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("bucket", (h60(F.col("doc_id").cast("string")) % PACK_BUCKETS))
+    )
+
+    out_schema = (
+        "doc_id long, n_chars long, pack_id long, pack_pos long, pack_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        seq, fill, pos = 0, 0, 0
+        ids, poss, fills = [], [], []
+        first = True
+        for n in pdf["n_chars"]:
+            n = int(n)
+            if not first and fill + n > PACK_CAPACITY:
+                seq += 1
+                fill, pos = 0, 0
+            first = False
+            fill += n
+            ids.append((bucket << 32) + seq)
+            poss.append(pos)
+            fills.append(fill)
+            pos += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_chars": pdf["n_chars"].values,
+                "pack_id": ids,
+                "pack_pos": poss,
+                "pack_fill": fills,
+            }
+        )
+
+    return d.groupBy("bucket").applyInPandas(pack, out_schema)
