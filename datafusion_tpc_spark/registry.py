@@ -44,42 +44,46 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-2), so the window is re-pointed each round at (a) every module
-    CHANGED this round and (b) the stalest green rows. Round 3 order:
-    the round-3-touched modules first — pipeline (9 NEW curation ops;
-    importing it pulls dedup's 8 in first: clusters localCheckpoint
-    fix, simhash NULL fix, new minhash_capped), similarity (3:
-    sign-bucket arity fix), text (4: zero-shuffle fingerprint
-    rewrite), logs_queries (3: bench-gated SF override), aggregates
-    (13: new q_agg_pctl_w), scans (7: new pyavro q_scan_avro) —
-    that's 47; joins (r1-verified, unchanged) fills the window to
-    exactly 50. Everything after queues behind with r1/r2 green rows.
+    1-3), so the window is re-pointed each round at (a) every query
+    NEVER driver-verified, (b) modules changed this round, (c) the
+    stalest green rows. Round 4 order (VERDICT r3 items 3+6): the 9
+    never-verified ids first, via their modules — tpch (5: q1/q10/q18
+    never checked + NEW q4/q6), udfs (4: q_udtf never checked),
+    scalar_functions (10: q_fn_json/q_fn_blake3 never checked),
+    events (6: q_evt_hop never checked), stream_queries (7:
+    q_stream_hop/q_stream_join never checked, q_stream_enrich NEW;
+    whole module carries the r4 ts-unit fix, so all q_stream_* rows
+    need fresh driver evidence) — that's 32; the stalest green modules
+    fill the rest: joins (12, r1-only), windows (4, r1-only), sorts
+    (first 2 of 3, r1-only; q_topk queues at 51) = exactly 50.
+    Everything after queues behind with r1-r3 green rows.
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        dedup,
-        pipeline,
-        similarity,
-        text,
-    )
     from datafusion_tpc_spark.queries import (  # noqa: F401
-        logs_queries,
-        aggregates,
-        scans,
+        tpch,
+        udfs,
+        scalar_functions,
+        events,
+    )
+    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
+    from datafusion_tpc_spark.queries import (  # noqa: F401
         joins,
         windows,
         sorts,
         predicates,
         setops,
-        scalar_functions,
         subqueries,
-        udfs,
-        events,
-        tpch,
+        aggregates,
+        scans,
+        logs_queries,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
+        dedup,
+        pipeline,
+        chunking,
+        similarity,
+        text,
         multimodal,
         asof,
     )
-    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401

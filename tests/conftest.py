@@ -12,8 +12,16 @@ from datetime import date, datetime
 import duckdb
 import pytest
 
+from datafusion_tpc_spark import registry
 from datafusion_tpc_spark.catalog import TABLES
 from datafusion_tpc_spark.session import get_spark
+
+# Canonical registration order BEFORE any test module imports an
+# operator module directly (e.g. tests/test_chunking.py pulling
+# chunking → dedup): conftest imports first under pytest, so the
+# driver-visible window (registry.load_all docstring,
+# tests/test_registry_order.py) stays collection-order-independent.
+registry.load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 

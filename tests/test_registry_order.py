@@ -15,60 +15,62 @@ from datafusion_tpc_spark import registry
 
 registry.load_all()
 
-# The round-3 driver window: every module touched in round 3 (dedup,
-# NEW pipeline, similarity, text, logs, aggregates, scans) + the
-# r1-only joins head.
+# The round-4 driver window (VERDICT r3 items 3+6): the 9
+# never-driver-verified ids first via their modules (tpch incl. NEW
+# q4/q6, udfs, scalar_functions, events, stream_queries — the latter
+# carrying the r4 ts-unit fix), then the stalest r1-only green
+# modules (joins, windows, sorts) to fill exactly 50.
 EXPECTED_WINDOW_50 = [
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_minhash",
-    "q_dedup_minhash_capped",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_dedup_embed_lsh",
-    "q_dedup_clusters",
-    "q_pipe_sample",
-    "q_pipe_split",
-    "q_pipe_sample_stratified",
-    "q_pipe_quality_filter",
-    "q_pipe_tfidf",
-    "q_pipe_bm25",
-    "q_pipe_pii_redact",
-    "q_pipe_contamination",
-    "q_pipe_canonical",
-    "q_pipe_kept",
-    "q_sim_topk",
-    "q_sim_ivf",
-    "q_sim_ann",
-    "q_text_stats",
-    "q_text_lang",
-    "q_text_fingerprint",
-    "q_text_quality",
-    "q_logs_scan",
-    "q_logs_filter",
-    "q_logs_agg",
-    "q_agg_arrayagg",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_pivot",
-    "q_agg_stats",
-    "q_agg_median",
-    "q_agg_pctl",
-    "q_agg_pctl_w",
-    "q_agg_approxd",
-    "q_agg_having",
-    "q_udaf",
-    "q_agg_salted",
-    "q_scan_full",
-    "q_filter_proj",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_values",
-    "q_scan_avro",
-    "q_scan_partitioned",
-    "q_scan_orc",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_udf",
+    "q_udf_iter",
+    "q_udf_grouped_map",
+    "q_udtf",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_regex",
+    "q_fn_hash",
+    "q_fn_nondet",
+    "q_explode",
+    "q_fn_struct",
+    "q_fn_blake",
+    "q_fn_blake3",
+    "q_fn_json",
+    "q_agg_avg",
+    "q_fn_date",
+    "q_fn_datebin",
+    "q_evt_tumble",
+    "q_evt_session",
+    "q_evt_hop",
+    "q_stream_tumble",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_join",
+    "q_stream_enrich",
+    "q_stream_hop",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_join_residual",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_movavg",
+    "q_win_range",
+    "q_sort_multi",
+    "q_limit",
 ]
 
 
