@@ -47,6 +47,11 @@ HEADLINE = [
     "q_topk",
     "q_evt_tumble",
     "q_udf",
+    # round-3 additions promoted to headline (VERDICT r3 item 5) so
+    # regressions on the newest operators are visible round-over-round
+    "q_tpch_q10",
+    "q_fn_json",
+    "q_scan_partitioned",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",
@@ -126,14 +131,28 @@ def main() -> None:
     ).save()
 
     results: dict[str, float] = {}
+    results_min: dict[str, float] = {}
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)  # prepared-plan analog
-        for _ in range(warmups):
+        # Join queries rebuild their broadcast/shuffle exchanges per
+        # action and are the worst contention amplifiers (BENCH_r03:
+        # q_join_broadcast 13× under load) — give them extra warmups
+        # so a cold exchange never lands inside the timed runs.
+        n_warm = warmups + 2 if "join" in name or "tpch" in name else warmups
+        for _ in range(n_warm):
             run_once(df)
         times = [run_once(df) for _ in range(runs)]
         results[name] = round(statistics.median(times), 4)
-        print(f"# {name}: median {results[name]}s over {runs} runs", file=sys.stderr)
+        results_min[name] = round(min(times), 4)
+        print(
+            f"# {name}: median {results[name]}s min {results_min[name]}s over {runs} runs",
+            file=sys.stderr,
+        )
 
+    # min-of-N alongside the median (BASELINE.md protocol note): the
+    # median answers "typical run on this machine right now"; the min
+    # approximates contention-free capability — a loaded co-tenant
+    # inflates the median uniformly but rarely all N mins.
     print(
         json.dumps(
             {
@@ -141,6 +160,8 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "queries_min": results_min,
+                "sum_min_sec": round(sum(results_min.values()), 4),
                 "sf": sf,
             }
         )

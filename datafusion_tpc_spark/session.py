@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # keep \r progress bars out of captured bench/driver output —
+        # BENCH_r03's "tail" was unreadable because of them (ADVICE r3)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # Local test files are single ~100MB parquets; the 128MB default
         # split yields 1-3 scan tasks and idles the other cores. On a
@@ -74,8 +77,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     queries rely on that can be flipped post-hoc:
     - UTC session timezone (oracle comparison: DuckDB timestamps are
       naive/UTC),
-    - nanosAsLong (the ``events`` fixture is timestamp[ns], which the
-      Spark Parquet reader otherwise rejects — FIXTURES.md §9),
+    - nanosAsLong (harmless for the current timestamp[us] ``events``
+      fixture, required when a testdata drop reverts to timestamp[ns],
+      which the Spark Parquet reader otherwise rejects — FIXTURES.md
+      §9; catalog.load_table handles both units),
     - AQE on (cheap insurance; default in 4.x anyway).
     """
     for key, value in (
