@@ -364,3 +364,44 @@ def q_join_residual(spark, sf_dir):
         & (li.l_quantity > p.p_size)
         & (p.p_retailprice < 1200),
     ).select("l_orderkey", "l_linenumber", "p_name")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus NULLS LAST
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Manually salted skew-safe join (functions/skew.py:70): the
+    fact side takes a uniform salt in [0, 16), the dim side is
+    replicated 16x, and the join runs on (key, salt) — one hot
+    orderkey's rows spread over 16 tasks instead of one straggler.
+    The salt never changes the result (every fact row still meets its
+    dim row exactly once), so the oracle is the plain unsalted join —
+    the driver hash-checks that the rewrite is semantics-preserving.
+
+    This is the manual escape hatch for skew AQE can't fix (AQE
+    splits oversized shuffle partitions, but only after a full
+    shuffle of the skewed key; salting spreads the key before the
+    shuffle). The equivalence-vs-unsalted property is also pinned in
+    tests/test_sources_and_skew.py."""
+    from datafusion_tpc_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=16)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
+    )

@@ -65,12 +65,12 @@ EXPECTED_WINDOW_50 = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_join_residual",
+    "q_join_salted",
     "q_win_rank",
     "q_win_lag",
     "q_win_movavg",
     "q_win_range",
     "q_sort_multi",
-    "q_limit",
 ]
 
 
