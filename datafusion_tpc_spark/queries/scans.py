@@ -198,3 +198,47 @@ def q_scan_orc(spark, sf_dir):
             "overwrite"
         ).orc(out_dir)
     return spark.read.orc(out_dir)
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type,
+           p_size, ROUND(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+)
+def q_scan_xml(spark, sf_dir):
+    """XML scan — Spark 4's native XML source (the spark-xml package
+    merged upstream in 4.0). Round-trips `part` through row-tagged XML
+    with an explicit schema (inference would cost a full extra scan),
+    oracle is the parquet table the bytes came from. retailprice is
+    rounded on both sides: XML serializes doubles as decimal text, and
+    round-tripping through text is only bit-stable to the printed
+    precision."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "part_xml")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "part").withColumn(
+            "p_retailprice", F.round("p_retailprice", 2)
+        ).coalesce(1).write.mode("overwrite").option("rootTag", "parts").option(
+            "rowTag", "part"
+        ).format("xml").save(out_dir)
+    return (
+        spark.read.schema(
+            "p_partkey bigint, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double"
+        )
+        .option("rowTag", "part")
+        .format("xml")
+        .load(out_dir)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )

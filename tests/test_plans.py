@@ -138,6 +138,21 @@ def test_tpch_shapes(spark):
     assert "TakeOrderedAndProject" in q18
 
 
+def test_chunking_plan_shapes(spark):
+    """q_pipe_chunk is pure row-local expression work — zero shuffle,
+    zero Python; q_pipe_pack's only shuffle is the bucket groupBy
+    feeding one applyInPandas."""
+    chunk = _plan(spark, "q_pipe_chunk")
+    assert "Exchange" not in chunk
+    assert "BatchEvalPython" not in chunk and "ArrowEvalPython" not in chunk
+    pack = _plan(spark, "q_pipe_pack")
+    n_exchanges = sum(
+        1 for l in pack.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert "FlatMapGroupsInPandas" in pack
+
+
 def test_tpch_q4_semi_join_with_residual(spark):
     """Q4's EXISTS must decorrelate to a LEFT SEMI join carrying the
     non-equi date residual — never a distinct+inner-join
