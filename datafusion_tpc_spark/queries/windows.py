@@ -180,3 +180,47 @@ def q_win_range(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_similar_size"),
         F.round(F.avg("p_retailprice").over(w), 6).alias("avg_price_similar"),
     )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(c_acctbal, 2) AS c_acctbal,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(FIRST_VALUE(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED
+             PRECEDING AND UNBOUNDED FOLLOWING), 2) AS nation_min_bal,
+           ROUND(LAST_VALUE(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED
+             PRECEDING AND UNBOUNDED FOLLOWING), 2) AS nation_max_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST)
+    """,
+)
+def q_win_dist(spark, sf_dir):
+    """Distribution window functions — NTILE / PERCENT_RANK /
+    CUME_DIST plus FIRST/LAST_VALUE over an explicit full-partition
+    frame (the default frame stops at CURRENT ROW, which would make
+    LAST_VALUE degenerate). Ordering carries the c_custkey tiebreak
+    so ties rank identically on both engines.
+
+    Scale: one hash-partition exchange on c_nationkey, then all five
+    functions evaluate in a single WindowExec pass over each sorted
+    partition — adding functions to the same window is free."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc_nulls_last()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("c_acctbal").over(w_full), 2).alias("nation_min_bal"),
+        F.round(F.last("c_acctbal").over(w_full), 2).alias("nation_max_bal"),
+    )

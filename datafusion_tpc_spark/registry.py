@@ -54,9 +54,10 @@ def load_all() -> None:
     q_stream_hop/q_stream_join never checked, q_stream_enrich NEW;
     whole module carries the r4 ts-unit fix, so all q_stream_* rows
     need fresh driver evidence) — that's 32; joins follows (13: 12
-    r1-only greens + NEW q_join_salted), then windows (4, r1-only)
-    and sorts' head (q_sort_multi; q_limit/q_topk queue at 51-52) =
-    exactly 50. Everything after queues behind with r1-r3 green rows.
+    r1-only greens + NEW q_join_salted), then windows (5: 4 r1-only
+    greens + NEW q_win_dist) = exactly 50. The r1-green sorts trio
+    queues at 51-53; everything after queues behind with r1-r3 green
+    rows.
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """

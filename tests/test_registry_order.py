@@ -70,7 +70,7 @@ EXPECTED_WINDOW_50 = [
     "q_win_lag",
     "q_win_movavg",
     "q_win_range",
-    "q_sort_multi",
+    "q_win_dist",
 ]
 
 
