@@ -78,6 +78,7 @@ def load_all() -> None:
         aggregates,
         scans,
         logs_queries,
+        arrays,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
