@@ -79,6 +79,7 @@ def load_all() -> None:
         scans,
         logs_queries,
         arrays,
+        tpch_extra,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
