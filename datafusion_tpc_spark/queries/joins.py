@@ -369,23 +369,31 @@ def q_join_residual(spark, sf_dir):
 @query(
     "q_join_salted",
     oracle="""
-    SELECT o.o_orderstatus,
+    SELECT s.s_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(l.l_quantity), 2) AS sum_qty
     FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderstatus
-    ORDER BY o.o_orderstatus NULLS LAST
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey NULLS LAST
     """,
 )
 def q_join_salted(spark, sf_dir):
     """Manually salted skew-safe join (functions/skew.py:70): the
     fact side takes a uniform salt in [0, 16), the dim side is
     replicated 16x, and the join runs on (key, salt) — one hot
-    orderkey's rows spread over 16 tasks instead of one straggler.
-    The salt never changes the result (every fact row still meets its
-    dim row exactly once), so the oracle is the plain unsalted join —
-    the driver hash-checks that the rewrite is semantics-preserving.
+    supplier key's rows spread over 16 tasks instead of one
+    straggler. The salt never changes the result (every fact row
+    still meets its dim row exactly once), so the oracle is the plain
+    unsalted join — the driver hash-checks that the rewrite is
+    semantics-preserving.
+
+    The dim here is supplier, NOT orders: replication costs
+    |dim| x n_salts, so salting is for hot keys against SMALL dims
+    (the docstring contract); a first cut of this query salted the
+    orders join and paid 1.5 s at sf0.1 replicating 150k rows 16x —
+    the anti-pattern the technique itself warns about. AQE skew-join
+    remains the answer for large-dim skew.
 
     This is the manual escape hatch for skew AQE can't fix (AQE
     splits oversized shuffle partitions, but only after a full
@@ -394,14 +402,14 @@ def q_join_salted(spark, sf_dir):
     tests/test_sources_and_skew.py."""
     from datafusion_tpc_spark.functions.skew import salted_join
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
-        salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=16)
-        .groupBy("o_orderstatus")
+        salted_join(li, s, "l_suppkey", "s_suppkey", n_salts=16)
+        .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
-        .orderBy(F.col("o_orderstatus").asc_nulls_last())
+        .orderBy(F.col("s_nationkey").asc_nulls_last())
     )
