@@ -81,6 +81,7 @@ def load_all() -> None:
         arrays,
         tpch_extra,
     )
+    from datafusion_tpc_spark.streaming import stream_sink  # noqa: F401
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
         pipeline,

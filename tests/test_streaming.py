@@ -174,6 +174,47 @@ def test_stream_enrich_matches_batch_join(spark):
     assert set(stream) == batch
 
 
+def test_stream_sink_checkpoint_idempotent(spark):
+    """Re-running the checkpointed parquet sink against the same
+    checkpoint must be a no-op: the offsets are committed, so the
+    second run adds zero rows — the exactly-once story of
+    streaming/stream_sink.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.streaming.stream_queries import _events_streaming
+
+    root = tempfile.mkdtemp(prefix="sink_idem_")
+    data_dir = os.path.join(root, "data")
+
+    def run_once():
+        ev = (
+            _events_streaming(spark, SF_DIR)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        q = (
+            ev.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(data_dir).count()
+
+    first = run_once()
+    assert first > 0
+    second = run_once()
+    assert second == first, "second run against the same checkpoint re-emitted rows"
+
+
 def test_stream_hop_matches_batch(spark):
     batch = _by_key(
         registry.QUERIES["q_evt_hop"](spark, SF_DIR).collect(),
