@@ -168,7 +168,17 @@ def q_pipe_rep(spark, sf_dir):
     map-side combine collapses repeated grams before the shuffle, so
     shuffle bytes ∝ distinct grams per doc, not corpus tokens. The
     final per-doc join is co-keyed on doc_id (both sides already
-    hash-partitioned by the groupBy)."""
+    hash-partitioned by the groupBy).
+
+    Measured dead ends (sf0.1, don't redo): (a) a "zero-shuffle"
+    rewrite counting each distinct gram with nested higher-order
+    lambdas (filter() inside transform()) ran 3× SLOWER (2.06 s vs
+    0.65 s here) — lambda functions evaluate interpreted, outside
+    WholeStageCodegen, so an O(d×n) per-row lambda loses to columnar
+    explode+hash-agg even WITH the shuffle; (b) carrying row-local
+    word stats through the explode to drop the wc branch + join was
+    equally slow (1.98 s) — the pre-explode projection gets collapsed
+    past Generate and recomputed per generated row."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
