@@ -174,6 +174,126 @@ def test_stream_enrich_matches_batch_join(spark):
     assert set(stream) == batch
 
 
+def _split_events_files(n=4, in_order=True):
+    """Split the events fixture into n ts-sorted parquet files with
+    controlled modification times, so the file streaming source
+    (maxFilesPerTrigger=1) processes them as n distinct micro-batches.
+    in_order=False puts the OLDEST time slice in the newest file —
+    its rows arrive after the watermark has advanced past them."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    d = tempfile.mkdtemp(prefix="events_split_")
+    chunk = len(t) // n
+    slices = [
+        t.slice(i * chunk, chunk if i < n - 1 else len(t) - (n - 1) * chunk)
+        for i in range(n)
+    ]
+    arrival = list(range(n)) if in_order else list(range(1, n)) + [0]
+    base = 1_700_000_000
+    for arrive_pos, slice_idx in enumerate(arrival):
+        path = os.path.join(d, f"part{arrive_pos}.parquet")
+        pq.write_table(slices[slice_idx], path)
+        os.utime(path, (base + arrive_pos * 60, base + arrive_pos * 60))
+    return d
+
+
+def _run_tumble_stream(spark, src_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.streaming.stream_queries import (
+        _EVENT_SCHEMA_TS,
+        _drain,
+    )
+
+    ev = (
+        spark.readStream.schema(_EVENT_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain(agg, spark, "stream_multibatch")
+
+
+def test_stream_multibatch_watermark_matches_batch(spark):
+    """Four ts-ordered files → four micro-batches; the watermark
+    advances batch-over-batch and closes windows incrementally. Every
+    closed window the stream emits must carry the exact batch count,
+    and in-order arrival must close (nearly) all windows."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    src = _split_events_files(n=4, in_order=True)
+    batch = _by_key(
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect(),
+        ("window_start", "event_type"),
+    )
+    stream = _by_key(
+        _run_tumble_stream(spark, src).collect(), ("window_start", "event_type")
+    )
+    assert stream, "multi-batch stream emitted nothing"
+    for key, srow in stream.items():
+        assert srow["n"] == batch[key]["n"], key
+    # in-order arrival: the watermark sweeps the whole range, so only
+    # tail windows inside the final watermark horizon may be withheld
+    # — bound: ≤ 2 trailing 1h windows × event-type cardinality (5)
+    assert len(stream) >= len(batch) - 10
+
+
+def test_stream_multibatch_late_data_is_dropped(spark):
+    """Out-of-order arrival: the oldest time slice arrives LAST, after
+    the watermark has passed it. Append mode must drop those late rows
+    — emitted windows carry counts ≤ the batch count, and nothing is
+    double-emitted."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    src = _split_events_files(n=4, in_order=False)
+    batch = _by_key(
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect(),
+        ("window_start", "event_type"),
+    )
+    rows = _run_tumble_stream(spark, src).collect()
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert rows, "out-of-order stream emitted nothing"
+    assert len(keys) == len(set(keys)), "a window was emitted twice"
+    late_dropped = 0
+    for r in rows:
+        brow = batch[(r["window_start"], r["event_type"])]
+        assert r["n"] <= brow["n"], "stream emitted MORE rows than exist"
+        if r["n"] < brow["n"]:
+            late_dropped += 1
+    assert late_dropped > 0, (
+        "expected at least one window to lose late rows — fixture did not "
+        "actually deliver data behind the watermark"
+    )
+
+
 def test_stream_sink_checkpoint_idempotent(spark):
     """Re-running the checkpointed parquet sink against the same
     checkpoint must be a no-op: the offsets are committed, so the
