@@ -281,3 +281,64 @@ def q_pipe_pack(spark, sf_dir):
         )
 
     return d.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+_UPSERT_ROWS = [
+    (1, "updated text one", "en", "patch"),
+    (2, "updated text two", "en", "patch"),
+    (99999901, "brand new doc", "de", "patch"),
+]
+
+
+@query(
+    "q_pipe_upsert",
+    oracle="""
+    WITH updates(doc_id, text, lang, source) AS (
+      VALUES (1, 'updated text one', 'en', 'patch'),
+             (2, 'updated text two', 'en', 'patch'),
+             (99999901, 'brand new doc', 'de', 'patch')
+    ),
+    all_rows AS (
+      SELECT doc_id, text, lang, source, 0 AS version FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang, source, 1 AS version FROM updates
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(version AS INTEGER) AS version,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM all_rows
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+    """,
+)
+def q_pipe_upsert(spark, sf_dir):
+    """Upsert / MERGE-INTO pattern at the engine level: apply a patch
+    batch (updated + brand-new documents) to the corpus, latest
+    version wins. Implemented as ANTI-JOIN + UNION — base rows whose
+    doc_id appears in the patch are dropped via a broadcast left-anti
+    join, then the patch is unioned in. This beats the
+    window/row_number formulation the oracle uses (same result): the
+    anti join broadcasts the (always small) patch keys and never
+    sorts, while row_number would range-partition and sort the whole
+    corpus. In a lakehouse deployment this is `MERGE INTO` on
+    Delta/Iceberg; the plan underneath is exactly this shape.
+
+    Scale: one broadcast anti join (patch keys ≪ corpus) + a
+    metadata-only union — no shuffle of the base table at all."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    updates = spark.createDataFrame(
+        _UPSERT_ROWS, "doc_id long, text string, lang string, source string"
+    )
+    merged = (
+        base.join(F.broadcast(updates.select("doc_id")), "doc_id", "left_anti")
+        .withColumn("version", F.lit(0))
+        .unionByName(updates.withColumn("version", F.lit(1)))
+    )
+    return merged.select(
+        "doc_id",
+        "lang",
+        "source",
+        "version",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
