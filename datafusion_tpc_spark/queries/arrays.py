@@ -71,3 +71,35 @@ def q_fn_array(spark, sf_dir):
         ).alias("dot_rev"),
         F.expr("array_position(embedding, array_max(embedding))").alias("max_pos"),
     )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           MAP {'nk': n_nationkey, 'rk': n_regionkey}['rk'][1] AS rk_val,
+           array_to_string(
+             map_keys(MAP {'nk': n_nationkey, 'rk': n_regionkey}), '|') AS ks,
+           CAST(cardinality(MAP {'nk': n_nationkey, 'rk': n_regionkey})
+                AS INTEGER) AS n_entries
+    FROM nation
+    """,
+)
+def q_fn_map(spark, sf_dir):
+    """Map-type surface: construction (create_map), lookup
+    (element_at), key enumeration (map_keys — string-joined, never a
+    bare map/array in oracled output per the driver's hash
+    canonicalizer contract), and cardinality. DuckDB unwraps a map
+    lookup as a one-element list (m['k'][1]); Spark's element_at is
+    scalar — the oracle normalizes there. Row-local expression work,
+    zero shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey"), F.lit("rk"), F.col("n_regionkey")
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "rk").alias("rk_val"),
+        F.array_join(F.map_keys(m), "|").alias("ks"),
+        F.size(m).alias("n_entries"),
+    )
