@@ -424,3 +424,45 @@ def q_agg_salted(spark, sf_dir):
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus,
+           MIN(o_orderpriority) FILTER (
+             WHERE c = (SELECT MAX(c) FROM counts c2
+                        WHERE c2.o_orderstatus = counts.o_orderstatus)
+           ) AS mode_priority,
+           MAX(c) AS mode_n
+    FROM counts
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus NULLS LAST
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic MODE aggregate: the most frequent value per
+    group, ties broken to the lexicographically smallest — built-in
+    mode() in both engines leaves tie order undefined, so this is the
+    reproducible two-level formulation: count per (group, value),
+    then min_by over (-count, value). Two shuffles, both with
+    map-side combine; the second operates on ≤ |groups|×|values|
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.expr("min_by(o_orderpriority, struct(-c, o_orderpriority))").alias(
+                "mode_priority"
+            ),
+            F.max("c").alias("mode_n"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
+    )
