@@ -202,3 +202,32 @@ def q_text_quality(spark, sf_dir):
         F.round(diversity, 6).alias("lexical_diversity"),
         (n_words.between(20, 1000) & (diversity > 0.2)).alias("keep"),
     )
+
+
+@query(
+    "q_text_vocab",
+    oracle="""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    GROUP BY w
+    ORDER BY c DESC NULLS LAST, w ASC NULLS LAST
+    LIMIT 50
+    """,
+)
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary head: top-50 unigrams by frequency with a
+    deterministic lexicographic tie-break — the vocabulary-building /
+    tokenizer-training first pass.
+
+    Scale: explode → groupBy(word) with map-side combine (shuffle
+    bytes ∝ distinct vocabulary, not corpus tokens), then the top-50
+    is TakeOrderedAndProject — per-partition heaps merged on the
+    driver, never a global sort of the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc_nulls_last(), F.col("word").asc_nulls_last())
+        .limit(50)
+    )

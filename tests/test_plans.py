@@ -138,6 +138,22 @@ def test_tpch_shapes(spark):
     assert "TakeOrderedAndProject" in q18
 
 
+def test_upsert_never_shuffles_base(spark):
+    """q_pipe_upsert must stay broadcast anti-join + union: zero
+    exchanges anywhere — the window/row_number formulation would
+    range-sort the whole corpus."""
+    plan = _plan(spark, "q_pipe_upsert")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_text_vocab")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
 def test_chunking_plan_shapes(spark):
     """q_pipe_chunk is pure row-local expression work — zero shuffle,
     zero Python; q_pipe_pack's only shuffle is the bucket groupBy
