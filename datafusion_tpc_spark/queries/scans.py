@@ -242,3 +242,45 @@ def q_scan_xml(spark, sf_dir):
             F.round("p_retailprice", 2).alias("p_retailprice"),
         )
     )
+
+
+@query(
+    "q_scan_dpp",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'final' AS label
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_scan_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the partitioned fact is joined to a
+    dimension whose FILTER (label = 'final') only reveals the
+    interesting partition keys at runtime — Catalyst injects a
+    dynamicpruning subquery that evaluates the broadcast dim first
+    and prunes fact partitions before they are listed
+    (tests/test_plans.py asserts the plan). This is the second half
+    of the q_scan_partitioned story: static partition pruning handles
+    literal predicates; DPP handles predicates that only exist after
+    a join — at 100 TB it is the difference between scanning one
+    day's partitions and scanning the year because the date filter
+    lived on the calendar dim."""
+    from datafusion_tpc_spark.sources.connectors import write_partitioned
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CSV_CACHE, key, "orders_part")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_partitioned(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+            ),
+            out_dir,
+            partition_by=["o_orderstatus"],
+        )
+    part = spark.read.parquet(out_dir)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "status string, label string"
+    ).filter(F.col("label") == "final")
+    return part.join(F.broadcast(dim), part.o_orderstatus == dim.status).select(
+        "o_orderkey", "o_orderstatus", "label"
+    )

@@ -138,6 +138,15 @@ def test_tpch_shapes(spark):
     assert "TakeOrderedAndProject" in q18
 
 
+def test_dpp_subquery_is_injected(spark):
+    """q_scan_dpp's fact scan must carry a dynamicpruning partition
+    filter (runtime subquery on the broadcast dim), not a full listing
+    of all partitions."""
+    registry.QUERIES["q_scan_dpp"](spark, SF_DIR)  # ensure layout exists
+    plan = _plan(spark, "q_scan_dpp")
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from plan"
+
+
 def test_upsert_never_shuffles_base(spark):
     """q_pipe_upsert must stay broadcast anti-join + union: zero
     exchanges anywhere — the window/row_number formulation would
