@@ -138,6 +138,49 @@ def test_tpch_shapes(spark):
     assert "TakeOrderedAndProject" in q18
 
 
+def test_bloom_filter_runtime_injection(spark):
+    """Spark's runtime bloom-filter row pruning (on by default in 4.x)
+    must inject on a shuffle join whose build side carries a selective
+    filter: the filtered orders side aggregates into a bloom filter
+    that pre-filters lineitem rows BEFORE the shuffle — at 100 TB this
+    cuts shuffle bytes by the filter's selectivity without any manual
+    work. Local files sit under the application-side scan threshold,
+    so the test drops it to zero (and disables broadcast to force the
+    shuffle join); both confs are restored."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == "F")
+        q = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        assert "bloom_filter_agg" in buf.getvalue(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_dpp_subquery_is_injected(spark):
     """q_scan_dpp's fact scan must carry a dynamicpruning partition
     filter (runtime subquery on the broadcast dim), not a full listing
