@@ -17,6 +17,7 @@ merges k·partitions rows on a single reducer, never the full data.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
@@ -98,4 +99,47 @@ def q_topk(spark, sf_dir):
         o.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
         .limit(50)
+    )
+
+
+@query(
+    "q_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC NULLS LAST,
+                                         o_orderkey ASC NULLS LAST) AS rn
+      FROM orders
+    )
+    WHERE rn <= 2
+    """,
+)
+def q_topk_group(spark, sf_dir):
+    """Grouped top-k — the top-2 orders per customer via row_number +
+    filter, the per-entity-leaderboard workhorse. Spark 4 compiles
+    this shape to WindowGroupLimit (tests/test_plans.py): each map
+    task keeps only k rows per group BEFORE the shuffle, so shuffle
+    bytes are k×|groups|, not the full table — the grouped analog of
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
     )

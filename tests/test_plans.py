@@ -138,6 +138,14 @@ def test_tpch_shapes(spark):
     assert "TakeOrderedAndProject" in q18
 
 
+def test_grouped_topk_uses_window_group_limit(spark):
+    """q_topk_group (rank-filter shape) must compile to
+    WindowGroupLimit: map tasks keep k rows per group BEFORE the
+    shuffle, the grouped analog of TakeOrderedAndProject."""
+    plan = _plan(spark, "q_topk_group")
+    assert "WindowGroupLimit" in plan
+
+
 def test_bloom_filter_runtime_injection(spark):
     """Spark's runtime bloom-filter row pruning (on by default in 4.x)
     must inject on a shuffle join whose build side carries a selective
