@@ -12,6 +12,8 @@ set-op (done here: 1-2 columns) so the shuffle carries minimal bytes.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
 
@@ -101,3 +103,54 @@ def q_except(spark, sf_dir):
 def q_distinct(spark, sf_dir):
     """DISTINCT — hash aggregate on the projected columns only."""
     return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_custkey
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag difference with multiplicity: each customer
+    keeps (total orders − finished orders) copies, unlike distinct
+    EXCEPT which would drop any customer having even one finished
+    order. Catalyst rewrites exceptAll to a count-propagating
+    aggregate + generate (no join explosion); the trailing groupBy
+    keeps the driver output compact."""
+    o = load_table(spark, sf_dir, "orders")
+    diff = o.select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+    return diff.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY o_custkey
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag intersection: each customer appears
+    min(#high-value orders, #open orders) times. Same
+    count-propagating rewrite as EXCEPT ALL."""
+    o = load_table(spark, sf_dir, "orders")
+    both = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .intersectAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+    return both.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
