@@ -466,3 +466,35 @@ def q_agg_mode(spark, sf_dir):
         )
         .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
+
+
+@query(
+    "q_agg_hist",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket NULLS LAST
+    """,
+)
+def q_agg_hist(spark, sf_dir):
+    """Fixed-width histogram (10 × 50k buckets over order value, top
+    bucket open-ended) — the distribution-profiling pass every data
+    audit starts with. Bucket arithmetic is explicit floor/least
+    (width_bucket exists in Spark but not DuckDB, and explicit
+    integer arithmetic is exactly portable anyway). One map-side-
+    combined aggregation; output rows = bucket count."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_last())
+    )
