@@ -52,6 +52,10 @@ HEADLINE = [
     "q_tpch_q10",
     "q_fn_json",
     "q_scan_partitioned",
+    # round-4 families promoted (VERDICT r4 item 5): one tokenizer-
+    # pipeline op and one decorrelation-shape TPC-H query
+    "q_pipe_chunk",
+    "q_tpch_q4",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",

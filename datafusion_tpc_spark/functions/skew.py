@@ -36,7 +36,9 @@ def salted_aggregate(
     a per-row counter is unnecessary — a hash of all columns does),
     so one hot key spreads over n_salts reducers.
     """
-    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("__salt")
+    # pmod, not abs(...)%n: non-ANSI abs(Int.MinValue) stays negative,
+    # so a ~2^-32 hash value would yield a salt outside [0, n_salts).
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("__salt")
     salted = df.withColumn("__salt", salt)
 
     phase1, phase2 = [], []
@@ -82,8 +84,11 @@ def salted_join(
 
     Replication cost: |dim| × n_salts — use only when dim is small
     relative to the skew being fixed (else AQE skew-join)."""
+    # pmod keeps the salt in [0, n_salts) even when hash() returns
+    # Int.MinValue (abs(...)%n would go negative and silently drop the
+    # row from an inner join — no replicated dim salt matches it).
     salted_fact = fact.withColumn(
-        "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts)
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.operators.dedup import h60
+from datafusion_tpc_spark.functions.digest import h60
 from datafusion_tpc_spark.registry import query
 
 CHUNK_SIZE = 200
@@ -121,11 +121,12 @@ _REP_THRESH_BIGRAM = 0.20  # and top_bigram_frac below
       FROM (
         SELECT doc_id,
                list_transform(
-                 range(1, GREATEST(len(string_split(text, ' ')), 1)),
+                 range(1, len(string_split(text, ' '))),
                  i -> string_split(text, ' ')[i] || ' ' ||
                       string_split(text, ' ')[i + 1]
                ) AS bgs
         FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
       ), UNNEST(bgs) AS t(bg)
     ),
     bg_counts AS (
@@ -190,11 +191,16 @@ def q_pipe_rep(spark, sf_dir):
             F.countDistinct("w").alias("n_distinct"),
         )
     )
+    # size(ws) >= 2 on BOTH sides (mirrored by the oracle's len >= 2
+    # filter): without it, a single-word doc emits ws[1] out-of-bounds
+    # → NULL bigram here while DuckDB's empty range drops the doc
+    # entirely (ADVICE r4 — latent on the current fixture).
     bg_counts = (
-        d.select(
+        d.filter(F.size("ws") >= 2)
+        .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(ws[i - 1], ' ', ws[i]))")
+                F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))")
             ).alias("bg"),
         )
         .groupBy("doc_id", "bg")

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import h60, _h60_duck  # noqa: F401
 from datafusion_tpc_spark.registry import query
 
 # ---- shared deterministic hashing ------------------------------------
@@ -59,14 +60,9 @@ _SHINGLES_DUCK = """
 """
 
 
-def h60(col):
-    """Deterministic 60-bit hash shared with DuckDB: first 15 hex chars
-    of md5 as integer."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def _h60_duck(expr: str) -> str:
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+# h60/_h60_duck live in functions/digest.py (r5: so chunking/text can
+# import them without triggering this module's query registrations);
+# re-exported here for the operator modules that already import them.
 
 
 def shingle_table(spark, sf_dir) -> DataFrame:

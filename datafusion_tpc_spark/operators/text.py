@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.operators.dedup import h60
+from datafusion_tpc_spark.functions.digest import h60
 from datafusion_tpc_spark.registry import query
 
 _PUNCT = r"[.,!?;:]"

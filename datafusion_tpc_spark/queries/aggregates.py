@@ -425,76 +425,3 @@ def q_agg_salted(spark, sf_dir):
         F.round("max_value", 6).alias("max_value"),
     )
 
-
-@query(
-    "q_agg_mode",
-    oracle="""
-    WITH counts AS (
-      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
-      FROM orders GROUP BY o_orderstatus, o_orderpriority
-    )
-    SELECT o_orderstatus,
-           MIN(o_orderpriority) FILTER (
-             WHERE c = (SELECT MAX(c) FROM counts c2
-                        WHERE c2.o_orderstatus = counts.o_orderstatus)
-           ) AS mode_priority,
-           MAX(c) AS mode_n
-    FROM counts
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus NULLS LAST
-    """,
-)
-def q_agg_mode(spark, sf_dir):
-    """Deterministic MODE aggregate: the most frequent value per
-    group, ties broken to the lexicographically smallest — built-in
-    mode() in both engines leaves tie order undefined, so this is the
-    reproducible two-level formulation: count per (group, value),
-    then min_by over (-count, value). Two shuffles, both with
-    map-side combine; the second operates on ≤ |groups|×|values|
-    rows."""
-    o = load_table(spark, sf_dir, "orders")
-    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return (
-        counts.groupBy("o_orderstatus")
-        .agg(
-            F.expr("min_by(o_orderpriority, struct(-c, o_orderpriority))").alias(
-                "mode_priority"
-            ),
-            F.max("c").alias("mode_n"),
-        )
-        .orderBy(F.col("o_orderstatus").asc_nulls_last())
-    )
-
-
-@query(
-    "q_agg_hist",
-    oracle="""
-    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(o_totalprice), 2) AS lo,
-           ROUND(MAX(o_totalprice), 2) AS hi
-    FROM orders
-    GROUP BY 1
-    ORDER BY bucket NULLS LAST
-    """,
-)
-def q_agg_hist(spark, sf_dir):
-    """Fixed-width histogram (10 × 50k buckets over order value, top
-    bucket open-ended) — the distribution-profiling pass every data
-    audit starts with. Bucket arithmetic is explicit floor/least
-    (width_bucket exists in Spark but not DuckDB, and explicit
-    integer arithmetic is exactly portable anyway). One map-side-
-    combined aggregation; output rows = bucket count."""
-    o = load_table(spark, sf_dir, "orders")
-    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
-    return (
-        o.groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-        )
-        .orderBy(F.col("bucket").asc_nulls_last())
-    )

@@ -1,12 +1,12 @@
-"""TPC-H shapes beyond queries/tpch.py — Q7 (volume shipping) and
-Q14 (promotion effect), the two remaining classics whose column sets
-exist in the driver testdata (no partsupp / l_shipmode / l_commitdate
-here, which rules out Q2/Q12/Q19 et al). Reference parity target:
-the reference is a TPC-flavored engine (src/main.rs:28-29 `tpc-1`).
+"""TPC-H shapes beyond queries/tpch.py — Q7 (volume shipping), Q14
+(promotion effect), and Q21 (suppliers who kept orders waiting, r5),
+the remaining classics whose column sets exist in the driver testdata
+(no partsupp / l_shipmode / l_commitdate here, which rules out
+Q2/Q12/Q19 et al; Q4/Q21's late predicate is adapted — see their
+docstrings). Reference parity target: the reference is a TPC-flavored
+engine (src/main.rs:28-29 `tpc-1`).
 
-Own module imported after the pinned round-4 verification window
-(registry.load_all) — both queue for the round-5 rotation; exact
-oracles are pytest-verified meanwhile (tests/test_queries_oracle.py).
+In the round-5 driver verification window (registry.load_all).
 """
 
 from __future__ import annotations
@@ -136,4 +136,88 @@ def q_tpch_q14(spark, sf_dir):
                 4,
             ).alias("promo_revenue")
         )
+    )
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC NULLS LAST
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    testdata column set: no l_commitdate/l_receiptdate here, so "late"
+    is l_shipdate > o_orderdate + 30 days (the q_tpch_q4 convention).
+    The hardest decorrelation shape in the suite — a correlated EXISTS
+    *and* a correlated NOT EXISTS, both self-joins on lineitem with a
+    same-order-different-supplier condition: the supplier was late on
+    a multi-supplier order where NO other supplier was late. Spark
+    expresses the two subqueries as LEFT SEMI / LEFT ANTI joins with a
+    composite condition (orderkey equality + suppkey inequality
+    residual) — exactly what Catalyst's RewritePredicateSubquery
+    produces for the SQL form (reference reaches this surface via
+    ctx.sql, benches/query.rs:43; `tpc-1` data dir src/main.rs:28-29).
+
+    Scale: the late set is built once and reused for both the base
+    rows and the anti side (self-anti-join of a filtered derived
+    table, NOT a second scan); all three join legs shuffle co-keyed
+    on l_orderkey, so the semi and anti evaluate within already
+    co-partitioned matches; supplier and nation broadcast; the final
+    agg is |suppliers| rows into a top-100 TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1, l2, l3 = late.alias("l1"), li.alias("l2"), late.alias("l3")
+    waiters = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc_nulls_last())
+        .limit(100)
     )

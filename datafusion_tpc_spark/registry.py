@@ -44,23 +44,51 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-3), so the window is re-pointed each round at (a) every query
+    1-4), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 4 order (VERDICT r3 items 3+6): the 9
-    never-verified ids first, via their modules — tpch (5: q1/q10/q18
-    never checked + NEW q4/q6), udfs (4: q_udtf never checked),
-    scalar_functions (10: q_fn_json/q_fn_blake3 never checked),
-    events (6: q_evt_hop never checked), stream_queries (7:
-    q_stream_hop/q_stream_join never checked, q_stream_enrich NEW;
-    whole module carries the r4 ts-unit fix, so all q_stream_* rows
-    need fresh driver evidence) — that's 32; joins follows (13: 12
-    r1-only greens + NEW q_join_salted), then windows (5: 4 r1-only
-    greens + NEW q_win_dist) = exactly 50. The r1-green sorts trio
-    queues at 51-53; everything after queues behind with r1-r3 green
-    rows.
+    stalest green rows. Round 5 order (VERDICT r4 item 1): every one
+    of the 17 never-verified r4 additions plus the 2 new r5 queries,
+    via their modules — sorts (4: q_topk_group never + 3 r1-only
+    greens), setops (7: q_except_all/q_intersect_all never + 5
+    r1-only), arrays (2: both never), tpch_extra (3: q7/q14 never +
+    NEW q_tpch_q21), stream_sink (1: never — the only EXACT-oracled
+    streaming query, its first driver row proves the write path the
+    reference left as todo!()), chunking (4: all never), text (5:
+    q_text_vocab never + 4 r2/r3 greens), scans (10: q_scan_xml/
+    q_scan_dpp never + 8 r1/r3 greens), aggregates_ext (3:
+    q_agg_mode/q_agg_hist never + NEW q_agg_decimal) = 39; then the
+    stalest greens fill to 50: predicates (3, r1-only), subqueries
+    (6, r2), asof (2, r2) = exactly 50. After this round every
+    registered query has ≥1 driver CORRECTNESS row and the window
+    settles into pure staleness rotation
+    (tests/test_registry_order.py::test_window_staleness).
+
+    Import-cascade discipline: window modules must not transitively
+    import query-registering modules (that drags the imported
+    module's registrations ahead of the window plan) — shared
+    helpers live in functions/digest.py and streaming/
+    events_source.py for exactly this reason.
+
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        sorts,
+        setops,
+        arrays,
+        tpch_extra,
+    )
+    from datafusion_tpc_spark.streaming import stream_sink  # noqa: F401
+    from datafusion_tpc_spark.operators import chunking, text  # noqa: F401
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        scans,
+        aggregates_ext,
+        predicates,
+        subqueries,
+    )
+    from datafusion_tpc_spark.operators import asof  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
     from datafusion_tpc_spark.queries import (  # noqa: F401
         tpch,
         udfs,
@@ -71,23 +99,12 @@ def load_all() -> None:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         joins,
         windows,
-        sorts,
-        predicates,
-        setops,
-        subqueries,
         aggregates,
-        scans,
         logs_queries,
-        arrays,
-        tpch_extra,
     )
-    from datafusion_tpc_spark.streaming import stream_sink  # noqa: F401
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,
         pipeline,
-        chunking,
         similarity,
-        text,
         multimodal,
-        asof,
     )

@@ -32,25 +32,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from datafusion_tpc_spark.registry import query
-from datafusion_tpc_spark.session import configure_runtime
+from datafusion_tpc_spark.streaming.events_source import (  # noqa: F401
+    _EVENT_SCHEMA_NS,
+    _EVENT_SCHEMA_TS,
+    _events_streaming,
+    _events_ts_is_ns_long,
+)
 
-_EVENT_SCHEMA_TS = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-_EVENT_SCHEMA_NS = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
-def _events_ts_is_ns_long(sf_dir: str) -> bool:
-    """Probe the events.parquet footer for the physical ts type —
-    the streaming twin of catalog.load_table's dtype probe
-    (catalog.py:53). Streaming sources need an explicit schema, so
-    the probe must happen BEFORE the read: int64 means ns-epoch data
-    (read as long, integer-DIV to µs), a real timestamp type means
-    the file already stores µs and must be read as timestamp —
-    applying the DIV path to µs data compresses the time range 1000×
-    and silently breaks every watermark."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
-
-    return pat.is_integer(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+# _events_streaming + the ts-unit footer probe live in
+# events_source.py (r5: shared with stream_sink.py without coupling
+# registration order); re-exported for the tests that import them here.
 
 
 def _drain(df, spark, name_prefix: str):
@@ -69,20 +60,6 @@ def _drain(df, spark, name_prefix: str):
     finally:
         q.stop()
     return spark.table(name)
-
-
-def _events_streaming(spark, sf_dir):
-    configure_runtime(spark)
-    ns_long = _events_ts_is_ns_long(sf_dir)
-    src = (
-        spark.readStream.schema(_EVENT_SCHEMA_NS if ns_long else _EVENT_SCHEMA_TS)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
-    if ns_long:
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return src
 
 
 @query("q_stream_tumble")  # † rows-only: streaming run

@@ -18,12 +18,13 @@ give the same exactly-once semantics for batch-ish backfills.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.registry import query
-from datafusion_tpc_spark.streaming.stream_queries import _events_streaming
+from datafusion_tpc_spark.streaming.events_source import _events_streaming
 
 _SINK_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "stream_sink"
@@ -32,8 +33,11 @@ _SINK_CACHE = os.path.join(
 
 @query(
     "q_stream_sink",
+    # CAST(ts AS TIMESTAMP) mirrors the µs truncation of the Spark
+    # sink schema — keeps the oracle unit-agnostic if a testdata drop
+    # reverts events.ts to timestamp[ns] (ADVICE r4, FIXTURES.md §9).
     oracle="""
-    SELECT event_id, user_id, ts, value
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
     FROM events
     WHERE event_type = 'purchase'
     """,
@@ -55,6 +59,12 @@ def q_stream_sink(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "value")
     )
+    # Prune prior runs' uuid dirs so repeated driver/bench/pytest
+    # invocations don't accumulate sink+checkpoint dirs without bound
+    # (ADVICE r4). Fresh-checkpoint-per-run semantics are kept.
+    if os.path.isdir(_SINK_CACHE):
+        for stale in os.listdir(_SINK_CACHE):
+            shutil.rmtree(os.path.join(_SINK_CACHE, stale), ignore_errors=True)
     root = os.path.join(_SINK_CACHE, uuid.uuid4().hex[:12])
     data_dir = os.path.join(root, "data")
     q = (

@@ -1,76 +1,92 @@
 """Registration-order invariants (ADVICE r2, registry.py).
 
 The external driver verifies queries in dict-insertion order with a
-bounded window (50 rows in rounds 1-2). load_all() deliberately points
+bounded window (50 rows in rounds 1-4). load_all() deliberately points
 that window at the modules changed this round — but nothing enforced
 the ordering, so a query added to an earlier-imported module silently
 shifted the window. This pins the window contents: adding/moving a
 query now fails HERE, prompting a deliberate re-point instead of a
 silent coverage hole.
+
+Round 5 adds test_window_staleness (VERDICT r4 item 6): the rotation
+discipline itself is now a failing test — a registered query whose
+last driver CORRECTNESS row is too many rounds old must be in the
+current window, or this test fails. That turns the manual "remember
+to rotate" process cost into an automatic one.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 from datafusion_tpc_spark import registry
 
 registry.load_all()
 
-# The round-4 driver window (VERDICT r3 items 3+6): the 9
-# never-driver-verified ids first via their modules (tpch incl. NEW
-# q4/q6, udfs, scalar_functions, events, stream_queries — the latter
-# carrying the r4 ts-unit fix), then the stalest r1-only green
-# modules (joins, windows, sorts) to fill exactly 50.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The round-5 driver window (VERDICT r4 item 1): all 17 ids that had
+# never had a driver CORRECTNESS row after r4 (q_topk_group,
+# q_except_all, q_intersect_all, q_fn_array, q_fn_map, q_tpch_q7,
+# q_tpch_q14, q_stream_sink, q_pipe_chunk/rep/pack/upsert,
+# q_text_vocab, q_scan_xml, q_scan_dpp, q_agg_mode, q_agg_hist), the
+# 2 new r5 queries (q_tpch_q21, q_agg_decimal), and the stalest
+# greens (r1-only sorts/setops/predicates, r1/r3 scans, r2/r3 text,
+# r2 subqueries/asof) to fill exactly 50.
 EXPECTED_WINDOW_50 = [
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q18",
-    "q_udf",
-    "q_udf_iter",
-    "q_udf_grouped_map",
-    "q_udtf",
-    "q_fn_math",
-    "q_fn_string",
-    "q_fn_regex",
-    "q_fn_hash",
-    "q_fn_nondet",
-    "q_explode",
-    "q_fn_struct",
-    "q_fn_blake",
-    "q_fn_blake3",
-    "q_fn_json",
-    "q_agg_avg",
-    "q_fn_date",
-    "q_fn_datebin",
-    "q_evt_tumble",
-    "q_evt_session",
-    "q_evt_hop",
-    "q_stream_tumble",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    "q_stream_join",
-    "q_stream_enrich",
-    "q_stream_hop",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_join_residual",
-    "q_join_salted",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_movavg",
-    "q_win_range",
-    "q_win_dist",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk",
+    "q_topk_group",
+    "q_union",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_distinct",
+    "q_except_all",
+    "q_intersect_all",
+    "q_fn_array",
+    "q_fn_map",
+    "q_tpch_q7",
+    "q_tpch_q14",
+    "q_tpch_q21",
+    "q_stream_sink",
+    "q_pipe_chunk",
+    "q_pipe_rep",
+    "q_pipe_pack",
+    "q_pipe_upsert",
+    "q_text_stats",
+    "q_text_lang",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_text_vocab",
+    "q_scan_full",
+    "q_filter_proj",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_values",
+    "q_scan_avro",
+    "q_scan_partitioned",
+    "q_scan_orc",
+    "q_scan_xml",
+    "q_scan_dpp",
+    "q_agg_mode",
+    "q_agg_hist",
+    "q_agg_decimal",
+    "q_pred_algebra",
+    "q_pred_like",
+    "q_case_cast",
+    "q_sub_in",
+    "q_sub_notin",
+    "q_sub_scalar",
+    "q_sub_corr_scalar",
+    "q_agg_gsets",
+    "q_cte",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 
@@ -82,3 +98,49 @@ def test_every_query_has_callable_and_oracle_subset():
     for name, fn in registry.QUERIES.items():
         assert callable(fn), name
     assert set(registry.ORACLE) <= set(registry.QUERIES)
+
+
+def _correctness_history():
+    """(current_round, {query_id: last round with a driver row}) from
+    the committed CORRECTNESS_r*.json artifacts. current_round is the
+    round being built (max committed + 1)."""
+    last_seen: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnum = int(m.group(1))
+        max_round = max(max_round, rnum)
+        with open(path) as f:
+            rows = json.load(f)
+        for qid in rows:
+            last_seen[qid] = max(last_seen.get(qid, 0), rnum)
+    return max_round + 1, last_seen
+
+
+# Full-inventory cycle length: ceil(|registry| / 50) rounds — 3 at the
+# current 142 — plus one round of slack for window-planning freedom.
+_MAX_STALE_ROUNDS = 4
+
+
+def test_window_staleness():
+    """No registered query may go unverified for more than
+    _MAX_STALE_ROUNDS rounds without being scheduled in the CURRENT
+    driver window (first 50 registrations). Never-verified queries
+    have infinite staleness — they must be in the window immediately.
+    This is the automated form of the rotation discipline that let 17
+    round-4 queries accumulate without driver evidence (VERDICT r4)."""
+    current_round, last_seen = _correctness_history()
+    assert last_seen, "no CORRECTNESS_r*.json committed — cannot audit staleness"
+    window = set(list(registry.QUERIES)[:50])
+    violations = {
+        qid: (current_round - last_seen[qid]) if qid in last_seen else "never"
+        for qid in registry.QUERIES
+        if qid not in window
+        and (qid not in last_seen or current_round - last_seen[qid] > _MAX_STALE_ROUNDS)
+    }
+    assert not violations, (
+        f"queries too stale and not in the current driver window "
+        f"(rotate registry.load_all): {violations}"
+    )
