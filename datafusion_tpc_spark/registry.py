@@ -101,6 +101,8 @@ def load_all() -> None:
         windows,
         aggregates,
         logs_queries,
+        tpch_more,
+        typefns,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,

