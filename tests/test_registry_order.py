@@ -141,6 +141,7 @@ _BIRTH_ROUND = {
     "q_fn_interval": 5,
     "q_fn_binary": 5,
     "q_profile": 5,
+    "q_stream_pysource": 5,
 }
 
 
