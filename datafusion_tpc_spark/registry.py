@@ -109,4 +109,5 @@ def load_all() -> None:
         pipeline,
         similarity,
         multimodal,
+        bucketing,
     )

@@ -252,3 +252,34 @@ def test_tpch_q6_predicates_reach_scan(spark):
     read_schema = next(l for l in q6.splitlines() if "ReadSchema" in l)
     assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
     assert q6.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucketed_join_no_exchange(spark):
+    """operators/bucketing.py claim: both sides written bucketBy(8,
+    orderkey) → the sort-merge join's distribution requirement is
+    satisfied by file layout, so NO Exchange feeds the join — the
+    only shuffles in the whole plan are the post-join groupBy and the
+    presentation sort on 3 rows. Scans must actually report the
+    bucketed layout."""
+    plan = _plan(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2, "scans are not bucket-aware"
+    # The tree section of formatted explain (everything before the
+    # first blank line) shows structure by indentation: no Exchange
+    # may sit BELOW the SortMergeJoin node (deeper-indented after it).
+    tree = plan.split("\n\n")[0].splitlines()
+    smj_at = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    smj_depth = len(tree[smj_at]) - len(tree[smj_at].lstrip())
+    below_join = [
+        l
+        for l in tree[smj_at + 1 :]
+        if (len(l) - len(l.lstrip())) > smj_depth
+    ]
+    assert below_join, "could not resolve the join subtree"
+    assert not any("Exchange" in l for l in below_join), (
+        f"an Exchange feeds the bucketed join: {below_join}"
+    )
+    # above the join: the groupBy hash exchange and the tiny
+    # presentation-sort range exchange only
+    above = [l for l in tree[:smj_at] if "Exchange" in l]
+    assert len(above) == 2, f"expected 2 post-join shuffles, got {above}"

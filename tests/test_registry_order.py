@@ -142,6 +142,7 @@ _BIRTH_ROUND = {
     "q_fn_binary": 5,
     "q_profile": 5,
     "q_stream_pysource": 5,
+    "q_join_bucketed": 5,
 }
 
 
