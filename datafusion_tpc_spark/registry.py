@@ -95,7 +95,11 @@ def load_all() -> None:
         scalar_functions,
         events,
     )
-    from datafusion_tpc_spark.streaming import stream_queries, py_source  # noqa: F401
+    from datafusion_tpc_spark.streaming import (  # noqa: F401
+        stream_queries,
+        py_source,
+        py_sink,
+    )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         joins,
         windows,

@@ -143,6 +143,7 @@ _BIRTH_ROUND = {
     "q_profile": 5,
     "q_stream_pysource": 5,
     "q_join_bucketed": 5,
+    "q_stream_pysink": 5,
 }
 
 
