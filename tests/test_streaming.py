@@ -350,3 +350,33 @@ def test_stream_hop_matches_batch(spark):
         brow = batch[key]
         assert srow["n"] == brow["n"], key
         assert abs(srow["total_value"] - brow["total_value"]) < 1e-6, key
+
+
+def test_pysink_orphan_files_invisible(spark):
+    """Exactly-once pin for the custom Python sink
+    (streaming/py_sink.py): only manifest-committed part files are
+    readable — an orphan part file (the residue of a failed or
+    speculative task that never reached commit()) must not appear in
+    the read-back set."""
+    import os
+
+    from datafusion_tpc_spark.registry import QUERIES
+    from datafusion_tpc_spark.streaming.py_sink import _SINK_ROOT, committed_files
+
+    df = QUERIES["q_stream_pysink"](spark, SF_DIR)
+    n = df.count()
+    assert n == 10000
+    out_dir = os.path.join(_SINK_ROOT, os.listdir(_SINK_ROOT)[0])
+    committed_before = set(committed_files(out_dir))
+    orphan = os.path.join(out_dir, "part-orphan-from-failed-task.csv")
+    with open(orphan, "w") as f:
+        f.write("999999,1,1.0\n")
+    assert set(committed_files(out_dir)) == committed_before, (
+        "orphan part file leaked into the committed set"
+    )
+    assert (
+        spark.read.schema("event_id long, user_id long, value double")
+        .csv(committed_files(out_dir))
+        .count()
+        == n
+    )
