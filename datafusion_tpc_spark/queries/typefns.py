@@ -166,3 +166,57 @@ def q_profile(spark, sf_dir):
             "AS (col_name, n, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END), 6)
+             AS even_user_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST
+    """,
+)
+def q_fn_variant(spark, sf_dir):
+    """VARIANT type (Spark 4's semi-structured type — binary-encoded
+    JSON with typed path extraction, the open-format twin of the
+    engine-specific JSON types DF 19 lacks entirely): parse the props
+    payload into a VARIANT and extract `$.k` typed; round-trip the
+    typed columns through to_json → parse_json → variant_get and
+    aggregate on the extracted values. The oracle computes the same
+    aggregates DIRECTLY from the base columns — a hash match proves
+    the variant round-trip is lossless (ints, doubles, nested paths),
+    which is the property that matters before pointing this at real
+    event payloads.
+
+    Scale: parse_json/variant_get are JVM expressions inside the scan
+    stage — parse once, extract the needed fields, let partial
+    aggregation collapse the rest; VARIANT's binary encoding is
+    designed to push typed extraction to the columnar reader."""
+    ev = load_table(spark, sf_dir, "events")
+    extracted = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr(
+            "variant_get(parse_json(to_json(struct(user_id, value))), '$.user_id', 'bigint')"
+        ).alias("u"),
+        F.expr(
+            "variant_get(parse_json(to_json(struct(user_id, value))), '$.value', 'double')"
+        ).alias("val"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(
+                F.sum(F.when(F.col("u") % 2 == 0, F.col("val")).otherwise(F.lit(0.0))),
+                6,
+            ).alias("even_user_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )

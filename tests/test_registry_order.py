@@ -144,6 +144,7 @@ _BIRTH_ROUND = {
     "q_stream_pysource": 5,
     "q_join_bucketed": 5,
     "q_stream_pysink": 5,
+    "q_fn_variant": 5,
 }
 
 
