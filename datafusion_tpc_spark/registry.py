@@ -107,6 +107,7 @@ def load_all() -> None:
         logs_queries,
         tpch_more,
         typefns,
+        sql_shapes,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,

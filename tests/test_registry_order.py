@@ -145,6 +145,8 @@ _BIRTH_ROUND = {
     "q_join_bucketed": 5,
     "q_stream_pysink": 5,
     "q_fn_variant": 5,
+    "q_cte_recursive": 5,
+    "q_join_lateral": 5,
 }
 
 
