@@ -425,3 +425,47 @@ def q_agg_salted(spark, sf_dir):
         F.round("max_value", 6).alias("max_value"),
     )
 
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS all_bits,
+           CAST(bit_or(user_id)  AS BIGINT) AS any_bits,
+           CAST(bit_xor(user_id) AS BIGINT) AS parity_bits,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INTEGER))
+                AS BIGINT) AS presence_mask
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS LAST
+    """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates — bit_and/bit_or/bit_xor plus the
+    presence-bitmap idiom (OR of 1 << (key % 60)): the fixed-size
+    set-membership sketch behind bitmap indexes and roaring-style
+    audience filters. All four accumulate into a single 8-byte state
+    per group — the cheapest aggregate family there is at 100 TB
+    (map-side combine reduces every partition to one word per
+    group).
+
+    Cross-engine note: both engines define <<, bit_and/or/xor on
+    64-bit ints identically; the modulus is 60 (not 64) because
+    DuckDB raises on signed overflow at 1 << 63 where Spark wraps —
+    keeping the top bits clear sidesteps the semantic edge; user_id
+    is non-negative in the fixture so % stays non-negative on both."""
+    ev = load_table(spark, sf_dir, "events")
+    # SQL form: the Python shiftleft() helper takes only a literal
+    # bit count, the expression form accepts a per-row column
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").cast("bigint").alias("all_bits"),
+            F.bit_or("user_id").cast("bigint").alias("any_bits"),
+            F.bit_xor("user_id").cast("bigint").alias("parity_bits"),
+            F.bit_or(mask).cast("bigint").alias("presence_mask"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )

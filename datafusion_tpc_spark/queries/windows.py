@@ -224,3 +224,74 @@ def q_win_dist(spark, sf_dir):
         F.round(F.first("c_acctbal").over(w_full), 2).alias("nation_min_bal"),
         F.round(F.last("c_acctbal").over(w_full), 2).alias("nation_max_bal"),
     )
+
+
+@query(
+    "q_win_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST,
+                   event_id ASC NULLS LAST)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC NULLS LAST,
+                                             event_id ASC NULLS LAST
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_win_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization — the pure-window twin of the
+    engine-native session_window (q_evt_session): LAG marks gaps
+    > 30 min, a running SUM of the marks numbers the islands, and a
+    grouped count sizes each session. Ties on ts break by event_id so
+    LAG order is deterministic cross-engine. The two formulations
+    must agree on session COUNT per user (pinned against
+    q_evt_session's gap semantics in spirit; the window form also
+    works where session_window doesn't — e.g. assigning the session
+    id back onto EVERY event row without a join).
+
+    Scale: one hash exchange on user_id serves both window passes and
+    the final aggregation (same partitioning reused across stages —
+    Catalyst plans a single shuffle); state is one row per
+    (user, open island), never the whole history."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    # microsecond-exact gap compare (a seconds cast truncates and can
+    # disagree with the oracle at sub-second boundaries); tie-break the
+    # running sum by event_id so duplicate-ts rows order identically
+    # ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # cast is value-identity under the UTC session tz
+    # (catalog.configure_runtime)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap > 1_800_000_000, 1).otherwise(0)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn(
+        "session_seq", F.sum("new_session").over(wrun).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -147,6 +147,8 @@ _BIRTH_ROUND = {
     "q_fn_variant": 5,
     "q_cte_recursive": 5,
     "q_join_lateral": 5,
+    "q_win_sessionize": 5,
+    "q_agg_bitwise": 5,
 }
 
 
