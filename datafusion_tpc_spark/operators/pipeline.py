@@ -587,3 +587,83 @@ def q_pipe_kept(spark, sf_dir):
             .alias("split"),
         )
     )
+
+
+@query(
+    "q_pipe_lm",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS w
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1,
+                    len(string_split(text, ' ')))) AS i) g
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM words GROUP BY w
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bg
+      FROM bigrams GROUP BY w1, w2
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(CAST(bi.n_bg AS DOUBLE) / uni.n_w)), 6)
+             AS avg_logp
+    FROM bigrams g
+    JOIN bi  ON bi.w1 = g.w1 AND bi.w2 = g.w2
+    JOIN uni ON uni.w = g.w1
+    GROUP BY g.doc_id
+    ORDER BY doc_id NULLS LAST
+    """,
+)
+def q_pipe_lm(spark, sf_dir):
+    """Corpus-bigram language-model quality scoring (the CCNet /
+    KenLM-filtering shape, with the corpus itself as the LM): build
+    unigram and bigram count tables over the whole corpus, then score
+    each document by its mean log conditional bigram probability
+    avg(ln(count(w1 w2) / count(w1))) — boilerplate scores high
+    (its bigrams dominate the corpus), unique junk scores low. In a
+    production pipeline the count tables come from a reference corpus
+    and the scores feed the keep/drop threshold next to
+    q_pipe_quality_filter's heuristics.
+
+    Scale: two explode→groupBy count passes (map-side combined,
+    shuffle ∝ vocabulary); scoring joins are co-keyed on the gram —
+    the per-doc bigram stream joins the count tables without ever
+    materializing per-doc state. Single-word docs are excluded
+    identically on both sides (no bigrams exist — the q_pipe_rep
+    guard, ADVICE r4)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bi = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bg"))
+    return (
+        grams.join(bi, ["w1", "w2"])
+        .join(uni, grams.w1 == uni.w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("n_bg").cast("double") / F.col("n_w"))), 6
+            ).alias("avg_logp"),
+        )
+    )

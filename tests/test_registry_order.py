@@ -149,6 +149,7 @@ _BIRTH_ROUND = {
     "q_join_lateral": 5,
     "q_win_sessionize": 5,
     "q_agg_bitwise": 5,
+    "q_pipe_lm": 5,
 }
 
 
