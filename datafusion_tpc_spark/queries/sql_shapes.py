@@ -11,7 +11,9 @@ tests/test_registry_order.py.
 
 from __future__ import annotations
 
-from datafusion_tpc_spark.catalog import register_tables
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table, register_tables
 from datafusion_tpc_spark.registry import query
 
 # Month spine via recursion, then gap-filled per-month order counts —
@@ -121,3 +123,55 @@ def q_join_lateral(spark, sf_dir):
     lateral semantics would suggest."""
     register_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, o_totalprice
+      FROM orders
+    ),
+    b AS (
+      SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS k
+      FROM orders
+    )
+    SELECT COALESCE(a.k, '<null>') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(a.o_totalprice), 2) AS total
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY key NULLS LAST
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` ↔ `IS NOT DISTINCT FROM`): NULL
+    keys MATCH each other instead of vanishing — the semantic
+    variant a plain equi-join cannot express (a.k = b.k drops every
+    NULL row; here the NULLIF'd '3-MEDIUM' population survives the
+    join and lands in the '<null>' bucket). Both engines treat
+    null-safe equality as a hashable join key, so this plans as a
+    regular hash/sort-merge join, not a nested loop — the property
+    that keeps it usable on skewed nullable keys at scale.
+
+    Scale: identical to any equi-join — <=> participates in hash
+    partitioning (NULL hashes like a value), so co-partitioning and
+    AQE skew handling apply unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("k"),
+        "o_totalprice",
+    )
+    b = a.select("k").distinct().select(F.col("k").alias("bk"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("key"), "n", "total"
+        )
+        .orderBy(F.col("key").asc_nulls_last())
+    )

@@ -150,6 +150,7 @@ _BIRTH_ROUND = {
     "q_win_sessionize": 5,
     "q_agg_bitwise": 5,
     "q_pipe_lm": 5,
+    "q_join_nullsafe": 5,
 }
 
 
