@@ -106,6 +106,7 @@ def load_all() -> None:
         aggregates,
         logs_queries,
         tpch_more,
+        tpch_full,
         typefns,
         sql_shapes,
     )

@@ -151,6 +151,14 @@ _BIRTH_ROUND = {
     "q_agg_bitwise": 5,
     "q_pipe_lm": 5,
     "q_join_nullsafe": 5,
+    "q_tpch_q2": 5,
+    "q_tpch_q9": 5,
+    "q_tpch_q11": 5,
+    "q_tpch_q12": 5,
+    "q_tpch_q16": 5,
+    "q_tpch_q20": 5,
+    "q_agg_freq": 5,
+    "q_evt_funnel": 5,
 }
 
 

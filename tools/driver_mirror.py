@@ -1,6 +1,10 @@
 """Mirror of the driver harness: vanilla SparkSession (no engine conf),
-calls entry(), then every queries() entry at sf0.01 vs oracle_sql() in DuckDB."""
-import sys, math, datetime as dt
+calls entry(), then every queries() entry at sf0.01 vs oracle_sql() in DuckDB.
+
+SPARK_GRAFT_MIRROR_ONLY=name1,name2 restricts the t2 loop to those
+queries (incremental rehearsal while iterating); the full default run
+remains the pre-round gate of record."""
+import os, sys, math, datetime as dt
 sys.path.insert(0, '/root/repo')
 from pyspark.sql import SparkSession
 import duckdb
@@ -33,6 +37,11 @@ def norm(v):
     return str(v)
 
 Q, O = E.queries(), E.oracle_sql()
+only = {n.strip() for n in os.environ.get("SPARK_GRAFT_MIRROR_ONLY", "").split(",") if n.strip()}
+if only:
+    unknown = only - set(Q)
+    assert not unknown, f"unknown queries: {unknown}"
+    Q = {n: Q[n] for n in only}
 fails = []
 for name, fn in sorted(Q.items()):
     sdf = fn(spark, '/root/testdata/sf0.01')
