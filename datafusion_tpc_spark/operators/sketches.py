@@ -1,0 +1,124 @@
+"""Mergeable frequency sketches (r5) — beyond-reference LLM-pipeline
+layer: corpus-scale heavy hitters without a full-vocabulary shuffle.
+
+The reference's aggregate surface arrives via DataFusion 19
+(SURVEY §2.4, Cargo.toml:15); its only sketch family is
+approx_distinct/approx_percentile (covered by q_agg_approxd /
+q_agg_pctl). This module adds the classic streaming-frequency sketch
+the LLM-curation layer needs at 100 TB: Misra-Gries candidate
+generation + exact re-count verification — the two-phase shape where
+the SKETCH only proposes a bounded candidate set and a cheap exact
+pass confirms, so the final answer is deterministic and carries an
+EXACT oracle even though the first phase is an approximation.
+
+Guarantee chain (why the candidate set is a superset of the truth):
+an item with global count > n/k must have local count > n_p/k on at
+least one partition p (otherwise its global count ≤ Σ n_p/k = n/k);
+Misra-Gries with k counters retains every item of local count
+> n_p/(k+1) ≥ n_p/k's survivors — so every true heavy hitter appears
+in some partition's candidate output. The union of per-partition
+candidates is ≤ k × partitions rows (bounded, broadcastable)
+regardless of corpus size.
+
+100 TB design: phase 1 is one mapInPandas pass with O(k) state per
+partition and ≤ k rows emitted per partition — no shuffle, no
+vocabulary-sized state (contrast q_text_vocab, which shuffles the
+full vocabulary; fine for tokenizer training, wasteful for "which
+tokens dominate"). Phase 2 broadcasts the candidate set into a
+semi-join filter on the token stream and counts ONLY candidates —
+map-side combine on a ≤ k×P key space. The n scalar rides the same
+pass via a broadcast one-row aggregate. Threshold compare is integer
+(count*k > n) — no float boundary risk.
+
+Testdata quirk: documents.text is a ~31-word synthetic vocabulary
+(memory notes), so k=30 counters ≈ vocabulary size and the sketch
+barely discards — the correctness surface is the two-phase protocol;
+the sketch's memory bound is what matters at real vocabulary sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+_K = 30  # heavy-hitter order: report tokens with count*K > total
+
+
+def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Misra-Gries with _K counters over this partition's token stream.
+
+    Emits the surviving (token, residual) counters — residuals are
+    candidate-generation artifacts only; the exact phase recounts.
+    Arrow-batched: tokenization is vectorized str.split, the counter
+    loop touches the small per-batch token-count dict, not rows."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        # per-batch exact token counts first (vectorized), then merge
+        # into the bounded sketch — decrement amortizes across the
+        # batch instead of per-token.
+        batch_counts = pdf["text"].str.split(" ").explode().value_counts()
+        for token, cnt in batch_counts.items():
+            counters[token] = counters.get(token, 0) + int(cnt)
+            if len(counters) > _K:
+                dec = min(counters.values())
+                counters = {
+                    t: c - dec for t, c in counters.items() if c - dec > 0
+                }
+    yield pd.DataFrame(
+        {"token": list(counters), "residual": list(counters.values())}
+    )
+
+
+@query(
+    "q_agg_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(n), 6) AS share
+    FROM tok, tot
+    GROUP BY token
+    HAVING COUNT(*) * {_K} > ANY_VALUE(n)
+    ORDER BY cnt DESC NULLS LAST, token ASC NULLS LAST
+    """,
+)
+def q_agg_freq(spark, sf_dir):
+    """Heavy hitters over the document token stream: every token with
+    frequency above 1/_K of the corpus, with exact counts and shares.
+    Two-phase: bounded Misra-Gries candidates per partition
+    (mapInPandas, O(_K) state, zero shuffle), then an exact recount
+    restricted to the broadcast candidate set. The oracle is the
+    direct full-vocabulary GROUP BY ... HAVING — if the sketch ever
+    dropped a true heavy hitter, the hash would mismatch.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text").repartition(8)
+    candidates = (
+        docs.mapInPandas(_mg_partition, "token string, residual long")
+        .select("token")
+        .distinct()
+    )
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * _K > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc_nulls_last(), F.col("token").asc_nulls_last())
+    )

@@ -240,3 +240,91 @@ def q_evt_hop(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "q_evt_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS depth
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    ORDER BY u.user_id ASC NULLS LAST
+    """,
+)
+def q_evt_funnel(spark, sf_dir):
+    """Ordered funnel analysis (beyond reference — the product-
+    analytics staple): per user, the earliest view → first click
+    AFTER that view → first purchase AFTER that click, plus the
+    funnel depth reached. The sequential "step N must follow step
+    N-1" constraint makes this non-expressible as one aggregation;
+    the engine shape is a chain of per-key MIN aggregations, each
+    joined back and filtered by the previous step's timestamp —
+    exactly how Catalyst decorrelates the equivalent nested
+    subqueries, stated explicitly (same CTE text in the oracle).
+
+    Scale: every aggregation and join keys on user_id — ONE
+    partitioning reused across all three steps and the final
+    assembly (co-partitioned joins, no re-shuffle); each step's
+    input shrinks monotonically (only users who completed the prior
+    step). 100 TB: |users| bounds state, not |events|; step tables
+    are tiny and broadcast under AQE."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .when(F.col("t_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("depth"))
+        .orderBy(F.col("user_id").asc_nulls_last())
+    )

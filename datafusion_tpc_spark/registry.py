@@ -116,4 +116,5 @@ def load_all() -> None:
         similarity,
         multimodal,
         bucketing,
+        sketches,
     )
