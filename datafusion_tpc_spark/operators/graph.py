@@ -74,10 +74,10 @@ def _iter_cte(i: int) -> str:
 _PAGERANK_SQL = (
     _GRAPH_CTE
     + """,
-    r0 AS (SELECT deg.src AS node, 1.0 / nn.n AS rank FROM deg, nn)"""
+    r0 AS (SELECT deg.src AS node, 1.0 / nn.n AS rank FROM deg, nn),"""
     + ",".join(_iter_cte(i) for i in range(1, _ITERS + 1))
     + f"""
-    SELECT node, ROUND(rank * ANY_VALUE(nn.n), 6) AS rank_norm
+    SELECT node, ROUND(ANY_VALUE(rank) * ANY_VALUE(nn.n), 6) AS rank_norm
     FROM r{_ITERS}, nn
     GROUP BY node
     ORDER BY rank_norm DESC NULLS LAST, node ASC NULLS LAST

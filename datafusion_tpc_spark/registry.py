@@ -117,4 +117,5 @@ def load_all() -> None:
         multimodal,
         bucketing,
         sketches,
+        graph,
     )

@@ -159,6 +159,7 @@ _BIRTH_ROUND = {
     "q_tpch_q20": 5,
     "q_agg_freq": 5,
     "q_evt_funnel": 5,
+    "q_graph_pagerank": 5,
 }
 
 
