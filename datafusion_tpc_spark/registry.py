@@ -118,4 +118,5 @@ def load_all() -> None:
         bucketing,
         sketches,
         graph,
+        layout,
     )

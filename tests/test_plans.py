@@ -283,3 +283,23 @@ def test_bucketed_join_no_exchange(spark):
     # presentation-sort range exchange only
     above = [l for l in tree[:smj_at] if "Exchange" in l]
     assert len(above) == 2, f"expected 2 post-join shuffles, got {above}"
+
+
+def test_zorder_box_prunes_partitions(spark):
+    """q_layout_zorder: the 2-D box must become a zbucket IN-list in
+    PartitionFilters (file-level skipping on both key dimensions), and
+    the cell cover must be a small fraction of the 256-cell grid."""
+    from datafusion_tpc_spark.operators import layout
+
+    registry.QUERIES["q_layout_zorder"](spark, SF_DIR)  # ensure layout exists
+    plan = _plan(spark, "q_layout_zorder")
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "zbucket" in pf
+    # the IN-list the scan prunes on covers a small fraction of the
+    # 256-cell grid (inputFiles() is pre-pruning, so assert the cover
+    # itself — the PartitionFilters line above is what applies it)
+    _, max_p, max_s = layout._zorder_copy(spark, SF_DIR)
+    cover = layout.box_cover(max_p, max_s)
+    assert 0 < len(cover) < 64, f"cell cover not selective: {cover}"
+    # and the exact box survives as residual data filters
+    assert "l_partkey" in plan and "l_suppkey" in plan

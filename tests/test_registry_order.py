@@ -160,6 +160,7 @@ _BIRTH_ROUND = {
     "q_agg_freq": 5,
     "q_evt_funnel": 5,
     "q_graph_pagerank": 5,
+    "q_layout_zorder": 5,
 }
 
 
