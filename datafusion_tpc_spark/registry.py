@@ -99,6 +99,7 @@ def load_all() -> None:
         stream_queries,
         py_source,
         py_sink,
+        merge,
     )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         joins,

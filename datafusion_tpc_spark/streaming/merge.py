@@ -1,0 +1,156 @@
+"""Streaming materialized-view maintenance (r5) — foreachBatch CDC
+merge: the third leg of the streaming write story, alongside the
+append-only checkpointed sink (stream_sink.py) and the custom
+commit-manifest sink (py_sink.py). The reference has no write path at
+all (todo!(), reference src/object_store/file.rs:215-228).
+
+Pattern under test: a keyed state table maintained incrementally from
+a stream — per micro-batch, summarize the batch per key, merge with
+the current table (last-writer-wins on (ts, event_id) + additive
+counts), and commit the result as a NEW immutable version directory.
+This is the MERGE INTO loop every warehouse runs for CDC ingestion,
+expressed without a table format: versioned directories stand in for
+the Delta/Iceberg snapshot chain (py_sink.py plays the same trick for
+commit manifests), and each version stays readable while the next one
+is written — no read-modify-write in place.
+
+Determinism: the merge is associative/commutative over batches —
+last-writer is keyed by the UNIQUE (ts, event_id) pair and counts
+add — so ANY batch partitioning of the input converges to the same
+state, and the final table carries an EXACT oracle (the second
+exactly-oracled streaming query after q_stream_sink):
+ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, event_id DESC) = 1
+plus a per-user COUNT. Multi-batch convergence is pinned in
+tests/test_streaming.py over the 4-file split fixture, including
+out-of-order arrival (the merge needs no watermark — upserts are
+order-free by construction).
+
+100 TB design: per batch = one groupBy(user_id) on the BATCH (small)
++ one co-keyed full merge against state; state size is |keys|, not
+|events|. At warehouse scale the state table is partitioned/bucketed
+by key so the merge join is exchange-free (operators/bucketing.py),
+and versions compact like any table format. Nothing driver-side but
+the current-version pointer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.registry import query
+from datafusion_tpc_spark.streaming.events_source import _events_streaming
+
+_MERGE_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "stream_merge"
+)
+
+_STATE_COLS = ("user_id", "last_ts", "last_type", "last_value", "last_eid", "n")
+
+
+def _summarize(df):
+    """Per-key batch summary: last row by (ts, event_id) + row count.
+    Works on raw event rows AND on prior state rows re-unioned (state
+    is its own summary), which is what makes the merge associative."""
+    return df.groupBy("user_id").agg(
+        F.expr(
+            "max_by(struct(last_ts, last_type, last_value, last_eid),"
+            " struct(last_ts, last_eid))"
+        ).alias("last"),
+        F.sum("n").alias("n"),
+    ).select(
+        "user_id",
+        F.col("last.last_ts").alias("last_ts"),
+        F.col("last.last_type").alias("last_type"),
+        F.col("last.last_value").alias("last_value"),
+        F.col("last.last_eid").alias("last_eid"),
+        "n",
+    )
+
+
+def _as_state_rows(events_df):
+    return events_df.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_eid"),
+        F.lit(1).cast("long").alias("n"),
+    )
+
+
+def run_merge_stream(spark, src, tag: str):
+    """Drain `src` (a streaming events DataFrame) through the
+    foreachBatch merge; returns the final state DataFrame."""
+    if os.path.isdir(_MERGE_CACHE):  # prune prior runs (ADVICE r4 pattern)
+        for stale in os.listdir(_MERGE_CACHE):
+            shutil.rmtree(os.path.join(_MERGE_CACHE, stale), ignore_errors=True)
+    root = os.path.join(_MERGE_CACHE, f"{tag}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(root, exist_ok=True)
+    current: list[str] = []  # version pointer (driver-held)
+
+    def merge_batch(bdf, batch_id: int):
+        upd = _summarize(_as_state_rows(bdf))
+        if current:
+            prev = bdf.sparkSession.read.parquet(current[0])
+            upd = _summarize(prev.unionByName(upd))
+        vdir = os.path.join(root, f"v{batch_id}")
+        # state is |keys| rows — tiny vs the stream; a handful of
+        # files per version (bucketed by key at warehouse scale)
+        upd.coalesce(4).write.mode("overwrite").parquet(vdir)
+        current.insert(0, vdir)
+
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert current, "merge stream produced no state version"
+    return spark.read.parquet(current[0])
+
+
+@query(
+    "q_stream_merge",
+    # CAST(ts AS TIMESTAMP) keeps the oracle unit-agnostic (FIXTURES §9)
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           ROUND(value, 6) AS last_value,
+           CAST(n AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id ASC NULLS LAST
+    """,
+)
+def q_stream_merge(spark, sf_dir):
+    """CDC upsert view over the event stream: per user, the latest
+    (ts, event_id)-ordered event plus a cumulative event count,
+    maintained incrementally by a foreachBatch merge into versioned
+    state directories and read back from the final version. The
+    oracle computes the same view directly over the batch table —
+    exact, because the merge is associative and the tie-break key is
+    unique (module docstring)."""
+    final = run_merge_stream(spark, _events_streaming(spark, sf_dir), "decl")
+    return (
+        final.select(
+            "user_id",
+            "last_ts",
+            "last_type",
+            F.round("last_value", 6).alias("last_value"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_last())
+    )

@@ -161,6 +161,7 @@ _BIRTH_ROUND = {
     "q_evt_funnel": 5,
     "q_graph_pagerank": 5,
     "q_layout_zorder": 5,
+    "q_stream_merge": 5,
 }
 
 

@@ -380,3 +380,46 @@ def test_pysink_orphan_files_invisible(spark):
         .count()
         == n
     )
+
+
+def test_stream_merge_multibatch_converges(spark):
+    """foreachBatch CDC merge (streaming/merge.py): four micro-batches
+    — in ts order AND with the oldest slice arriving last — must both
+    converge to the exact batch-computed view. Upserts are order-free
+    by construction (unique (ts, event_id) last-writer key + additive
+    counts), so unlike the windowed streams there is no late-data
+    loss to tolerate: equality is exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.streaming.merge import run_merge_stream
+    from datafusion_tpc_spark.streaming.stream_queries import _EVENT_SCHEMA_TS
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = _by_key(
+        load_table(spark, SF_DIR, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), "n")
+        .collect(),
+        ("user_id",),
+    )
+    for in_order in (True, False):
+        src_dir = _split_events_files(n=4, in_order=in_order)
+        src = (
+            spark.readStream.schema(_EVENT_SCHEMA_TS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        final = _by_key(
+            run_merge_stream(spark, src, f"test_{in_order}").collect(),
+            ("user_id",),
+        )
+        assert len(final) == len(expected), in_order
+        for key, row in final.items():
+            assert row["last_ts"] == expected[key]["last_ts"], (in_order, key)
+            assert row["n"] == expected[key]["n"], (in_order, key)
