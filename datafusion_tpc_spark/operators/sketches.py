@@ -122,3 +122,64 @@ def q_agg_freq(spark, sf_dir):
         )
         .orderBy(F.col("cnt").desc_nulls_last(), F.col("token").asc_nulls_last())
     )
+
+
+@query(
+    "q_pipe_bpe",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT substring(w, i.i, 2) AS pair, f
+      FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) i
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC NULLS LAST, pair ASC NULLS LAST
+    LIMIT 20
+    """,
+)
+def q_pipe_bpe(spark, sf_dir):
+    """BPE merge-pair counting — the first iteration of byte-pair-
+    encoding tokenizer training: count adjacent character pairs
+    across the corpus and surface the top merge candidates. The
+    100 TB trick is STRUCTURAL, not a sketch: pair counting runs
+    over the distinct-WORD frequency table (vocabulary-sized, built
+    with one token shuffle), not over the corpus — each word
+    contributes its pairs once, weighted by its corpus frequency.
+    This is exactly how production BPE trainers scale: corpus size
+    affects only the word-count pass; every merge iteration after is
+    vocabulary-bound.
+
+    Plan shape: explode(split) → groupBy(word) [the corpus-bound
+    shuffle] → posexplode(sequence) + substring pairs [row-local,
+    vocabulary-sized, stays in codegen] → groupBy(pair) SUM(f) [tiny]
+    → TakeOrdered top-20. Companion to q_text_vocab (unigram top-k)
+    and q_pipe_lm (word-bigram scoring); first character-level op.
+    Exact oracle: identical pair extraction via generate_series."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2)))"
+            ).alias("pair"),
+            "f",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc_nulls_last(), F.col("pair").asc_nulls_last())
+        .limit(20)
+    )

@@ -175,3 +175,47 @@ def q_join_nullsafe(spark, sf_dir):
         )
         .orderBy(F.col("key").asc_nulls_last())
     )
+
+
+@query(
+    "q_union_evo",
+    oracle="""
+    SELECT doc_id, 'v1' AS src_branch, text, lang,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'v2' AS src_branch, text, CAST(NULL AS VARCHAR) AS lang,
+           source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id ASC NULLS LAST, src_branch ASC NULLS LAST
+    """,
+)
+def q_union_evo(spark, sf_dir):
+    """Schema-evolution union: two snapshots of the same feed whose
+    schemas drifted (v1 carries `lang`, v2 replaced it with `source`
+    + `n_chars`) combined with unionByName(allowMissingColumns=True)
+    — each branch's missing columns null-padded by NAME, not by
+    position. This is the ingestion-reality operator positional UNION
+    cannot express safely: reordered or added columns silently
+    corrupt positional unions, while by-name resolution is stable
+    under evolution. The oracle states the same semantics as explicit
+    NULL-padded branches.
+
+    Scale: pure row-local concatenation — no shuffle (the ORDER BY
+    is the driver-comparison convention, dropped in production);
+    at 100 TB this is how heterogeneous parquet generations of one
+    dataset read as one table (the file-level twin is
+    mergeSchema=true on the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.lit("v1").alias("src_branch"), "text", "lang")
+    v2 = docs.select(
+        "doc_id",
+        F.lit("v2").alias("src_branch"),
+        "text",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .orderBy(F.col("doc_id").asc_nulls_last(), F.col("src_branch").asc_nulls_last())
+    )

@@ -162,6 +162,8 @@ _BIRTH_ROUND = {
     "q_graph_pagerank": 5,
     "q_layout_zorder": 5,
     "q_stream_merge": 5,
+    "q_pipe_bpe": 5,
+    "q_union_evo": 5,
 }
 
 
