@@ -667,3 +667,49 @@ def q_pipe_lm(spark, sf_dir):
             ).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "q_text_index",
+    oracle="""
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list_distinct(list(doc_id)))[1:20], '|')
+             AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY token ASC NULLS LAST
+    """,
+)
+def q_text_index(spark, sf_dir):
+    """Inverted-index build — the retrieval-side companion to TF-IDF/
+    BM25 scoring (which RANK documents; this materializes the
+    token → posting-list structure retrieval reads): per token, the
+    document frequency and the first 20 doc ids of the sorted posting
+    list. Postings are string-joined per the repo's no-bare-array
+    oracle convention (CLAUDE.md) and CAPPED — at corpus scale full
+    posting lists for stopword-class tokens are the classic
+    hot-key/giant-row hazard, so production indexes shard or cap
+    exactly like this (the doc-frequency column keeps the true
+    count).
+
+    Scale: one explode + one token-keyed shuffle; collect_set state
+    is bounded per group by the distinct-doc count (capped display
+    keeps the ROW small, the agg state is the scalable concern —
+    sharding by (token, doc_id range) is the production split when a
+    token's postings exceed executor memory)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20)
+            ).alias("postings"),
+        )
+        .orderBy(F.col("token").asc_nulls_last())
+    )

@@ -328,3 +328,66 @@ def q_evt_funnel(spark, sf_dir):
         .select("user_id", "t_view", "t_click", "t_purchase", depth.alias("depth"))
         .orderBy(F.col("user_id").asc_nulls_last())
     )
+
+
+@query(
+    "q_evt_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    cohort AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS week
+      FROM e
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, a.week) // 7 AS INT) AS age_weeks,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a
+    JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.week >= c.cohort_week
+    GROUP BY c.cohort_week, age_weeks
+    ORDER BY c.cohort_week ASC NULLS LAST, age_weeks ASC NULLS LAST
+    """,
+)
+def q_evt_retention(spark, sf_dir):
+    """Cohort retention matrix — the other product-analytics staple
+    next to q_evt_funnel: users cohorted by the week of their first
+    `signup` event, counted as active in each subsequent week they
+    produced ANY event; output is (cohort_week, age_weeks, n_active).
+    Week truncation is ISO-Monday in both engines (date_trunc
+    'week'), and week age is integer day-arithmetic (datediff // 7)
+    — no float, no timezone edge (sessions pin UTC).
+
+    Scale: cohort and activity are both user-keyed aggregates over
+    one scan each — the user_id shuffle is shared by the cohort agg,
+    the distinct-activity agg, and their join (co-partitioned); the
+    final matrix is |cohorts|×|ages| rows. COUNT(DISTINCT user) is
+    safe because the join key IS the distinct key — each user
+    contributes each (cohort, age) pair at most once after the
+    DISTINCT activity step, so this compiles to a plain count."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    age = (F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)).cast("int")
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select("cohort_week", age.alias("age_weeks"), "user_id")
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy(
+            F.col("cohort_week").asc_nulls_last(), F.col("age_weeks").asc_nulls_last()
+        )
+    )

@@ -164,6 +164,8 @@ _BIRTH_ROUND = {
     "q_stream_merge": 5,
     "q_pipe_bpe": 5,
     "q_union_evo": 5,
+    "q_evt_retention": 5,
+    "q_text_index": 5,
 }
 
 
