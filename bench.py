@@ -56,6 +56,11 @@ HEADLINE = [
     # pipeline op and one decorrelation-shape TPC-H query
     "q_pipe_chunk",
     "q_tpch_q4",
+    # round-5 families promoted: the heaviest derived-partsupp TPC-H
+    # shape (composite-key profit join) and the two-phase
+    # sketch+recount heavy hitters
+    "q_tpch_q9",
+    "q_agg_freq",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",

@@ -183,3 +183,87 @@ def q_pipe_bpe(spark, sf_dir):
         .orderBy(F.col("cnt").desc_nulls_last(), F.col("pair").asc_nulls_last())
         .limit(20)
     )
+
+
+# Deterministic weights for the demo classifier: w(c, i) — a Knuth
+# multiplicative hash over (class, dim), mapped into [-1, 1). Integer
+# arithmetic until the final division, so both engines derive
+# bit-identical weights from the same text.
+def _weight_expr(c: int) -> str:
+    return (
+        f"CAST((CAST({c} * 64 + i AS BIGINT) * 2654435761) % 2000 AS DOUBLE)"
+        " / 1000.0 - 1.0"
+    )
+
+
+def _score_expr(c: int) -> str:
+    """Linear score of class c over the 64-dim embedding — a pure
+    fold: zip(vector, generated weights) → sum of products."""
+    return (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+        f" transform(sequence(0, 63), i -> {_weight_expr(c)}),"
+        " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "q_pipe_classify",
+    oracle=f"""
+    WITH scored AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                 * ({"CAST((CAST(0 * 64 + i.i AS BIGINT) * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0"})) AS s0,
+             SUM(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                 * ({"CAST((CAST(1 * 64 + i.i AS BIGINT) * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0"})) AS s1,
+             SUM(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                 * ({"CAST((CAST(2 * 64 + i.i AS BIGINT) * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0"})) AS s2
+      FROM embeddings e, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+           CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                     WHEN s1 >= s2 THEN 1 ELSE 2 END AS INT) AS pred,
+           ROUND(CASE WHEN s0 >= s1 AND s0 >= s2 THEN s0
+                      WHEN s1 >= s2 THEN s1 ELSE s2 END, 6) AS score
+    FROM scored
+    ORDER BY vec_id ASC NULLS LAST
+    """,
+)
+def q_pipe_classify(spark, sf_dir):
+    """Model inference as pure SQL — the operator-fusion idea from
+    the ML-inference-in-SQL literature (PAPERS.md: "Machine Learning
+    Inference Pipeline Execution Using Pure SQL", ICDE 2025) applied
+    to the LLM-curation use case: a 3-class linear classifier (the
+    fastText-style quality/topic gate) scored ENTIRELY inside
+    whole-stage codegen — weights generated by a deterministic
+    integer-hash formula shared textually with the oracle, dot
+    products as zip_with/aggregate folds, argmax as a CASE. No UDF,
+    no Python boundary, no model-server round trip: inference is a
+    row-local projection that runs at scan speed and fuses with any
+    downstream filter (e.g. `WHERE pred = 2` pushes like any other
+    predicate).
+
+    Scale: zero shuffle (the ORDER BY is the driver-comparison
+    convention); per-row cost is 3×64 fused multiply-adds. The same
+    shape carries real exported weights (a literal array column) up
+    to the few-MB broadcast limit — past that, a weights table joined
+    on feature id. Score drift is float-sum-order only (~1e-13 on
+    O(1) scores): six-decimal rounding and argmax margins both dwarf
+    it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s0, s1, s2 = (F.expr(_score_expr(c)) for c in range(3))
+    scored = emb.select("vec_id", s0.alias("s0"), s1.alias("s1"), s2.alias("s2"))
+    pred = (
+        F.when((F.col("s0") >= F.col("s1")) & (F.col("s0") >= F.col("s2")), 0)
+        .when(F.col("s1") >= F.col("s2"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    best = (
+        F.when((F.col("s0") >= F.col("s1")) & (F.col("s0") >= F.col("s2")), F.col("s0"))
+        .when(F.col("s1") >= F.col("s2"), F.col("s1"))
+        .otherwise(F.col("s2"))
+    )
+    return scored.select(
+        "vec_id", pred.alias("pred"), F.round(best, 6).alias("score")
+    ).orderBy(F.col("vec_id").asc_nulls_last())

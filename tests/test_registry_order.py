@@ -166,6 +166,7 @@ _BIRTH_ROUND = {
     "q_union_evo": 5,
     "q_evt_retention": 5,
     "q_text_index": 5,
+    "q_pipe_classify": 5,
 }
 
 
