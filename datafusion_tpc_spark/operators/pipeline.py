@@ -713,3 +713,77 @@ def q_text_index(spark, sf_dir):
         )
         .orderBy(F.col("token").asc_nulls_last())
     )
+
+
+@query(
+    "q_pipe_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CAST(length(v1.text) AS BIGINT) AS old_len,
+           CAST(length(v2.text) AS BIGINT) AS new_len
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+       OR v1.text IS DISTINCT FROM v2.text
+    ORDER BY doc_id ASC NULLS LAST
+    """,
+)
+def q_pipe_diff(spark, sf_dir):
+    """Snapshot diff / change data feed: given two dataset versions,
+    emit added / removed / changed rows — the audit op every curated-
+    corpus release runs (what changed between data v1 and v2?). The
+    two versions are deterministic derivations of `documents` (v2
+    drops different rows than v1 and rewrites every 5th text), and
+    the engine shape is a keyed FULL OUTER join with a null-safe
+    payload comparison (IS DISTINCT FROM ↔ negated <=>) — unchanged
+    rows are filtered out, which is what keeps the feed small.
+
+    Scale: one co-keyed shuffle (both snapshots partition on doc_id);
+    payload comparison by column — production diffs wide rows via a
+    content digest per row (functions/digest.py) so the compare is
+    one string, not N columns; the feed is |changes|, not |table|."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id1"), F.col("text").alias("text1")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.col("doc_id").alias("id2"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text2"),
+        )
+    )
+    change = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        v1.join(v2, F.col("id1") == F.col("id2"), "full")
+        .filter(
+            F.col("id1").isNull()
+            | F.col("id2").isNull()
+            | ~F.col("text1").eqNullSafe(F.col("text2"))
+        )
+        .select(
+            F.coalesce(F.col("id1"), F.col("id2")).alias("doc_id"),
+            change.alias("change_type"),
+            F.length("text1").cast("bigint").alias("old_len"),
+            F.length("text2").cast("bigint").alias("new_len"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_last())
+    )

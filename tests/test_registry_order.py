@@ -167,6 +167,7 @@ _BIRTH_ROUND = {
     "q_evt_retention": 5,
     "q_text_index": 5,
     "q_pipe_classify": 5,
+    "q_pipe_diff": 5,
 }
 
 
