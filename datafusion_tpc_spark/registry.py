@@ -110,6 +110,7 @@ def load_all() -> None:
         tpch_full,
         typefns,
         sql_shapes,
+        sinks,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,

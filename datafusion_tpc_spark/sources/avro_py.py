@@ -35,7 +35,13 @@ import os
 import struct
 import zlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _MAGIC = b"Obj\x01"
 _SYNC_SIZE = 16
@@ -307,9 +313,80 @@ class PyAvroReader(DataSourceReader):
             yield row
 
 
+def spark_schema_to_avro(schema) -> dict:
+    """Spark StructType → top-level Avro record schema (inverse of
+    avro_to_ddl; same supported surface). Nullable fields become
+    2-branch null unions."""
+    prim = {
+        "boolean": "boolean",
+        "integer": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "binary": "bytes",
+        "string": "string",
+    }
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in prim:
+            raise ValueError(f"unsupported spark type for avro write: {t!r}")
+        fields.append(
+            {"name": f.name, "type": ["null", prim[t]] if f.nullable else prim[t]}
+        )
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+class _AvroPartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class PyAvroWriter(DataSourceWriter):
+    """Distributed OCF writer: each task encodes its partition into one
+    part-*.avro file (the shared write_avro block encoder — deflate
+    blocks + deterministic sync markers), the driver commits by
+    writing a _SUCCESS marker listing the parts. This is the write
+    path the reference left as todo!() (reference
+    src/object_store/file.rs:215-228,303-309), expressed through the
+    same exactly-once protocol as streaming/py_sink.py: task output
+    becomes visible only at driver commit; abort removes orphans."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._dir = options["path"]
+        self._avro_schema = spark_schema_to_avro(schema)
+        self._names = [f.name for f in schema.fields]
+        if overwrite and os.path.isdir(self._dir):
+            import shutil
+
+            shutil.rmtree(self._dir, ignore_errors=True)
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, iterator) -> _AvroPartFile:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [dict(zip(self._names, r)) for r in iterator]
+        path = os.path.join(self._dir, f"part-{pid:05d}.avro")
+        write_avro(path, self._avro_schema, rows, rows_per_block=256)
+        return _AvroPartFile(path, len(rows))
+
+    def commit(self, messages) -> None:
+        parts = sorted(m.path for m in messages if m is not None)
+        with open(os.path.join(self._dir, "_SUCCESS"), "w") as f:
+            f.write("\n".join(os.path.basename(p) for p in parts))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class PyAvroDataSource(DataSource):
     """`spark.read.format("pyavro").load(path)` — path may be a file,
-    a directory of .avro files, or a glob."""
+    a directory of .avro files, or a glob — and
+    `df.write.format("pyavro").option("path", dir).save()`."""
 
     @classmethod
     def name(cls) -> str:
@@ -322,6 +399,9 @@ class PyAvroDataSource(DataSource):
 
     def reader(self, schema) -> PyAvroReader:
         return PyAvroReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> PyAvroWriter:
+        return PyAvroWriter(self.options, schema, overwrite)
 
 
 def _expand(path: str) -> list[str]:

@@ -168,6 +168,7 @@ _BIRTH_ROUND = {
     "q_text_index": 5,
     "q_pipe_classify": 5,
     "q_pipe_diff": 5,
+    "q_sink_avro": 5,
 }
 
 
