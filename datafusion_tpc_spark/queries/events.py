@@ -391,3 +391,83 @@ def q_evt_retention(spark, sf_dir):
             F.col("cohort_week").asc_nulls_last(), F.col("age_weeks").asc_nulls_last()
         )
     )
+
+
+@query(
+    "q_evt_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             value
+      FROM events
+    ),
+    hourly AS (
+      SELECT user_id, hour, ROUND(AVG(value), 6) AS v
+      FROM e GROUP BY user_id, hour
+    ),
+    bounds AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM e),
+    spine AS (
+      SELECT u.user_id, CAST(g.h AS TIMESTAMP) AS hour
+      FROM (SELECT DISTINCT user_id FROM e) u,
+           bounds b,
+           LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                  INTERVAL 1 HOUR)) AS h) g
+    )
+    SELECT s.user_id, s.hour,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           CASE WHEN h.v IS NOT NULL THEN 'obs' ELSE 'locf' END AS src
+    FROM spine s
+    LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+    ORDER BY s.user_id ASC NULLS LAST, s.hour ASC NULLS LAST
+    """,
+)
+def q_evt_locf(spark, sf_dir):
+    """Time-series densification with last-observation-carried-forward
+    — the gap-filling twin of q_cte_recursive's month spine, at the
+    value level: a dense per-user hourly spine (sequence over the
+    global [min, max] hour bounds), LEFT-joined to the observed
+    hourly averages, with gaps filled by `last(v, ignoreNulls)` over
+    an unbounded-preceding frame (hours before a user's first
+    observation stay NULL — LOCF has nothing to carry). The per-hour
+    average is rounded BEFORE filling so both engines propagate
+    identical doubles.
+
+    Scale: bounds are a broadcast one-row scalar; the spine is
+    |users| × |hours| rows generated by a row-local sequence explode
+    (never a shuffle); the join and the window share the user_id
+    partitioning. The LOCF frame is the textbook
+    running-last-ignoring-nulls — O(1) state per row in
+    BoundedWindowAggExec terms, no re-sort beyond the window's own."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour"), "value"
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.when(F.col("v").isNotNull(), "obs").otherwise("locf").alias("src"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_last(), F.col("hour").asc_nulls_last())
+    )

@@ -219,3 +219,49 @@ def q_union_evo(spark, sf_dir):
         v1.unionByName(v2, allowMissingColumns=True)
         .orderBy(F.col("doc_id").asc_nulls_last(), F.col("src_branch").asc_nulls_last())
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_discount), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM wide
+    ORDER BY l_returnflag ASC NULLS LAST, measure ASC NULLS LAST
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — the inverse of q_pivot: a wide per-flag
+    3-measure aggregate reshaped to long (flag, measure, value) rows
+    via DataFrame.unpivot (Spark 3.4+ native melt; physically an
+    Expand — the same operator PIVOT's distinct-agg path and grouping
+    sets use, stated from the reshape direction). The oracle is the
+    portable UNION-ALL-per-measure form, which is exactly what Expand
+    evaluates in one pass without re-reading the input.
+
+    Scale: one aggregation shuffle for the wide form; the reshape
+    itself is row-local (3× row expansion of a |flags|-row input)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "sum_price", "sum_disc"],
+            "measure",
+            "value",
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("measure").asc_nulls_last())
+    )

@@ -261,3 +261,52 @@ def q_stream_hop(spark, sf_dir):
         )
     )
     return _drain(agg, spark, "stream_hop")
+
+
+@query("q_stream_join_outer")  # † rows-only: streaming run
+def q_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the state-eviction
+    semantics the inner join (q_stream_join) never exercises: a click
+    with NO purchase inside its 1-hour interval must still be
+    emitted, with nulls, and that emission can only happen once the
+    watermark passes the interval's end (before that, a matching
+    purchase could still arrive). Outer interval joins are the one
+    place Structured Streaming REQUIRES watermarks on both sides and
+    a time-bound join condition — state is provably droppable, which
+    is what bounds it for an unbounded run.
+
+    Scale: state per side is (watermark + interval) × arrival rate,
+    keyed by user — eviction is what makes a week-long run hold
+    steady-state memory. Under availableNow the final watermark sweep
+    emits the tail of unmatched clicks; rows ≥ the inner join's by
+    exactly the unmatched-click count (pinned in
+    tests/test_streaming.py against the batch anti-join)."""
+    clicks = (
+        _events_streaming(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_streaming(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _drain(joined, spark, "stream_join_outer")

@@ -169,6 +169,9 @@ _BIRTH_ROUND = {
     "q_pipe_classify": 5,
     "q_pipe_diff": 5,
     "q_sink_avro": 5,
+    "q_unpivot": 5,
+    "q_evt_locf": 5,
+    "q_stream_join_outer": 5,
 }
 
 

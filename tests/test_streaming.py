@@ -423,3 +423,47 @@ def test_stream_merge_multibatch_converges(spark):
         for key, row in final.items():
             assert row["last_ts"] == expected[key]["last_ts"], (in_order, key)
             assert row["n"] == expected[key]["n"], (in_order, key)
+
+
+def test_stream_join_outer_emits_unmatched(spark):
+    """q_stream_join_outer: under availableNow the final watermark
+    sweep must emit every unmatched click with nulls, so outer rows =
+    inner rows + clicks lacking any purchase in their 1-hour interval
+    (computed batch-side)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.registry import QUERIES
+
+    outer = QUERIES["q_stream_join_outer"](spark, SF_DIR)
+    n_outer = outer.count()
+    n_null = outer.filter(F.col("purchase_ts").isNull()).count()
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    n_inner_batch = clicks.join(purchases, cond).count()
+    unmatched = clicks.join(purchases, cond, "left_anti")
+    n_unmatched_batch = unmatched.count()
+    # The final availableNow watermark is max(ts) - 1h delay; an
+    # unmatched click emits only once its 1-hour interval END is
+    # below it, so clicks in the last ~2h of the fixture stay in
+    # state at shutdown — sandwich the null count between the
+    # definitely-eligible set and the full batch anti-join.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    n_eligible = unmatched.filter(
+        F.col("click_ts") + F.expr("INTERVAL 2 HOURS") < F.lit(max_ts)
+    ).count()
+    # small tolerance: the engine's eviction boundary (state-key
+    # watermark) can exclude a handful of exactly-on-boundary clicks
+    assert n_eligible - 5 <= n_null <= n_unmatched_batch
+    assert n_unmatched_batch - n_null < 50  # only the tail is withheld
+    assert n_outer == n_inner_batch + n_null
