@@ -223,3 +223,41 @@ def test_pyavro_writer_commit_manifest(spark):
     assert sorted(r.asDict().items() for r in back.collect()) == sorted(
         r.asDict().items() for r in src.collect()
     )
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The runtime half of the skew story (functions/skew.py is the
+    manual half): a sort-merge join with one hot key must be split by
+    AQE's OptimizeSkewedJoin — the final adaptive plan marks the join
+    `skew=true`. This is the mechanism the 100 TB design leans on for
+    fact⋈fact skew before reaching for manual salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500000).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("pad-"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right.hint("merge"), "k")
+        assert len(j.collect()) == 500000  # correctness under the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the hot key:\n{plan[:800]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
