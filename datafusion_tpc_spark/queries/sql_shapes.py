@@ -265,3 +265,77 @@ def q_unpivot(spark, sf_dir):
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("measure").asc_nulls_last())
     )
+
+
+_FUZZY_PROBES = (
+    "Suplier#000000007",    # dropped char
+    "Supplier#00000023",    # dropped zero
+    "supplier#000000042",   # case damage
+    "Supplier#0000000XX",   # corrupted tail
+    "Suppli3r#000000099",   # substituted char
+)
+
+
+@query(
+    "q_join_fuzzy",
+    oracle=f"""
+    WITH probes(probe) AS (
+      VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}
+    ),
+    scored AS (
+      SELECT p.probe, s.s_name, s.s_suppkey,
+             CAST(levenshtein(p.probe, s.s_name) AS INT) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.probe
+               ORDER BY levenshtein(p.probe, s.s_name) ASC, s.s_suppkey ASC
+             ) AS rn
+      FROM probes p CROSS JOIN supplier s
+    )
+    SELECT probe, s_name AS best_match, s_suppkey, dist
+    FROM scored WHERE rn = 1
+    ORDER BY probe ASC NULLS LAST
+    """,
+)
+def q_join_fuzzy(spark, sf_dir):
+    """Fuzzy-match join (entity resolution): damaged supplier names
+    resolved to their closest catalog entry by Levenshtein edit
+    distance — broadcast the probe list across the dimension, score
+    every pair, keep the per-probe argmin (ROW_NUMBER over (dist,
+    key) so ties resolve deterministically). Both engines implement
+    classic unweighted edit distance, so scores are integer-identical
+    and the argmin cannot drift.
+
+    Scale: probes broadcast (the tiny side of a nested-loop score);
+    cost is |probes| × |dim| distance evaluations inside codegen —
+    the honest shape below ~millions of pairs. Past that, entity
+    resolution moves to the blocking patterns this repo already
+    carries: n-gram/MinHash candidate generation (q_dedup_minhash)
+    before exact scoring, exactly like the LSH-then-verify dedup
+    path."""
+    s = load_table(spark, sf_dir, "supplier")
+    probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], ["probe"])
+    from pyspark.sql.window import Window
+
+    dist = F.levenshtein(F.col("probe"), F.col("s_name"))
+    w = Window.partitionBy("probe").orderBy(
+        dist.asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(s)
+        .select(
+            "probe",
+            "s_name",
+            "s_suppkey",
+            dist.cast("int").alias("dist"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe",
+            F.col("s_name").alias("best_match"),
+            "s_suppkey",
+            "dist",
+        )
+        .orderBy(F.col("probe").asc_nulls_last())
+    )

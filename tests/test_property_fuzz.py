@@ -306,3 +306,37 @@ def test_fuzz_math_exprs(spark, ddb, expr):
         FROM lineitem WHERE l_orderkey < 2000
     """
     _run_both(spark, ddb, sql)
+
+
+@st.composite
+def setop_tree(draw, depth=0):
+    """Random set-operation trees over projected lineitem slices —
+    UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] nesting in the
+    shared dialect. Branch inputs differ by predicate so the ops
+    have real work; columns are fixed so branches stay union-compatible."""
+    if depth >= 2 or draw(st.booleans()):
+        pred = draw(predicate())
+        return (
+            "(SELECT l_returnflag, l_linestatus, l_linenumber "
+            f"FROM lineitem WHERE {pred})"
+        )
+    op = draw(
+        st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"]
+        )
+    )
+    left = draw(setop_tree(depth=depth + 1))
+    right = draw(setop_tree(depth=depth + 1))
+    return f"({left} {op} {right})"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=setop_tree())
+def test_fuzz_setops(spark, ddb, tree):
+    _run_both(spark, ddb, f"SELECT * FROM {tree}")

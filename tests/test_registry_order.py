@@ -172,6 +172,7 @@ _BIRTH_ROUND = {
     "q_unpivot": 5,
     "q_evt_locf": 5,
     "q_stream_join_outer": 5,
+    "q_join_fuzzy": 5,
 }
 
 
