@@ -367,10 +367,45 @@ class PyAvroWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows = [dict(zip(self._names, r)) for r in iterator]
         path = os.path.join(self._dir, f"part-{pid:05d}.avro")
-        write_avro(path, self._avro_schema, rows, rows_per_block=256)
-        return _AvroPartFile(path, len(rows))
+        # Stream blocks of 256 rows — the task never materializes its
+        # whole partition (a 100 TB partition must flow through
+        # bounded memory; only one block buffers at a time).
+        schema_json = json.dumps(self._avro_schema, sort_keys=True)
+        sync = hashlib.md5(b"pyavro-sync|" + schema_json.encode()).digest()
+        meta = {"avro.schema": schema_json, "avro.codec": "deflate"}
+        n_rows = 0
+        with open(path, "wb") as f:
+            f.write(_MAGIC)
+            f.write(_zigzag_encode(len(meta)))
+            for k, v in sorted(meta.items()):
+                kb, vb = k.encode(), v.encode()
+                f.write(_zigzag_encode(len(kb)) + kb)
+                f.write(_zigzag_encode(len(vb)) + vb)
+            f.write(_zigzag_encode(0))
+            f.write(sync)
+            block: list[bytes] = []
+
+            def flush():
+                if not block:
+                    return
+                comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = comp.compress(b"".join(block)) + comp.flush()
+                f.write(_zigzag_encode(len(block)))
+                f.write(_zigzag_encode(len(payload)))
+                f.write(payload)
+                f.write(sync)
+                block.clear()
+
+            for r in iterator:
+                block.append(
+                    _encode_value(self._avro_schema, dict(zip(self._names, r)))
+                )
+                n_rows += 1
+                if len(block) >= 256:
+                    flush()
+            flush()
+        return _AvroPartFile(path, n_rows)
 
     def commit(self, messages) -> None:
         parts = sorted(m.path for m in messages if m is not None)
