@@ -313,7 +313,11 @@ def q_join_fuzzy(spark, sf_dir):
     before exact scoring, exactly like the LSH-then-verify dedup
     path."""
     s = load_table(spark, sf_dir, "supplier")
-    probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], ["probe"])
+    # JVM-side literal VALUES — createDataFrame would route 5 rows
+    # through a Python RDD scan (~0.4 s of pure overhead per action)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _FUZZY_PROBES])).alias("probe")
+    )
     from pyspark.sql.window import Window
 
     dist = F.levenshtein(F.col("probe"), F.col("s_name"))
