@@ -77,6 +77,15 @@ def _zorder_copy(spark, sf_dir: str) -> tuple[str, int, int]:
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     path = os.path.join(_CACHE_ROOT, tag)
     meta = os.path.join(path, "_zorder_meta.json")
+    if os.path.exists(meta):
+        # grid-constant guard: a cached copy built under a different
+        # _CELLS_BITS assigns different cells than box_cover
+        # enumerates — silently wrong pruning; rebuild instead.
+        with open(meta) as f:
+            if json.load(f).get("cells_bits") != _CELLS_BITS:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(meta):
         li = load_table(spark, sf_dir, "lineitem")
         mx = li.agg(
@@ -93,7 +102,7 @@ def _zorder_copy(spark, sf_dir: str) -> tuple[str, int, int]:
             .parquet(path)
         )
         with open(meta, "w") as f:
-            json.dump({"max_p": mx.p, "max_s": mx.s}, f)
+            json.dump({"max_p": mx.p, "max_s": mx.s, "cells_bits": _CELLS_BITS}, f)
     with open(meta) as f:
         m = json.load(f)
     return path, m["max_p"], m["max_s"]

@@ -99,9 +99,15 @@ def q_agg_freq(spark, sf_dir):
     direct full-vocabulary GROUP BY ... HAVING — if the sketch ever
     dropped a true heavy hitter, the hash would mismatch.
     """
-    docs = load_table(spark, sf_dir, "documents").select("text").repartition(8)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    # repartition ONLY the sketch input (exercises multi-partition
+    # merge on the single-row-group fixture); the guarantee holds for
+    # ANY partitioning, so the recount phase reads the raw table and
+    # pays no corpus shuffle (review r5: a shared repartition forced
+    # both phases through a full-text exchange for nothing).
     candidates = (
-        docs.mapInPandas(_mg_partition, "token string, residual long")
+        docs.repartition(8)
+        .mapInPandas(_mg_partition, "token string, residual long")
         .select("token")
         .distinct()
     )
@@ -218,6 +224,7 @@ def _score_expr(c: int) -> str:
              SUM(CAST(e.embedding[i.i + 1] AS DOUBLE)
                  * ({"CAST((CAST(2 * 64 + i.i AS BIGINT) * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0"})) AS s2
       FROM embeddings e, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
+      WHERE len(e.embedding) = 64
       GROUP BY e.vec_id
     )
     SELECT vec_id,
@@ -250,7 +257,13 @@ def q_pipe_classify(spark, sf_dir):
     on feature id. Score drift is float-sum-order only (~1e-13 on
     O(1) scores): six-decimal rounding and argmax margins both dwarf
     it."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # dimension guard on BOTH sides: a short/long vector would
+    # null-poison Spark's zip_with fold while DuckDB's SUM skips the
+    # missing index — filter to the declared dimensionality so
+    # fixture drift fails loudly (0 rows) instead of diverging
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
     s0, s1, s2 = (F.expr(_score_expr(c)) for c in range(3))
     scored = emb.select("vec_id", s0.alias("s0"), s1.alias("s1"), s2.alias("s2"))
     pred = (

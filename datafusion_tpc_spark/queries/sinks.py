@@ -23,6 +23,10 @@ _SINK_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "avro_sink"
 )
 
+# run dirs created by this process — excluded from pruning (a prior
+# call's lazily-read result may still point at its dir)
+_LIVE_RUNS: set[str] = set()
+
 
 @query(
     "q_sink_avro",
@@ -47,10 +51,15 @@ def q_sink_avro(spark, sf_dir):
     from datafusion_tpc_spark.sources.avro_py import register
 
     register(spark)
-    if os.path.isdir(_SINK_CACHE):  # prune prior runs (ADVICE r4 pattern)
+    # prune prior runs, but never a dir created by this process — a
+    # lazily-returned DataFrame from an earlier call still reads it
+    if os.path.isdir(_SINK_CACHE):
         for stale in os.listdir(_SINK_CACHE):
-            shutil.rmtree(os.path.join(_SINK_CACHE, stale), ignore_errors=True)
-    out = os.path.join(_SINK_CACHE, uuid.uuid4().hex[:12])
+            if stale not in _LIVE_RUNS:
+                shutil.rmtree(os.path.join(_SINK_CACHE, stale), ignore_errors=True)
+    run_name = uuid.uuid4().hex[:12]
+    _LIVE_RUNS.add(run_name)
+    out = os.path.join(_SINK_CACHE, run_name)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

@@ -167,6 +167,50 @@ def _make_decoder(schema):
 # ---- container file writer (driver-side; fixtures + tests) ------------
 
 
+def _write_ocf(path, schema, row_iter, rows_per_block, codec) -> int:
+    """Stream rows into an OCF: shared by the driver-side fixture
+    writer (write_avro) and the executor-side task writer
+    (PyAvroWriter) so the framing — magic, metadata map,
+    schema-derived sync marker, block encoding — has exactly one
+    implementation. Buffers one block at a time (bounded memory at
+    any partition size). Returns the row count."""
+    schema_json = json.dumps(schema, sort_keys=True)
+    sync = hashlib.md5(b"pyavro-sync|" + schema_json.encode()).digest()
+    meta = {"avro.schema": schema_json, "avro.codec": codec}
+    n_rows = 0
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_zigzag_encode(len(meta)))
+        for k, v in sorted(meta.items()):
+            kb, vb = k.encode(), v.encode()
+            f.write(_zigzag_encode(len(kb)) + kb)
+            f.write(_zigzag_encode(len(vb)) + vb)
+        f.write(_zigzag_encode(0))  # end of metadata map
+        f.write(sync)
+        block: list[bytes] = []
+
+        def flush():
+            if not block:
+                return
+            payload = b"".join(block)
+            if codec == "deflate":
+                comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
+                payload = comp.compress(payload) + comp.flush()
+            f.write(_zigzag_encode(len(block)))
+            f.write(_zigzag_encode(len(payload)))
+            f.write(payload)
+            f.write(sync)
+            block.clear()
+
+        for r in row_iter:
+            block.append(_encode_value(schema, r))
+            n_rows += 1
+            if len(block) >= rows_per_block:
+                flush()
+        flush()
+    return n_rows
+
+
 def write_avro(
     path: str,
     schema: dict,
@@ -178,28 +222,7 @@ def write_avro(
     (rows_per_block small) so the reader's per-block splits are
     exercised by every fixture. Sync marker is derived from the schema
     (deterministic — no RNG, byte-replayable fixtures)."""
-    schema_json = json.dumps(schema, sort_keys=True)
-    sync = hashlib.md5(b"pyavro-sync|" + schema_json.encode()).digest()
-    meta = {"avro.schema": schema_json, "avro.codec": codec}
-    with open(path, "wb") as f:
-        f.write(_MAGIC)
-        f.write(_zigzag_encode(len(meta)))
-        for k, v in sorted(meta.items()):
-            kb, vb = k.encode(), v.encode()
-            f.write(_zigzag_encode(len(kb)) + kb)
-            f.write(_zigzag_encode(len(vb)) + vb)
-        f.write(_zigzag_encode(0))  # end of metadata map
-        f.write(sync)
-        for i in range(0, len(rows), rows_per_block):
-            block = rows[i : i + rows_per_block]
-            payload = b"".join(_encode_value(schema, r) for r in block)
-            if codec == "deflate":
-                comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
-                payload = comp.compress(payload) + comp.flush()
-            f.write(_zigzag_encode(len(block)))
-            f.write(_zigzag_encode(len(payload)))
-            f.write(payload)
-            f.write(sync)
+    _write_ocf(path, schema, iter(rows), rows_per_block, codec)
 
 
 # ---- container file header / block index ------------------------------
@@ -368,43 +391,15 @@ class PyAvroWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(self._dir, f"part-{pid:05d}.avro")
-        # Stream blocks of 256 rows — the task never materializes its
-        # whole partition (a 100 TB partition must flow through
-        # bounded memory; only one block buffers at a time).
-        schema_json = json.dumps(self._avro_schema, sort_keys=True)
-        sync = hashlib.md5(b"pyavro-sync|" + schema_json.encode()).digest()
-        meta = {"avro.schema": schema_json, "avro.codec": "deflate"}
-        n_rows = 0
-        with open(path, "wb") as f:
-            f.write(_MAGIC)
-            f.write(_zigzag_encode(len(meta)))
-            for k, v in sorted(meta.items()):
-                kb, vb = k.encode(), v.encode()
-                f.write(_zigzag_encode(len(kb)) + kb)
-                f.write(_zigzag_encode(len(vb)) + vb)
-            f.write(_zigzag_encode(0))
-            f.write(sync)
-            block: list[bytes] = []
-
-            def flush():
-                if not block:
-                    return
-                comp = zlib.compressobj(9, zlib.DEFLATED, -15)
-                payload = comp.compress(b"".join(block)) + comp.flush()
-                f.write(_zigzag_encode(len(block)))
-                f.write(_zigzag_encode(len(payload)))
-                f.write(payload)
-                f.write(sync)
-                block.clear()
-
-            for r in iterator:
-                block.append(
-                    _encode_value(self._avro_schema, dict(zip(self._names, r)))
-                )
-                n_rows += 1
-                if len(block) >= 256:
-                    flush()
-            flush()
+        # Stream through the shared OCF encoder — the task never
+        # materializes its whole partition (one block in memory).
+        n_rows = _write_ocf(
+            path,
+            self._avro_schema,
+            (dict(zip(self._names, r)) for r in iterator),
+            rows_per_block=256,
+            codec="deflate",
+        )
         return _AvroPartFile(path, n_rows)
 
     def commit(self, messages) -> None:
@@ -443,7 +438,22 @@ def _expand(path: str) -> list[str]:
     import glob as g
 
     if os.path.isdir(path):
-        hits = sorted(g.glob(os.path.join(path, "*.avro")))
+        # Manifest-gated visibility: a directory written by
+        # PyAvroWriter lists its committed parts in _SUCCESS — trust
+        # the manifest, never the listing, so an orphan part from a
+        # failed task (whose commit message never reached the driver)
+        # is invisible (same invariant as streaming/py_sink.py).
+        # Directories without a manifest (external fixtures) fall
+        # back to the glob.
+        manifest = os.path.join(path, "_SUCCESS")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                hits = [
+                    os.path.join(path, name)
+                    for name in sorted(l for l in f.read().splitlines() if l)
+                ]
+        else:
+            hits = sorted(g.glob(os.path.join(path, "*.avro")))
     else:
         hits = sorted(g.glob(path)) if any(c in path for c in "*?[") else [path]
     if not hits:

@@ -19,7 +19,7 @@ last-writer is keyed by the UNIQUE (ts, event_id) pair and counts
 add — so ANY batch partitioning of the input converges to the same
 state, and the final table carries an EXACT oracle (the second
 exactly-oracled streaming query after q_stream_sink):
-ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, event_id DESC) = 1
+ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts DESC, event_id DESC) = 1
 plus a per-user COUNT. Multi-batch convergence is pinned in
 tests/test_streaming.py over the 4-file split fixture, including
 out-of-order arrival (the merge needs no watermark — upserts are
@@ -49,6 +49,10 @@ _MERGE_CACHE = os.path.join(
 )
 
 _STATE_COLS = ("user_id", "last_ts", "last_type", "last_value", "last_eid", "n")
+
+# run directories created by this process — excluded from pruning so
+# a prior call's lazily-read final state stays on disk until exit
+_LIVE_RUNS: set[str] = set()
 
 
 def _summarize(df):
@@ -85,10 +89,17 @@ def _as_state_rows(events_df):
 def run_merge_stream(spark, src, tag: str):
     """Drain `src` (a streaming events DataFrame) through the
     foreachBatch merge; returns the final state DataFrame."""
-    if os.path.isdir(_MERGE_CACHE):  # prune prior runs (ADVICE r4 pattern)
+    # prune prior runs (ADVICE r4 pattern) — but never a directory
+    # created by THIS process: a lazily-returned DataFrame from an
+    # earlier call in the same session still reads its version dir
+    # at collect time (review r5)
+    if os.path.isdir(_MERGE_CACHE):
         for stale in os.listdir(_MERGE_CACHE):
-            shutil.rmtree(os.path.join(_MERGE_CACHE, stale), ignore_errors=True)
-    root = os.path.join(_MERGE_CACHE, f"{tag}_{uuid.uuid4().hex[:8]}")
+            if stale not in _LIVE_RUNS:
+                shutil.rmtree(os.path.join(_MERGE_CACHE, stale), ignore_errors=True)
+    run_name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    _LIVE_RUNS.add(run_name)
+    root = os.path.join(_MERGE_CACHE, run_name)
     os.makedirs(root, exist_ok=True)
     current: list[str] = []  # version pointer (driver-held)
 

@@ -40,6 +40,9 @@ _SINK_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "py_sink"
 )
 
+# run dirs created by this process — excluded from pruning
+_LIVE_RUNS: set[str] = set()
+
 
 @dataclasses.dataclass
 class _PartFile(WriterCommitMessage):
@@ -137,10 +140,15 @@ def q_stream_pysink(spark, sf_dir):
     the driver touches only offsets and manifests."""
     _register(spark)
     spark.dataSource.register(PyCsvSinkDataSource)
-    out_dir = os.path.join(_SINK_ROOT, uuid.uuid4().hex[:12])
-    if os.path.isdir(_SINK_ROOT):  # prune prior runs (ADVICE r4 pattern)
+    run_name = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(_SINK_ROOT, run_name)
+    # prune prior runs (ADVICE r4 pattern) — but never a dir created
+    # by this process (a prior call's lazily-read result lives there)
+    _LIVE_RUNS.add(run_name)
+    if os.path.isdir(_SINK_ROOT):
         for stale in os.listdir(_SINK_ROOT):
-            shutil.rmtree(os.path.join(_SINK_ROOT, stale), ignore_errors=True)
+            if stale not in _LIVE_RUNS:
+                shutil.rmtree(os.path.join(_SINK_ROOT, stale), ignore_errors=True)
     ev = (
         spark.readStream.format("pyrate")
         .load()

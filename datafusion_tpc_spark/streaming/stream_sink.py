@@ -30,6 +30,9 @@ _SINK_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "stream_sink"
 )
 
+# run dirs created by this process — excluded from pruning
+_LIVE_RUNS: set[str] = set()
+
 
 @query(
     "q_stream_sink",
@@ -61,11 +64,16 @@ def q_stream_sink(spark, sf_dir):
     )
     # Prune prior runs' uuid dirs so repeated driver/bench/pytest
     # invocations don't accumulate sink+checkpoint dirs without bound
-    # (ADVICE r4). Fresh-checkpoint-per-run semantics are kept.
+    # (ADVICE r4), but never a dir created by THIS process — a
+    # lazily-returned DataFrame from an earlier call still reads its
+    # sink dir at collect time. Fresh-checkpoint-per-run kept.
     if os.path.isdir(_SINK_CACHE):
         for stale in os.listdir(_SINK_CACHE):
-            shutil.rmtree(os.path.join(_SINK_CACHE, stale), ignore_errors=True)
-    root = os.path.join(_SINK_CACHE, uuid.uuid4().hex[:12])
+            if stale not in _LIVE_RUNS:
+                shutil.rmtree(os.path.join(_SINK_CACHE, stale), ignore_errors=True)
+    run_name = uuid.uuid4().hex[:12]
+    _LIVE_RUNS.add(run_name)
+    root = os.path.join(_SINK_CACHE, run_name)
     data_dir = os.path.join(root, "data")
     q = (
         ev.writeStream.outputMode("append")
