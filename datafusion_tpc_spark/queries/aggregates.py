@@ -469,3 +469,42 @@ def q_agg_bitwise(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc_nulls_last())
     )
+
+
+@query(
+    "q_agg_condagg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_and(l_discount <= 0.1) AS all_mild_disc,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(count_if(l_quantity > 25) AS DOUBLE) / COUNT(*) AS bulk_frac
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def q_agg_condagg(spark, sf_dir):
+    """Conditional/boolean aggregate family (Spark 3.5+ surface,
+    DuckDB same names): count_if, bool_and (EVERY), bool_or (ANY),
+    and a derived conditional fraction — the predicates-inside-
+    aggregation idiom that replaces SUM(CASE WHEN ...) with
+    intention-revealing aggregates. All deterministic (no any_value /
+    untied max_by), so the oracle is exact. bulk_frac divides an
+    exact integer by an exact count — one double op, no rounding
+    needed.
+
+    Scale: all four share one two-phase hash aggregation; boolean
+    aggregate state is one byte per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_bulk = F.count_if(F.col("l_quantity") > 25).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n_bulk.alias("n_bulk"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_mild_disc"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            (n_bulk.cast("double") / F.count(F.lit(1))).alias("bulk_frac"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )

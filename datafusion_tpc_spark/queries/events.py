@@ -473,3 +473,55 @@ def q_evt_locf(spark, sf_dir):
         # repo-wide (r4 convention) — the driver hash is
         # order-insensitive and the window already sorted per user
     )
+
+
+@query(
+    "q_evt_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, AVG(value) AS mu, stddev_samp(value) AS sigma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e
+    JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 30 AND s.sigma > 0
+      AND abs((e.value - s.mu) / s.sigma) > 2.5
+    ORDER BY e.event_id ASC NULLS LAST
+    """,
+)
+def q_evt_anomaly(spark, sf_dir):
+    """Per-entity anomaly detection: events whose value sits more
+    than 2.5 sample standard deviations from the user's own mean —
+    the ops-monitoring staple (per-host latency outliers, per-user
+    spend spikes). The z-score is rounded at 4dp: the threshold
+    compare runs on RAW doubles and typical margins dwarf sum-order
+    ulp (same argument as q_tpch_q11's threshold); groups need n ≥ 30
+    and positive variance so the score is meaningful and the
+    division is defined in both engines.
+
+    Scale: one user-keyed aggregation + one co-keyed join back to
+    the stream — at high key cardinality the stats side stays
+    |users| rows and broadcasts under AQE; a windowed variant (same
+    expression over Window.partitionBy) trades the join for one
+    window sort when per-row context is already partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= 30) & (F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy(F.col("event_id").asc_nulls_last())
+    )

@@ -16,6 +16,8 @@ import os
 import shutil
 import uuid
 
+from pyspark.sql import functions as F
+
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
 
@@ -65,3 +67,96 @@ def q_sink_avro(spark, sf_dir):
     )
     docs.write.format("pyavro").mode("overwrite").option("path", out).save()
     return spark.read.format("pyavro").load(out)
+
+
+_CORRUPT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    ".cache",
+    "corrupt_json",
+)
+_CORRUPT_FILE = os.path.join(_CORRUPT_DIR, "data.json")
+
+# Deterministic malformed-feed fixture: 9 parseable NDJSON records
+# interleaved with 3 structurally-broken lines (the real shape of a
+# scraped/streamed feed). Written once; content is a literal.
+_CORRUPT_LINES = [
+    '{"id": 1, "v": 10.5}',
+    '{"id": 2, "v": 20.25}',
+    '{"id": 3, "v": -1.5}',
+    '{"id": 4 "v": 4.0}',          # missing comma
+    '{"id": 5, "v": 5.5}',
+    "not json at all",              # plain garbage
+    '{"id": 6, "v": 6.75}',
+    '{"id": 7, "v": 0.0}',
+    '{"id": 8, "v": 8.125',         # truncated object
+    '{"id": 9, "v": 9.5}',
+    '{"id": 10, "v": 100.0}',
+    '{"id": 11, "v": 11.0}',
+]
+
+
+def _ensure_corrupt_fixture() -> str:
+    if not os.path.exists(_CORRUPT_FILE):
+        os.makedirs(_CORRUPT_DIR, exist_ok=True)
+        with open(_CORRUPT_FILE, "w") as f:
+            f.write("\n".join(_CORRUPT_LINES) + "\n")
+    return _CORRUPT_FILE
+
+
+@query(
+    "q_scan_corrupt",
+    oracle=f"""
+    WITH good AS (
+      -- ignore_errors=true NULL-fills unparseable lines rather than
+      -- dropping them; every parseable fixture record carries an id,
+      -- so id IS NOT NULL is the parsed-successfully predicate
+      SELECT * FROM read_json('{_CORRUPT_FILE}',
+                              columns={{'id': 'BIGINT', 'v': 'DOUBLE'}},
+                              format='newline_delimited',
+                              ignore_errors=true)
+      WHERE id IS NOT NULL
+    ),
+    raw AS (
+      SELECT COUNT(*) AS total
+      FROM read_csv('{_CORRUPT_FILE}', delim=chr(7), header=false,
+                    columns={{'line': 'VARCHAR'}})
+    )
+    SELECT CAST((SELECT COUNT(*) FROM good) AS BIGINT) AS n_good,
+           CAST(raw.total - (SELECT COUNT(*) FROM good) AS BIGINT) AS n_corrupt,
+           ROUND((SELECT SUM(v) FROM good), 6) AS sum_v
+    FROM raw
+    """,
+)
+def q_scan_corrupt(spark, sf_dir):
+    """Malformed-record ingestion — PERMISSIVE JSON parsing with a
+    corrupt-record column, the robustness mode every scraped-feed
+    pipeline runs in (vs FAILFAST, which kills a 100 TB job on one
+    bad line). Returns (n_good, n_corrupt, sum of a good-row field);
+    the oracle recomputes them via DuckDB's ignore_errors read plus a
+    raw line count, so the two engines must agree on exactly WHICH
+    lines are unparseable.
+
+    Spark gotcha demonstrated on purpose: a filter referencing ONLY
+    the corrupt-record column is rejected unless the parsed frame is
+    cached first (the parser prunes the corrupt column otherwise) —
+    the .cache() here is that documented workaround, and it is tiny
+    (the fixture), not a data-scale cache.
+
+    Scale: PERMISSIVE parsing is per-row and parallel; the corrupt
+    branch costs nothing on clean data."""
+    path = _ensure_corrupt_fixture()
+    df = (
+        spark.read.schema("id bigint, v double, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_bad").isNull())
+    return good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+    ).join(
+        df.filter(F.col("_bad").isNotNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corrupt")
+        )
+    ).join(good.agg(F.round(F.sum("v"), 6).alias("sum_v")))

@@ -173,6 +173,10 @@ _BIRTH_ROUND = {
     "q_evt_locf": 5,
     "q_stream_join_outer": 5,
     "q_join_fuzzy": 5,
+    "q_agg_condagg": 5,
+    "q_evt_anomaly": 5,
+    "q_fn_url": 5,
+    "q_scan_corrupt": 5,
 }
 
 
