@@ -508,3 +508,46 @@ def q_agg_condagg(spark, sf_dir):
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS LAST
+    """,
+)
+def q_agg_regr(spark, sf_dir):
+    """Linear-regression aggregate family (SQL:2003 regr_*; Spark
+    3.5+ and DuckDB share names AND definitions — slope =
+    covar_pop/var_pop over non-null pairs): price-vs-quantity fit per
+    return flag. Completes the §2.4 stats row (stddev/var/corr,
+    q_agg_stats) with the bivariate-fit surface — the in-SQL
+    counterpart of q_pipe_classify's apply-a-model direction (this
+    FITS the model, one pass, no Python).
+
+    Scale: all six aggregates reduce to the same five running sums
+    (n, Σx, Σy, Σxx, Σxy) in one two-phase hash aggregation —
+    constant state per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )

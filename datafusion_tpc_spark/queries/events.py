@@ -525,3 +525,65 @@ def q_evt_anomaly(spark, sf_dir):
         )
         .orderBy(F.col("event_id").asc_nulls_last())
     )
+
+
+@query(
+    "q_evt_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM seq WHERE next_type IS NOT NULL
+    )
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6)
+             AS p
+    FROM pairs
+    GROUP BY from_type, to_type
+    ORDER BY from_type ASC NULLS LAST, to_type ASC NULLS LAST
+    """,
+)
+def q_evt_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), from lead() pairs with a
+    deterministic (ts, event_id) sequence order. The row-normalized
+    probability divides two exact integers per cell — ulp-safe. The
+    third member of the sequence-analytics family (funnel = fixed
+    path, sessionize = gap structure, this = full transition
+    structure).
+
+    Scale: one user_id window pass builds the pairs (same exchange
+    profile as q_win_lag), then a tiny |types|² aggregation; the
+    normalizing SUM OVER runs on the aggregated matrix, not the
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wnorm), 6).alias("p"),
+    ).orderBy(F.col("from_type").asc_nulls_last(), F.col("to_type").asc_nulls_last())

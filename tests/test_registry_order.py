@@ -177,6 +177,8 @@ _BIRTH_ROUND = {
     "q_evt_anomaly": 5,
     "q_fn_url": 5,
     "q_scan_corrupt": 5,
+    "q_agg_regr": 5,
+    "q_evt_markov": 5,
 }
 
 
