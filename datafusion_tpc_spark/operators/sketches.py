@@ -280,3 +280,59 @@ def q_pipe_classify(spark, sf_dir):
     return scored.select(
         "vec_id", pred.alias("pred"), F.round(best, 6).alias("score")
     ).orderBy(F.col("vec_id").asc_nulls_last())
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r
+      FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(f), ln(r)), 6) AS zipf_icept,
+           ROUND(regr_r2(ln(f), ln(r)), 6) AS fit_r2
+    FROM ranked
+    """,
+)
+def q_text_zipf(spark, sf_dir):
+    """Zipf-law fit of the corpus: regress log(frequency) on
+    log(rank) over the deterministic (freq DESC, token ASC) rank
+    order — the one-query corpus-health check (natural text fits a
+    slope near −1 with high r²; the synthetic ~31-word fixture is
+    deliberately flat, which is itself the diagnostic). Composes two
+    r5 surfaces: the vocabulary frequency table and the SQL:2003
+    regr_* aggregates, over bit-identical ln() inputs (logs of exact
+    integers).
+
+    Scale: one token shuffle for the frequency table; the rank
+    window and regression run on the VOCABULARY (thousands of rows
+    at any corpus size). The single-partition rank window is bounded
+    by vocabulary, not corpus — same justification as q_text_vocab's
+    TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    r = F.row_number().over(
+        Window.orderBy(F.col("f").desc(), F.col("token").asc())
+    )
+    ranked = tf.select("f", r.alias("r"))
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_icept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )

@@ -343,3 +343,67 @@ def q_join_fuzzy(spark, sf_dir):
         )
         .orderBy(F.col("probe").asc_nulls_last())
     )
+
+
+@query(
+    "q_join_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_custkey AS ck, l.l_orderkey AS ok,
+             MIN(l.l_shipdate) AS lo, MAX(l.l_shipdate) AS hi
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_orderkey
+    )
+    SELECT a.ck AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(MAX(datediff('day', greatest(a.lo, b.lo),
+                             least(a.hi, b.hi))) AS INT) AS max_overlap_days
+    FROM w a
+    JOIN w b ON a.ck = b.ck AND a.ok < b.ok
+            AND a.lo <= b.hi AND b.lo <= a.hi
+    GROUP BY a.ck
+    ORDER BY custkey ASC NULLS LAST
+    """,
+)
+def q_join_overlap(spark, sf_dir):
+    """Interval-overlap self-join: per customer, how many pairs of
+    their orders had overlapping shipping windows, and the longest
+    overlap — the classic temporal-join shape (equi-key + symmetric
+    interval predicate + ok<ok dedup) that rounds out the temporal
+    family next to as-of (q_asof_join) and range (q_range_join)
+    joins. Overlap length is integer day arithmetic on timestamps.
+
+    Scale: the window table aggregates once per (customer, order);
+    the self-join is EQUI on custkey — Catalyst plans a hash join
+    with the interval conditions as residual, so cost is
+    Σ per-customer orders², bounded by per-key fan-out (~10 orders
+    per customer at any SF), never a global cross product. The plan
+    gate family's no-cartesian check covers it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_orderkey").alias("ok"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    overlap_days = F.datediff(
+        F.least(F.col("a.hi"), F.col("b.hi")),
+        F.greatest(F.col("a.lo"), F.col("b.lo")),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.ok") < F.col("b.ok"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .groupBy(F.col("a.ck").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlapping_pairs"),
+            F.max(overlap_days).cast("int").alias("max_overlap_days"),
+        )
+        .orderBy(F.col("custkey").asc_nulls_last())
+    )

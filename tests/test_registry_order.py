@@ -179,6 +179,8 @@ _BIRTH_ROUND = {
     "q_scan_corrupt": 5,
     "q_agg_regr": 5,
     "q_evt_markov": 5,
+    "q_text_zipf": 5,
+    "q_join_overlap": 5,
 }
 
 
