@@ -1,0 +1,78 @@
+"""Weighted sampling (r5) — beyond-reference LLM-pipeline layer.
+
+operators/pipeline.py covers uniform hash sampling / splits /
+stratified sampling (q_pipe_sample*). This module adds the missing
+production shape: WEIGHTED sampling without replacement — "sample 100
+documents with probability proportional to length" is the standard
+way to build token-budget-matched eval slices from a 100 TB corpus.
+
+Algorithm: Efraimidis-Spirakis A-ES. Each row draws u ∈ (0,1] and
+gets key u^(1/w); the k largest keys are the sample. We order by the
+monotone-equivalent priority = -ln(u)/w ascending (smaller is
+better), which avoids pow() underflow for large weights.
+
+Determinism (driver seed=42 convention): u derives from the shared
+md5/h60 family (functions/digest.py), so Spark and DuckDB draw THE
+SAME uniforms bit-for-bit. int64→double conversion and division are
+IEEE-exact on both engines; ln() is libm-dependent, so the priority
+is ROUND(…, 6)ed on both sides and ties break on doc_id — the repo's
+standard float-boundary discipline.
+
+100 TB design: priority is a zero-shuffle projection; ORDER BY
+priority LIMIT k compiles to TakeOrderedAndProject — O(k) heap per
+partition, k·P rows to the driver, never a global sort of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
+from datafusion_tpc_spark.registry import query
+
+_K = 100
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "q_pipe_sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id,
+             CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+             ROUND(
+               -ln(({_h60_duck("concat('ws:', CAST(doc_id AS VARCHAR))")} + 1)
+                   / {_TWO60!r})
+               / GREATEST(n_chars, 1), 6) AS priority
+      FROM documents
+    )
+    SELECT doc_id, weight, priority
+    FROM pri
+    ORDER BY priority ASC NULLS LAST, doc_id ASC NULLS LAST
+    LIMIT {_K}
+    """,
+)
+def q_pipe_sample_weighted(spark, sf_dir):
+    """Length-weighted sample of documents, k={_K}, without
+    replacement (Efraimidis-Spirakis): u = (h60(doc_id)+1)/2^60,
+    priority = -ln(u)/weight, keep the k smallest priorities.
+    Deterministic across engines via the md5-derived uniform; the
+    plan is projection → TakeOrderedAndProject (no shuffle, no global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (h60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        _TWO60
+    )
+    return (
+        docs.select(
+            "doc_id",
+            w.cast("bigint").alias("weight"),
+            F.round(-F.log(u) / w, 6).alias("priority"),
+        )
+        .orderBy(
+            F.col("priority").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+        )
+        .limit(_K)
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
@@ -550,4 +550,112 @@ def q_agg_regr(spark, sf_dir):
             F.round(F.regr_avgy(y, x), 6).alias("avgy"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+@query(
+    "q_agg_histeq",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             NTILE(8) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC NULLS LAST,
+                                     o_orderkey ASC NULLS LAST) AS bucket
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(bucket AS INTEGER) AS bucket,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t
+    GROUP BY o_orderpriority, bucket
+    ORDER BY o_orderpriority ASC NULLS LAST, bucket ASC NULLS LAST
+    """,
+)
+def q_agg_histeq(spark, sf_dir):
+    """Equi-depth (equi-height) histogram per order priority: NTILE(8)
+    over (o_totalprice, o_orderkey) — the deterministic total order
+    makes exact equi-depth oracle-able — then per-bucket lo/hi/count.
+    This is the CBO statistics-collection shape (ANALYZE ... FOR
+    COLUMNS builds exactly these). Scale note: exact NTILE funnels
+    each group through one reducer; at 100 TB swap the exact pass for
+    approx_percentile boundary estimation + a bucketing join — the
+    rollup/serving schema stays identical, only the boundary source
+    changes (q_agg_pctl covers the sketch path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(8).over(w).cast("int").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("bucket").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "q_agg_abtest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
+           ROUND(AVG(value) FILTER (WHERE user_id % 2 = 0), 6) AS mean_a,
+           ROUND(AVG(value) FILTER (WHERE user_id % 2 = 1), 6) AS mean_b,
+           ROUND(
+             (AVG(value) FILTER (WHERE user_id % 2 = 0)
+              - AVG(value) FILTER (WHERE user_id % 2 = 1))
+             / sqrt(
+                 var_samp(value) FILTER (WHERE user_id % 2 = 0)
+                 / (COUNT(*) FILTER (WHERE user_id % 2 = 0))
+                 + var_samp(value) FILTER (WHERE user_id % 2 = 1)
+                 / (COUNT(*) FILTER (WHERE user_id % 2 = 1))
+               ), 6) AS t_welch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS LAST
+    """,
+)
+def q_agg_abtest(spark, sf_dir):
+    """A/B experiment readout per event_type: deterministic split on
+    user_id parity, then per-arm counts/means and the Welch t
+    statistic — all from ONE conditional aggregation (count/avg/var
+    FILTER-style aggs share the scan and combine map-side; no join,
+    no second pass). The t-stat is pure arithmetic over the agg
+    outputs, computed raw then rounded on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    n_a = F.count_if(a)
+    n_b = F.count_if(b)
+    mean_a = F.avg(F.when(a, F.col("value")))
+    mean_b = F.avg(F.when(b, F.col("value")))
+    var_a = F.var_samp(F.when(a, F.col("value")))
+    var_b = F.var_samp(F.when(b, F.col("value")))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_a.cast("bigint").alias("n_a"),
+            n_b.cast("bigint").alias("n_b"),
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(
+                (mean_a - mean_b)
+                / F.sqrt(var_a / n_a + var_b / n_b),
+                6,
+            ).alias("t_welch"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
     )

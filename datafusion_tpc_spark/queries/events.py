@@ -19,7 +19,7 @@ shuffle beyond the groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
@@ -587,3 +587,101 @@ def q_evt_markov(spark, sf_dir):
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wnorm), 6).alias("p"),
     ).orderBy(F.col("from_type").asc_nulls_last(), F.col("to_type").asc_nulls_last())
+
+
+@query(
+    "q_evt_rollup",
+    oracle="""
+    SELECT day, hour,
+           CAST(GROUPING(day) AS INTEGER) AS g_day,
+           CAST(GROUPING(hour) AS INTEGER) AS g_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+             value
+      FROM events
+    )
+    GROUP BY ROLLUP(day, hour)
+    ORDER BY g_day DESC NULLS LAST, g_hour DESC NULLS LAST,
+             day ASC NULLS FIRST, hour ASC NULLS FIRST
+    """,
+)
+def q_evt_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (the hypertable / continuous-aggregate
+    shape): day × hour multi-granularity aggregation in ONE pass via
+    ROLLUP — hour rows, day subtotals, and the grand total share a
+    single Expand + hash aggregation instead of three scans.
+    GROUPING() flags keep subtotal rows distinguishable from data
+    NULLs. 100 TB: this is the materialized-rollup build — one
+    shuffle keyed by the coarsest-to-finest grouping tuple; at real
+    scale the output IS the serving table for dashboard queries."""
+    ev = load_table(spark, sf_dir, "events")
+    based = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+        "value",
+    )
+    return (
+        based.rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("g_day").desc_nulls_last(),
+            F.col("g_hour").desc_nulls_last(),
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_evt_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) ASC NULLS LAST,
+                            event_id ASC NULLS LAST)
+    )
+    SELECT concat_ws('>', t0, t1, t2) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC NULLS LAST, path ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_evt_paths(spark, sf_dir):
+    """Top event paths (3-step sequence mining lite): per-user LEAD
+    pairs over the (ts, event_id) total order form 3-gram paths;
+    global count → top-10 via TakeOrderedAndProject. One user_id
+    exchange for the window, one path-keyed partial/final agg — the
+    path space is |event_types|³-bounded, so the second shuffle is
+    tiny regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+    )
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc_nulls_last(), F.col("path").asc_nulls_last())
+        .limit(10)
+    )

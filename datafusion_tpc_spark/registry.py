@@ -121,4 +121,8 @@ def load_all() -> None:
         sketches,
         graph,
         layout,
+        audit,
+        sampling,
+        bloom,
+        skyline,
     )

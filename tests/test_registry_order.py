@@ -181,6 +181,17 @@ _BIRTH_ROUND = {
     "q_evt_markov": 5,
     "q_text_zipf": 5,
     "q_join_overlap": 5,
+    "q_dq_checks": 5,
+    "q_scd2": 5,
+    "q_pipe_sample_weighted": 5,
+    "q_join_bloom": 5,
+    "q_skyline": 5,
+    "q_evt_rollup": 5,
+    "q_win_ema": 5,
+    "q_agg_histeq": 5,
+    "q_agg_abtest": 5,
+    "q_win_rolling_distinct": 5,
+    "q_evt_paths": 5,
 }
 
 
