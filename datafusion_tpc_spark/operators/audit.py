@@ -235,6 +235,9 @@ def q_scd2(spark, sf_dir):
     w_v = Window.partitionBy("user_id").orderBy(
         F.col("valid_from").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
+    # no presentation orderBy: the driver's hash is order-insensitive
+    # and a global sort would add a second (range) exchange to an
+    # otherwise single-shuffle plan (tests/test_plans.py pins this).
     return changes.select(
         "user_id",
         "event_type",
@@ -242,6 +245,4 @@ def q_scd2(spark, sf_dir):
         F.lead("valid_from").over(w_v).alias("valid_to"),
         F.row_number().over(w_v).cast("bigint").alias("version"),
         F.lead("valid_from").over(w_v).isNull().alias("is_current"),
-    ).orderBy(
-        F.col("user_id").asc_nulls_last(), F.col("version").asc_nulls_last()
     )

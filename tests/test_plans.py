@@ -303,3 +303,53 @@ def test_zorder_box_prunes_partitions(spark):
     assert 0 < len(cover) < 64, f"cell cover not selective: {cover}"
     # and the exact box survives as residual data filters
     assert "l_partkey" in plan and "l_suppkey" in plan
+
+
+def test_bloom_probe_no_fact_exchange(spark):
+    """q_join_bloom (operators/bloom.py): the fact probe must be pure
+    broadcast joins — the only Exchange allowed is the tiny bloom
+    build's own aggregation (positions → word OR), never the orders
+    side."""
+    plan = _plan(spark, "q_join_bloom")
+    assert plan.count("BroadcastHashJoin") >= 3  # 3 word lookups
+    # no SortMergeJoin anywhere — fact side never co-partitions
+    assert "SortMergeJoin" not in plan
+
+
+def test_skyline_candidate_antijoin_is_broadcast(spark):
+    """q_skyline: the dominance anti-join runs over the PRUNED
+    candidate set via BroadcastNestedLoopJoin (quadratic only in
+    candidates); the corpus-side work is one aggregation."""
+    plan = _plan(spark, "q_skyline")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_ema_single_window_no_join(spark):
+    """q_win_ema: truncated EMA must compile to one Window over one
+    user_id exchange — no self-join fallback, no Python."""
+    plan = _plan(spark, "q_win_ema")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_reuses_user_partitioning(spark):
+    """q_scd2: both window passes hash-partition by user_id; Catalyst
+    must plan exactly ONE shuffle (the second window's requirement is
+    satisfied by the first's output partitioning)."""
+    plan = _plan(spark, "q_scd2")
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_weighted_sample_take_ordered(spark):
+    """q_pipe_sample_weighted: priority top-k must be
+    TakeOrderedAndProject (O(k) heap per partition), never a global
+    Sort."""
+    plan = _plan(spark, "q_pipe_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
