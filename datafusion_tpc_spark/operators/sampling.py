@@ -76,3 +76,73 @@ def q_pipe_sample_weighted(spark, sf_dir):
         )
         .limit(_K)
     )
+
+
+_MIX = {"en": 80, "de": 30, "es": 30, "fr": 30, "zh": 30}
+
+
+def _mix_case_duck() -> str:
+    return (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX.items())
+        + " ELSE 0 END"
+    )
+
+
+@query(
+    "q_pipe_mixture",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_h60_duck("concat('mix:', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC) AS BIGINT) AS rk,
+             {_mix_case_duck()} AS quota
+      FROM documents
+    )
+    SELECT doc_id, lang, rk
+    FROM ranked
+    WHERE rk <= quota
+    """,
+)
+def q_pipe_mixture(spark, sf_dir):
+    """Corpus mixture rebalancing (the data-mixing / DoReMi shape):
+    sample each language to a TARGET budget — en:80 de:30 es:30 fr:30
+    zh:30 out of a skewed 218/70/73/64/75 input — by ranking docs
+    within each language on the deterministic h60 uniform and keeping
+    rank <= quota. One lang-partitioned window pass; selection is
+    uniform-without-replacement per stratum and bit-reproducible.
+
+    100 TB: rank-within-stratum funnels each language through one
+    reducer — the scale twin pre-filters with a hash THRESHOLD
+    (h60 < quota/stratum_count × 2^60, no sort, no single reducer,
+    same distribution) and only rank-trims the ~exact boundary; the
+    serving schema is identical. q_pipe_sample documents the
+    threshold primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    quota = F.lit(None)
+    expr = None
+    for k, v in _MIX.items():
+        expr = (
+            F.when(F.col("lang") == k, v)
+            if expr is None
+            else expr.when(F.col("lang") == k, v)
+        )
+    quota = expr.otherwise(0)
+    w = Window.partitionBy("lang").orderBy(
+        h60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+            quota.alias("quota"),
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+    )

@@ -160,3 +160,49 @@ def q_scan_corrupt(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_corrupt")
         )
     ).join(good.agg(F.round(F.sum("v"), 6).alias("sum_v")))
+
+
+@query(
+    "q_scan_meta",
+    oracle="""
+    SELECT 'customer.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS k_min,
+           CAST(MAX(c_custkey) AS BIGINT) AS k_max
+    FROM customer
+    UNION ALL
+    SELECT 'orders.parquet',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(o_orderkey) AS BIGINT),
+           CAST(MAX(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_scan_meta(spark, sf_dir):
+    """Hidden file-metadata columns (Spark's `_metadata` struct on
+    file sources — the lineage/debugging surface DataFusion exposes as
+    its `file` listing, reference src/object_store/file.rs list path):
+    per-file row counts and key ranges computed by grouping on
+    `_metadata.file_name` alongside ordinary data columns. The oracle
+    pins the file names literally (one parquet per table in this
+    fixture), proving the hidden column carries real scan lineage.
+    100 TB: `_metadata` is populated per split at scan time — zero
+    extra IO — and grouping by file is the standard recipe for
+    per-file audit/quarantine reports."""
+    from datafusion_tpc_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    out = None
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_orderkey")):
+        df = (
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            .select(F.col("_metadata.file_name").alias("file_name"), F.col(key))
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min(key).cast("bigint").alias("k_min"),
+                F.max(key).cast("bigint").alias("k_max"),
+            )
+        )
+        out = df if out is None else out.unionAll(df)
+    return out

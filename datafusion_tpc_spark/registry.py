@@ -111,6 +111,7 @@ def load_all() -> None:
         typefns,
         sql_shapes,
         sinks,
+        geo,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         dedup,

@@ -192,6 +192,9 @@ _BIRTH_ROUND = {
     "q_agg_abtest": 5,
     "q_win_rolling_distinct": 5,
     "q_evt_paths": 5,
+    "q_pipe_mixture": 5,
+    "q_geo_nearest": 5,
+    "q_scan_meta": 5,
 }
 
 
