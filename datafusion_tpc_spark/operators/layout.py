@@ -172,3 +172,73 @@ def q_layout_zorder(spark, sf_dir):
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
+
+
+# ---- small-files compaction (the OPTIMIZE/maintenance half) ----------
+
+_COMPACT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "compact"
+)
+_FRAG_FILES = 64
+_TARGET_FILES = 4
+
+
+def _compact_dirs(spark, sf_dir):
+    """Build (once per sf) a deliberately fragmented 64-file copy of
+    lineitem, then its 4-file compaction. Compaction is coalesce() —
+    a NO-SHUFFLE merge of read splits into wider tasks, the cheap
+    maintenance path (repartitionByRange is the clustering variant,
+    covered by z-order/bucketing)."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    frag = os.path.join(_COMPACT_ROOT, tag, "fragmented")
+    comp = os.path.join(_COMPACT_ROOT, tag, "compacted")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").repartition(_FRAG_FILES).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    if not os.path.exists(os.path.join(comp, "_SUCCESS")):
+        spark.read.parquet(frag).coalesce(_TARGET_FILES).write.mode(
+            "overwrite"
+        ).parquet(comp)
+    return frag, comp
+
+
+@query(
+    "q_layout_compact",
+    oracle=f"""
+    SELECT CAST({_FRAG_FILES} AS BIGINT) AS files_before,
+           CAST({_TARGET_FILES} AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def q_layout_compact(spark, sf_dir):
+    """Small-files compaction report (the OPTIMIZE maintenance op the
+    reference's todo!() write path never reached): a 64-file
+    fragmented table is compacted to 4 files via coalesce (zero
+    shuffle — each output task concatenates 16 input splits), and the
+    report proves (a) the file counts via `_metadata.file_name`
+    grouping and (b) loss-free contents via row count + revenue
+    checksum against the SOURCE table. 100 TB: compaction cost is one
+    pass of reads+writes with no exchange; target file count derives
+    from bytes/128MB rather than a constant — the constant here keeps
+    the oracle literal."""
+    frag, comp = _compact_dirs(spark, sf_dir)
+    fb = (
+        spark.read.parquet(frag)
+        .select(F.col("_metadata.file_name").alias("f"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_before"))
+    )
+    fa = (
+        spark.read.parquet(comp)
+        .select(F.col("_metadata.file_name").alias("f"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files_after"))
+    )
+    stats = spark.read.parquet(comp).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    return fb.crossJoin(fa).crossJoin(stats)

@@ -188,3 +188,47 @@ def q_mm_frames(spark, sf_dir):
             F.floor(F.col("n") / 4).cast("bigint").alias("frame_len"),
         )
     )
+
+
+@query(
+    "q_mm_dedup",
+    oracle="""
+    WITH digests AS (
+      SELECT doc_id, md5(substring(text, 1, 32)) AS phash
+      FROM documents
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM digests
+    GROUP BY phash
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_mm_dedup(spark, sf_dir):
+    """Near-dup grouping over BINARY payloads via a prefix fingerprint
+    — the multimodal twin of q_dedup_exact, with the 32-byte-prefix
+    digest standing in for a perceptual hash (a real pHash would slot
+    into the same plan as a pandas_udf at the digest step; the decode
+    seam is q_mm_decode). 23 non-trivial collision groups on this
+    fixture. The load-bearing 100 TB rule: the payload column is
+    NEVER shuffled — the fingerprint is derived row-local FIRST, the
+    payload is projected away, and only the 16-byte digest keys the
+    exchange. Canonical selection is MIN(doc_id), matching the text
+    dedup convention. (Oracle slices chars where Spark slices payload
+    bytes — identical under this fixture's ASCII encoding, which
+    q_mm_meta's octet_length==length parity pins; DuckDB has no BLOB
+    substring.)"""
+    mm = multimodal_table(spark, sf_dir)
+    digests = mm.select(
+        "doc_id",
+        F.md5(F.expr("substring(payload, 1, 32)")).alias("phash"),
+    )
+    return (
+        digests.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

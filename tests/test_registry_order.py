@@ -195,6 +195,8 @@ _BIRTH_ROUND = {
     "q_pipe_mixture": 5,
     "q_geo_nearest": 5,
     "q_scan_meta": 5,
+    "q_mm_dedup": 5,
+    "q_layout_compact": 5,
 }
 
 
