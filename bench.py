@@ -61,6 +61,10 @@ HEADLINE = [
     # sketch+recount heavy hitters
     "q_tpch_q9",
     "q_agg_freq",
+    # late-r5 families promoted: the bloom runtime-filter pattern and
+    # the SCD2 warehouse-history build
+    "q_join_bloom",
+    "q_scd2",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",
