@@ -197,6 +197,7 @@ _BIRTH_ROUND = {
     "q_scan_meta": 5,
     "q_mm_dedup": 5,
     "q_layout_compact": 5,
+    "q_udf_arrow": 5,
 }
 
 
