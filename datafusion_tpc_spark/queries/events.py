@@ -685,3 +685,71 @@ def q_evt_paths(spark, sf_dir):
         .orderBy(F.col("n").desc_nulls_last(), F.col("path").asc_nulls_last())
         .limit(10)
     )
+
+
+@query(
+    "q_evt_attrib",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                             THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) OVER w
+               AS touch_ts,
+             LAST_VALUE(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) ASC NULLS LAST,
+                            event_id ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN touch_ts >= ts - INTERVAL 24 HOUR THEN touch_type END
+             AS attributed_to,
+           CASE WHEN touch_ts >= ts - INTERVAL 24 HOUR THEN touch_ts END
+             AS touch_ts
+    FROM e
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_evt_attrib(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase attributes to
+    the user's most recent click/view within a 24-hour lookback —
+    NULL when no qualifying touch exists. One user_id exchange; the
+    attribution is a pair of IGNORE-NULLS last_value calls over the
+    preceding-rows frame (both pick the same source row because their
+    NULL masks coincide), then a window filter on the 24h horizon.
+    100 TB: state per key is the running last-touch — the same
+    single-row lookback class as q_scd2, no accumulation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").cast("timestamp").asc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_ts = F.last(
+        F.when(is_touch, F.col("ts").cast("timestamp")), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    qualified = touch_ts >= F.col("ts").cast("timestamp") - F.expr(
+        "INTERVAL 24 HOURS"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            F.when(qualified, touch_type).alias("attributed_to"),
+            F.when(qualified, touch_ts).alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )

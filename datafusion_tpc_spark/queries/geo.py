@@ -94,25 +94,29 @@ def q_geo_nearest(spark, sf_dir):
     semantics given the rounding + unique tie-break)."""
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
+    # cos(lat) factors precompute per SIDE (once per probe / per city,
+    # below the join) instead of once per PAIR — same FP ops, same
+    # bits, 2 fewer transcendentals on each of the |probes|·|cities|
+    # expanded rows.
     probes = cust.select(
         "c_custkey",
         _lat_spark("c", F.col("c_custkey")).alias("plat"),
         _lon_spark("c", F.col("c_custkey")).alias("plon"),
-    )
+    ).withColumn("cplat", F.cos(F.radians("plat")))
     cities = nat.select(
         "n_nationkey",
         "n_name",
         _lat_spark("n", F.col("n_nationkey")).alias("clat"),
         _lon_spark("n", F.col("n_nationkey")).alias("clon"),
-    )
+    ).withColumn("cclat", F.cos(F.radians("clat")))
     dist = F.round(
         2
         * 6371.0
         * F.asin(
             F.sqrt(
                 F.pow(F.sin(F.radians((F.col("clat") - F.col("plat")) / 2)), 2)
-                + F.cos(F.radians("plat"))
-                * F.cos(F.radians("clat"))
+                + F.col("cplat")
+                * F.col("cclat")
                 * F.pow(
                     F.sin(F.radians((F.col("clon") - F.col("plon")) / 2)), 2
                 )
@@ -120,21 +124,31 @@ def q_geo_nearest(spark, sf_dir):
         ),
         6,
     )
-    # argmin as min(struct(dist, key, name)) — lexicographic struct
-    # ordering IS (rounded distance, city-key tie-break), and unlike a
-    # row_number window it partial-aggregates map-side: no sort, and
-    # the exchange carries one row per probe, not |cities| rows.
-    # Measured 1.22 s -> window form vs struct-min on sf0.1.
+    # argmin as min over ONE encoded BIGINT: round(dist·1e6)·100 + key
+    # packs (rounded distance, city-key tie-break) into a single
+    # integer whose ordering IS the lexicographic struct ordering —
+    # and unlike min(struct(...)), which Spark plans as a
+    # SortAggregate (two Sorts over the expanded pairs), a bigint min
+    # hash-aggregates with map-side combine. Decode is exact: the 6dp
+    # round makes dist·1e6 integral, and l/1e6 is correctly-rounded
+    # division, reproducing the identical double. Measured on sf0.1:
+    # 1.24 s (row_number window) → 1.02 s (struct-min SortAggregate)
+    # → 0.93 s (this form, hash agg + per-side cos precompute).
+    enc = (
+        F.round(dist * 1e6).cast("bigint") * 100 + F.col("n_nationkey")
+    ).alias("enc")
     return (
         probes.crossJoin(F.broadcast(cities))
-        .select("c_custkey", "n_nationkey", "n_name", dist.alias("dist_km"))
+        .select("c_custkey", enc)
         .groupBy("c_custkey")
-        .agg(
-            F.min(F.struct("dist_km", "n_nationkey", "n_name")).alias("m")
-        )
+        .agg(F.min("enc").alias("enc"))
         .select(
             "c_custkey",
-            F.col("m.n_name").alias("city"),
-            F.col("m.dist_km").alias("dist_km"),
+            F.pmod(F.col("enc"), F.lit(100)).cast("int").alias("n_nationkey"),
+            (F.expr("enc div 100").cast("double") / 1e6).alias("dist_km"),
         )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey"
+        )
+        .select("c_custkey", F.col("n_name").alias("city"), "dist_km")
     )

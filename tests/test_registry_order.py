@@ -198,6 +198,7 @@ _BIRTH_ROUND = {
     "q_mm_dedup": 5,
     "q_layout_compact": 5,
     "q_udf_arrow": 5,
+    "q_evt_attrib": 5,
 }
 
 
