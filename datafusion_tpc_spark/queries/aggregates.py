@@ -614,15 +614,21 @@ def q_agg_histeq(spark, sf_dir):
            CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_b,
            ROUND(AVG(value) FILTER (WHERE user_id % 2 = 0), 6) AS mean_a,
            ROUND(AVG(value) FILTER (WHERE user_id % 2 = 1), 6) AS mean_b,
-           ROUND(
-             (AVG(value) FILTER (WHERE user_id % 2 = 0)
-              - AVG(value) FILTER (WHERE user_id % 2 = 1))
-             / sqrt(
-                 var_samp(value) FILTER (WHERE user_id % 2 = 0)
-                 / (COUNT(*) FILTER (WHERE user_id % 2 = 0))
-                 + var_samp(value) FILTER (WHERE user_id % 2 = 1)
-                 / (COUNT(*) FILTER (WHERE user_id % 2 = 1))
-               ), 6) AS t_welch
+           ROUND(CASE WHEN
+               COALESCE(var_samp(value) FILTER (WHERE user_id % 2 = 0), 0)
+               / GREATEST(COUNT(*) FILTER (WHERE user_id % 2 = 0), 1)
+               + COALESCE(var_samp(value) FILTER (WHERE user_id % 2 = 1), 0)
+               / GREATEST(COUNT(*) FILTER (WHERE user_id % 2 = 1), 1) > 0
+             THEN
+               (AVG(value) FILTER (WHERE user_id % 2 = 0)
+                - AVG(value) FILTER (WHERE user_id % 2 = 1))
+               / sqrt(
+                   var_samp(value) FILTER (WHERE user_id % 2 = 0)
+                   / (COUNT(*) FILTER (WHERE user_id % 2 = 0))
+                   + var_samp(value) FILTER (WHERE user_id % 2 = 1)
+                   / (COUNT(*) FILTER (WHERE user_id % 2 = 1))
+                 )
+             END, 6) AS t_welch
     FROM events
     GROUP BY event_type
     ORDER BY event_type ASC NULLS LAST
@@ -651,9 +657,17 @@ def q_agg_abtest(spark, sf_dir):
             n_b.cast("bigint").alias("n_b"),
             F.round(mean_a, 6).alias("mean_a"),
             F.round(mean_b, 6).alias("mean_b"),
+            # guard: NULL t-stat when an arm is empty or both arms are
+            # constant (denominator 0) — a div-by-zero here diverges
+            # cross-engine (Spark NULL/Infinity vs DuckDB inf), and the
+            # empty-arm case is one skewed fixture drop away.
             F.round(
-                (mean_a - mean_b)
-                / F.sqrt(var_a / n_a + var_b / n_b),
+                F.when(
+                    F.coalesce(var_a, F.lit(0.0)) / F.greatest(n_a, F.lit(1))
+                    + F.coalesce(var_b, F.lit(0.0)) / F.greatest(n_b, F.lit(1))
+                    > 0,
+                    (mean_a - mean_b) / F.sqrt(var_a / n_a + var_b / n_b),
+                ),
                 6,
             ).alias("t_welch"),
         )

@@ -308,7 +308,7 @@ def q_win_sessionize(spark, sf_dir):
       FROM events
     )
     SELECT a.event_id, a.user_id, a.ts, a.value,
-           ROUND(0.2 * SUM(b.value * pow(0.8, a.rn - b.rn)), 6) AS ema
+           ROUND(0.2 * SUM(COALESCE(b.value, 0) * pow(0.8, a.rn - b.rn)), 6) AS ema
     FROM e a JOIN e b
       ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
     GROUP BY a.event_id, a.user_id, a.ts, a.value
@@ -335,12 +335,16 @@ def q_win_ema(spark, sf_dir):
         .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
         .rowsBetween(-31, 0)
     )
+    # COALESCE(value, 0) on BOTH sides: collect_list silently drops
+    # NULLs, which would shift every positional weight after a null —
+    # the fixture has no null values today, but a future drop must
+    # not turn this into a silent weight misalignment.
     return ev.select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
-        F.collect_list("value").over(w).alias("vals"),
+        F.collect_list(F.coalesce(F.col("value"), F.lit(0.0))).over(w).alias("vals"),
     ).select(
         "event_id",
         "user_id",
