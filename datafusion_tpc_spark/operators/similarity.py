@@ -264,3 +264,47 @@ def q_sim_ann(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K)
     )
+
+
+@query(
+    "q_sim_centroid",
+    oracle="""
+    SELECT label, pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_sim_centroid(spark, sf_dir):
+    """Distributed per-label centroid build — the cluster-update half
+    of k-means / the IVF codebook build (q_sim_ivf trains its coarse
+    quantizer on a bounded driver sample; THIS is the full-data
+    distributed variant): posexplode the vector column and average
+    per (label, dimension). Long-format output (label, pos, c) — one
+    row per centroid component — keeps arrays out of the oracle
+    comparison entirely.
+
+    100 TB: the shuffle carries |labels|·dim keys with map-side
+    combine — corpus size touches only the scan; the update step of
+    distributed k-means is exactly this plan with label replaced by
+    assigned-cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

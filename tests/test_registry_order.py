@@ -199,6 +199,7 @@ _BIRTH_ROUND = {
     "q_layout_compact": 5,
     "q_udf_arrow": 5,
     "q_evt_attrib": 5,
+    "q_sim_centroid": 5,
 }
 
 
