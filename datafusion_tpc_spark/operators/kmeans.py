@@ -1,0 +1,166 @@
+"""Fully distributed fixed-iteration k-means (r5) — the flagship
+iterative-ML composite: both halves of Lloyd's algorithm as DataFrame
+ops, bit-reproducibly oracled in DuckDB by unrolling the iterations
+(the q_graph_pagerank pattern, applied to a vector workload).
+
+Relation to the rest of the similarity layer: q_sim_ivf trains its
+coarse quantizer on a bounded DRIVER sample (fine for codebooks);
+q_sim_centroid is the distributed cluster-UPDATE step alone. This
+operator runs the full loop distributed — assignment is a broadcast
+cross-expansion + encoded-bigint argmin (hash-aggregatable, the
+q_geo_nearest trick), update is the posexplode → (cell, dim) average
+— so neither step ever funnels the corpus through the driver.
+
+Determinism choreography (why the oracle hash-matches):
+- seeds: the k vectors with the smallest md5/h60 keys (driver
+  seed=42 convention) — a deterministic, data-independent choice;
+- squared distances fold over dimensions in ELEMENT ORDER on both
+  engines (Spark aggregate() over zip_with; DuckDB list_sum over
+  list_transform) and are quantized to 1e-6 inside the argmin
+  encoding, so a last-ulp libm/SIMD divergence cannot flip an
+  assignment except at a measure-zero rounding boundary;
+- centroid components are ROUND(…, 6)ed at every update, so each
+  iteration starts from IDENTICAL doubles on both engines — errors
+  cannot compound across iterations.
+
+100 TB design: per iteration, one broadcast of k·dim doubles, one
+map-side-combinable argmin agg keyed by vec_id, one (k·dim)-keyed
+update agg. Corpus size touches only scans; state is O(k·dim).
+k=4, dim=64, 2 iterations here — the constants keep the unrolled
+oracle readable, the plan shape is the product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
+from datafusion_tpc_spark.registry import query
+
+_K = 4
+_DIM = 64
+_ITERS = 2
+
+_D2_SPARK = (
+    "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _assign(v, cents):
+    """vec → nearest centroid: broadcast expansion + min over the
+    encoded bigint round(d2·1e6)·10 + cid (hash agg, no sort)."""
+    pairs = v.crossJoin(
+        F.broadcast(cents.select("cid", F.col("e").alias("ce")))
+    )
+    enc = (
+        F.round(F.expr(_D2_SPARK) * 1e6).cast("bigint") * 10 + F.col("cid")
+    ).alias("enc")
+    return (
+        pairs.select("vec_id", "e", enc)
+        .groupBy("vec_id")
+        .agg(F.min("enc").alias("enc"), F.first("e").alias("e"))
+    )
+
+
+def _update(assign):
+    """cells' new centroids: posexplode → (cid, dim) avg, components
+    rounded to 6dp so both engines start the next iteration from
+    identical doubles."""
+    comp = assign.select(
+        F.pmod(F.col("enc"), F.lit(10)).cast("int").alias("cid"),
+        F.posexplode("e").alias("pos0", "x"),
+    )
+    return (
+        comp.groupBy("cid", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cid", F.expr("transform(pc, s -> s.c)").alias("e"))
+    )
+
+
+def _duck_iter(n: int, cent_rel: str) -> str:
+    return f"""
+    p{n} AS (
+      SELECT v.vec_id, v.e,
+             CAST(ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
+                    i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) * 1e6, 0)
+                  AS BIGINT) * 10 + c.cid AS enc
+      FROM v, {cent_rel} c
+    ),
+    a{n} AS (
+      SELECT vec_id, ANY_VALUE(e) AS e, MIN(enc) AS enc
+      FROM p{n} GROUP BY vec_id
+    ),
+    x{n} AS (
+      SELECT CAST(enc % 10 AS INT) AS cid,
+             unnest(e) AS x,
+             CAST(unnest(range(1, {_DIM + 1})) AS INT) AS pos
+      FROM a{n}
+    ),
+    m{n} AS (
+      SELECT cid, pos, ROUND(AVG(x), 6) AS c FROM x{n} GROUP BY cid, pos
+    ),
+    c{n} AS (
+      SELECT cid, list(c ORDER BY pos ASC) AS e FROM m{n} GROUP BY cid
+    )"""
+
+
+@query(
+    "q_sim_kmeans",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY {_h60_duck("concat('km:', CAST(vec_id AS VARCHAR))")} ASC,
+                        vec_id ASC) AS INT) AS cid, e
+      FROM v
+      QUALIFY cid <= {_K}
+    ),
+    {_duck_iter(1, "seeds")},
+    {_duck_iter(2, "c1")}
+    SELECT CAST(enc % 10 AS INT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG((enc // 10) / 1000000.0), 6) AS avg_d2
+    FROM a2
+    GROUP BY 1
+    """,
+)
+def q_sim_kmeans(spark, sf_dir):
+    """Distributed k-means, k={_K}, {_ITERS} Lloyd iterations over the
+    embeddings table: deterministic h60 seeding → (assign → update) ×
+    {_ITERS} → final assignment, reported as per-cell membership count
+    and mean squared distance. The DuckDB oracle unrolls the identical
+    two iterations as chained CTEs — every assignment and every
+    centroid component must match bit-for-bit for the hash to pass."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    w = Window.orderBy(
+        h60(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).asc(),
+        F.col("vec_id").asc(),
+    )
+    cents = (
+        v.withColumn("cid", F.row_number().over(w).cast("int"))
+        .filter(F.col("cid") <= _K)
+        .select("cid", "e")
+    )
+    assign = None
+    for _ in range(_ITERS):
+        assign = _assign(v, cents)
+        cents = _update(assign)
+    return (
+        assign.select(
+            F.pmod(F.col("enc"), F.lit(10)).cast("int").alias("cid"),
+            (F.expr("enc div 10").cast("double") / 1e6).alias("d2"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("d2"), 6).alias("avg_d2"),
+        )
+    )

@@ -126,4 +126,5 @@ def load_all() -> None:
         sampling,
         bloom,
         skyline,
+        kmeans,
     )

@@ -200,6 +200,7 @@ _BIRTH_ROUND = {
     "q_udf_arrow": 5,
     "q_evt_attrib": 5,
     "q_sim_centroid": 5,
+    "q_sim_kmeans": 5,
 }
 
 
