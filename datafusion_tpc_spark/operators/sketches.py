@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 
 _K = 30  # heavy-hitter order: report tokens with count*K > total
@@ -335,4 +336,65 @@ def q_text_zipf(spark, sf_dir):
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_icept"),
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )
+
+
+_KMV_K = 64
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "q_agg_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             {_h60_duck("concat('kmv:', CAST(o_custkey AS VARCHAR))")} AS hv
+      FROM orders
+    ),
+    kth AS (
+      SELECT hv AS kth_min
+      FROM h ORDER BY hv ASC LIMIT 1 OFFSET {_KMV_K - 1}
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+    )
+    SELECT n_exact,
+           ROUND(({_KMV_K} - 1) * {_TWO60!r} / kth_min, 6) AS kmv_estimate,
+           ROUND(ABS(({_KMV_K} - 1) * {_TWO60!r} / kth_min - n_exact)
+                 / n_exact, 6) AS rel_error
+    FROM exact, kth
+    """,
+)
+def q_agg_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch with an EXACT
+    oracle — the trick that makes an approximate sketch hash-checkable:
+    the estimate ({_KMV_K}-1)·2^60 / kth_smallest_hash is a pure
+    function of the deterministic md5/h60 hashes, so both engines
+    compute the IDENTICAL estimate (contrast q_agg_approxd, whose HLL
+    constants differ per engine and stays rows-only forever).
+
+    100 TB design: the sketch state is the k smallest hashes — each
+    partition keeps a bounded top-k heap (TakeOrderedAndProject), and
+    heaps merge associatively, the textbook mergeable-summary shape
+    (same family as q_agg_freq's Misra-Gries phase). The exact
+    distinct rides along here only to report the realized error."""
+    orders = load_table(spark, sf_dir, "orders")
+    hv = h60(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string")))
+    kth = (
+        orders.select(hv.alias("hv"))
+        .distinct()
+        .orderBy(F.col("hv").asc())
+        .limit(_KMV_K)
+        .agg(F.max("hv").alias("kth_min"))
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    est = (_KMV_K - 1) * F.lit(_TWO60) / F.col("kth_min")
+    return exact.crossJoin(F.broadcast(kth)).select(
+        "n_exact",
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
     )

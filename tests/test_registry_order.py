@@ -201,6 +201,7 @@ _BIRTH_ROUND = {
     "q_evt_attrib": 5,
     "q_sim_centroid": 5,
     "q_sim_kmeans": 5,
+    "q_agg_kmv": 5,
 }
 
 
