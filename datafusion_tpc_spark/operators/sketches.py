@@ -398,3 +398,57 @@ def q_agg_kmv(spark, sf_dir):
             "rel_error"
         ),
     )
+
+
+@query(
+    "q_text_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    lw AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    lt AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang),
+    cw AS (SELECT w, COUNT(*) AS cq FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS nt FROM tok)
+    SELECT l.lang,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(SUM((l.c * 1.0 / t.n)
+                     * ln((l.c * 1.0 / t.n) / (c.cq * 1.0 / o.nt))), 6) AS kl
+    FROM lw l
+    JOIN lt t ON l.lang = t.lang
+    JOIN cw c ON l.w = c.w
+    CROSS JOIN tot o
+    GROUP BY l.lang, t.n
+    """,
+)
+def q_text_kl(spark, sf_dir):
+    """KL divergence of each language slice's unigram distribution
+    from the corpus-wide distribution — the drift/contamination
+    diagnostic for mixture monitoring (companion to q_pipe_mixture's
+    rebalancer and q_text_zipf's power-law fit). Every per-slice
+    vocabulary is a subset of the corpus vocabulary, so q(w) > 0 and
+    the divergence is always defined.
+
+    100 TB: one corpus-sized explode feeds three vocabulary-bound
+    aggregations; the KL join runs over (slices × vocab) rows with
+    both small sides broadcast — corpus size touches only the first
+    pass. ln() is transcendental → final sum ROUND(…, 6) per repo
+    convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    lw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    lt = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cq"))
+    tot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("cq") * 1.0 / F.col("nt")
+    return (
+        lw.join(F.broadcast(lt), "lang")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang", "n")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .select("lang", F.col("n").cast("bigint").alias("n_tokens"), "kl")
+    )

@@ -231,3 +231,4 @@ def q_text_vocab(spark, sf_dir):
         .orderBy(F.col("c").desc_nulls_last(), F.col("word").asc_nulls_last())
         .limit(50)
     )
+

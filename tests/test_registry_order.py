@@ -202,6 +202,7 @@ _BIRTH_ROUND = {
     "q_sim_centroid": 5,
     "q_sim_kmeans": 5,
     "q_agg_kmv": 5,
+    "q_text_kl": 5,
 }
 
 
