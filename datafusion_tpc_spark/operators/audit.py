@@ -55,8 +55,13 @@ def _check(name, metric_col, passed_col):
       FROM lineitem
     ),
     ri AS (
+      -- NOT EXISTS, not NOT IN: a NULL l_orderkey is exactly the
+      -- defect this check exists to catch — left_anti (Spark side)
+      -- keeps NULL-keyed rows as orphans, and NOT IN would silently
+      -- drop them (review r5).
       SELECT CAST(COUNT(*) AS BIGINT) AS orphans
-      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     )
     SELECT check_name, ROUND(metric, 6) AS metric, passed FROM (
       SELECT 'uniqueness:orders.o_orderkey' AS check_name,

@@ -93,7 +93,7 @@ def _spark_pos(j: int, col):
 )
 def q_join_bloom(spark, sf_dir):
     """Bloom-filter join pre-reduction: build a 4096-bit bloom over
-    '{_SEGMENT}'-segment customer keys, probe every order via three
+    BUILDING-segment customer keys, probe every order via three
     broadcast word-lookups, and report exact vs bloom pass counts.
     ``n_missed`` = members the bloom rejected — pinned 0 by the bloom
     guarantee on BOTH engines; ``n_false_pass`` is the measured FP

@@ -131,9 +131,9 @@ def _duck_iter(n: int, cent_rel: str) -> str:
     """,
 )
 def q_sim_kmeans(spark, sf_dir):
-    """Distributed k-means, k={_K}, {_ITERS} Lloyd iterations over the
-    embeddings table: deterministic h60 seeding → (assign → update) ×
-    {_ITERS} → final assignment, reported as per-cell membership count
+    """Distributed k-means, k=4, two Lloyd iterations over the
+    embeddings table: deterministic h60 seeding → (assign → update)
+    twice → final assignment, reported as per-cell membership count
     and mean squared distance. The DuckDB oracle unrolls the identical
     two iterations as chained CTEs — every assignment and every
     centroid component must match bit-for-bit for the hash to pass."""

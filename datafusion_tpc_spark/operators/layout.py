@@ -185,19 +185,24 @@ _TARGET_FILES = 4
 
 def _compact_dirs(spark, sf_dir):
     """Build (once per sf) a deliberately fragmented 64-file copy of
-    lineitem, then its 4-file compaction. Compaction is coalesce() —
-    a NO-SHUFFLE merge of read splits into wider tasks, the cheap
-    maintenance path (repartitionByRange is the clustering variant,
-    covered by z-order/bucketing)."""
+    lineitem, then its 4-file compaction. The compacting write uses
+    repartition(4), NOT coalesce(4): coalesce only caps the count at
+    the SCAN's partition number, which depends on the session's split
+    binning (maxPartitionBytes/openCost × parallelism) — a different
+    driver session could bin the 64 small files into <4 splits and
+    persist a wrong-file-count layout into the cache (review r5).
+    repartition pins the output count at the price of one small
+    shuffle; production compaction of append-only data keeps the
+    no-shuffle coalesce and simply reports the realized count."""
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     frag = os.path.join(_COMPACT_ROOT, tag, "fragmented")
-    comp = os.path.join(_COMPACT_ROOT, tag, "compacted")
+    comp = os.path.join(_COMPACT_ROOT, tag, "compacted_rp")
     if not os.path.exists(os.path.join(frag, "_SUCCESS")):
         load_table(spark, sf_dir, "lineitem").repartition(_FRAG_FILES).write.mode(
             "overwrite"
         ).parquet(frag)
     if not os.path.exists(os.path.join(comp, "_SUCCESS")):
-        spark.read.parquet(frag).coalesce(_TARGET_FILES).write.mode(
+        spark.read.parquet(frag).repartition(_TARGET_FILES).write.mode(
             "overwrite"
         ).parquet(comp)
     return frag, comp
@@ -216,14 +221,13 @@ def _compact_dirs(spark, sf_dir):
 def q_layout_compact(spark, sf_dir):
     """Small-files compaction report (the OPTIMIZE maintenance op the
     reference's todo!() write path never reached): a 64-file
-    fragmented table is compacted to 4 files via coalesce (zero
-    shuffle — each output task concatenates 16 input splits), and the
-    report proves (a) the file counts via `_metadata.file_name`
-    grouping and (b) loss-free contents via row count + revenue
-    checksum against the SOURCE table. 100 TB: compaction cost is one
-    pass of reads+writes with no exchange; target file count derives
-    from bytes/128MB rather than a constant — the constant here keeps
-    the oracle literal."""
+    fragmented table is compacted to exactly 4 files (repartition —
+    see _compact_dirs for why not coalesce), and the report proves
+    (a) the file counts via `_metadata.file_name` grouping and
+    (b) loss-free contents via row count + revenue checksum against
+    the SOURCE table. 100 TB: compaction is one read+write pass;
+    target file count derives from bytes/128MB rather than a
+    constant — the constant here keeps the oracle literal."""
     frag, comp = _compact_dirs(spark, sf_dir)
     fb = (
         spark.read.parquet(frag)

@@ -25,7 +25,7 @@ partition, k·P rows to the driver, never a global sort of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import _h60_duck, h60
@@ -54,7 +54,7 @@ _TWO60 = float(1 << 60)
     """,
 )
 def q_pipe_sample_weighted(spark, sf_dir):
-    """Length-weighted sample of documents, k={_K}, without
+    """Length-weighted sample of documents, k=100, without
     replacement (Efraimidis-Spirakis): u = (h60(doc_id)+1)/2^60,
     priority = -ln(u)/weight, keep the k smallest priorities.
     Deterministic across engines via the md5-derived uniform; the
@@ -121,9 +121,6 @@ def q_pipe_mixture(spark, sf_dir):
     serving schema is identical. q_pipe_sample documents the
     threshold primitive."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    quota = F.lit(None)
     expr = None
     for k, v in _MIX.items():
         expr = (
