@@ -143,3 +143,94 @@ def q_pipe_mixture(spark, sf_dir):
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", "rk")
     )
+
+
+def _duck_ipf_iter(n: int, prev: str) -> str:
+    """One IPF iteration = row scaling to the lang target, then
+    column scaling to the source target; weights re-rounded to 6dp
+    after each scaling so both engines stay in lockstep."""
+    return f"""
+    r{n} AS (
+      SELECT lang, source, cnt,
+             ROUND(w * t_lang / SUM(w) OVER (PARTITION BY lang), 6) AS w,
+             t_lang, t_src
+      FROM {prev}
+    ),
+    i{n} AS (
+      SELECT lang, source, cnt,
+             ROUND(w * t_src / SUM(w) OVER (PARTITION BY source), 6) AS w,
+             t_lang, t_src
+      FROM r{n}
+    )"""
+
+
+@query(
+    "q_pipe_ipf",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+    w0 AS (
+      SELECT lang, source, cnt, CAST(cnt AS DOUBLE) AS w,
+             n / 5.0 AS t_lang, n / 20.0 AS t_src
+      FROM cells, tot
+    ),
+    {_duck_ipf_iter(1, "w0")},
+    {_duck_ipf_iter(2, "i1")}
+    SELECT lang, source, cnt, w AS weight
+    FROM i2
+    """,
+)
+def q_pipe_ipf(spark, sf_dir):
+    """Iterative proportional fitting (raking) — balance the corpus
+    weight matrix to TWO marginal targets at once (uniform language
+    AND uniform source shares), the survey-statistics algorithm
+    behind 2-D dataset mixing where q_pipe_mixture's single-stratum
+    quotas don't compose. Two IPF iterations, each = scale rows to
+    the lang target then columns to the source target via window
+    sums over the |langs|·|sources| cell table.
+
+    Determinism: all scaling arithmetic is IEEE +,*,/ (exact
+    cross-engine); group sums could differ in summation order, so
+    weights are ROUND(…, 6)ed after every scaling — both engines
+    enter each step with identical doubles (the q_sim_kmeans
+    choreography). 100 TB: one corpus-sized count agg; everything
+    after is cell-table-sized (|langs|·|sources| rows) regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "cnt",
+            F.col("cnt").cast("double").alias("w"),
+            (F.col("n") / 5.0).alias("t_lang"),
+            (F.col("n") / 20.0).alias("t_src"),
+        )
+    )
+    for _ in range(2):
+        w = w.withColumn(
+            "w",
+            F.round(
+                F.col("w")
+                * F.col("t_lang")
+                / F.sum("w").over(Window.partitionBy("lang")),
+                6,
+            ),
+        ).withColumn(
+            "w",
+            F.round(
+                F.col("w")
+                * F.col("t_src")
+                / F.sum("w").over(Window.partitionBy("source")),
+                6,
+            ),
+        )
+    return w.select("lang", "source", "cnt", F.col("w").alias("weight"))

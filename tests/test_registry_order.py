@@ -203,6 +203,7 @@ _BIRTH_ROUND = {
     "q_sim_kmeans": 5,
     "q_agg_kmv": 5,
     "q_text_kl": 5,
+    "q_pipe_ipf": 5,
 }
 
 
