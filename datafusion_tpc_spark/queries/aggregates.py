@@ -673,3 +673,56 @@ def q_agg_abtest(spark, sf_dir):
         )
         .orderBy(F.col("event_type").asc_nulls_last())
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice), 2) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC NULLS LAST,
+                                   l_suppkey ASC NULLS LAST) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(r), 2) AS total_revenue,
+           ROUND(2.0 * SUM(i * r) / (ANY_VALUE(n) * SUM(r))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of supplier revenue concentration — the
+    inequality metric for corpus/supplier skew dashboards (how
+    top-heavy is the distribution the salted joins and AQE skew
+    handling exist for). Revenue is rounded to 2dp BEFORE ranking so
+    the rank permutation is identical cross-engine (ulp-level sum
+    differences cannot reorder; ties break on suppkey), then
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over the supplier-bound table.
+    100 TB: one fact aggregation; the rank pass runs over suppliers,
+    not rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("r")
+    )
+    w = Window.orderBy(
+        F.col("r").asc_nulls_last(), F.col("l_suppkey").asc_nulls_last()
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.first("n").cast("bigint").alias("n_suppliers"),
+        F.round(F.sum("r"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.first("n") * F.sum("r"))
+            - (F.first("n") + 1.0) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )

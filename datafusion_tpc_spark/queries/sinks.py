@@ -206,3 +206,75 @@ def q_scan_meta(spark, sf_dir):
         )
         out = df if out is None else out.unionAll(df)
     return out
+
+
+_EVOLVE_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "evolve",
+)
+
+
+def _evolve_dirs(spark, sf_dir):
+    """Two parquet snapshot dirs with DRIFTED schemas (v2 adds a
+    column), built once per sf: the read-side half of schema
+    evolution — q_union_evo covers the DataFrame-level union, this
+    exercises Spark's parquet mergeSchema file-level merge."""
+    import hashlib as _hl
+
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(_EVOLVE_CACHE, key)
+    v1 = os.path.join(root, "v1")
+    v2 = os.path.join(root, "v2")
+    cust = load_table(spark, sf_dir, "customer")
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ).coalesce(1).write.mode("overwrite").parquet(v1)
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        cust.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        ).coalesce(1).write.mode("overwrite").parquet(v2)
+    return root
+
+
+@query(
+    "q_scan_evolve",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS n_with_bal,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scan_evolve(spark, sf_dir):
+    """Schema evolution at the SCAN (parquet mergeSchema): two
+    snapshot directories whose footers disagree — v2 added c_acctbal
+    — read as ONE table; old files surface the missing column as
+    NULL. The aggregate proves both the merged shape (per-segment
+    rows split across snapshots) and the null-padding (n_with_bal
+    counts only v2 rows). The oracle reconstructs the same merge as
+    an explicit NULL-padded UNION ALL on the source table.
+
+    100 TB: mergeSchema costs one footer read per FILE at planning —
+    fine per query on a few snapshots; at many-thousand-file scale
+    the schema belongs in a catalog/manifest (the layout.py manifest
+    pattern) rather than re-merged per read."""
+    root = _evolve_dirs(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("c_acctbal").cast("bigint").alias("n_with_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

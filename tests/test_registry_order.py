@@ -204,6 +204,8 @@ _BIRTH_ROUND = {
     "q_agg_kmv": 5,
     "q_text_kl": 5,
     "q_pipe_ipf": 5,
+    "q_scan_evolve": 5,
+    "q_agg_gini": 5,
 }
 
 
