@@ -171,10 +171,15 @@ def _duck_ipf_iter(n: int, prev: str) -> str:
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM documents GROUP BY lang, source
     ),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+      FROM cells
+    ),
     w0 AS (
       SELECT lang, source, cnt, CAST(cnt AS DOUBLE) AS w,
-             n / 5.0 AS t_lang, n / 20.0 AS t_src
+             n * 1.0 / nl AS t_lang, n * 1.0 / ns AS t_src
       FROM cells, tot
     ),
     {_duck_ipf_iter(1, "w0")},
@@ -203,7 +208,14 @@ def q_pipe_ipf(spark, sf_dir):
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    # marginal targets DERIVED from the data (n/|langs|, n/|sources|)
+    # rather than hardcoded cardinalities — a testdata drop with more
+    # strata keeps the stated uniform-marginal semantics (review r5).
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    )
     w = (
         cells.crossJoin(F.broadcast(tot))
         .select(
@@ -211,8 +223,8 @@ def q_pipe_ipf(spark, sf_dir):
             "source",
             "cnt",
             F.col("cnt").cast("double").alias("w"),
-            (F.col("n") / 5.0).alias("t_lang"),
-            (F.col("n") / 20.0).alias("t_src"),
+            (F.col("n") * 1.0 / F.col("nl")).alias("t_lang"),
+            (F.col("n") * 1.0 / F.col("ns")).alias("t_src"),
         )
     )
     for _ in range(2):

@@ -684,14 +684,13 @@ def q_agg_abtest(spark, sf_dir):
     ),
     ranked AS (
       SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC NULLS LAST,
-                                   l_suppkey ASC NULLS LAST) AS i,
-             COUNT(*) OVER () AS n
+                                   l_suppkey ASC NULLS LAST) AS i
       FROM rev
     )
-    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_suppliers,
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
            ROUND(SUM(r), 2) AS total_revenue,
-           ROUND(2.0 * SUM(i * r) / (ANY_VALUE(n) * SUM(r))
-                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+           ROUND(2.0 * SUM(i * r) / (COUNT(*) * SUM(r))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
     FROM ranked
     """,
 )
@@ -712,17 +711,16 @@ def q_agg_gini(spark, sf_dir):
     w = Window.orderBy(
         F.col("r").asc_nulls_last(), F.col("l_suppkey").asc_nulls_last()
     )
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # n comes from the final aggregate itself (it runs over the whole
+    # ranked table) — no extra global-window pass (review r5).
+    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
     return ranked.agg(
-        F.first("n").cast("bigint").alias("n_suppliers"),
+        n.cast("bigint").alias("n_suppliers"),
         F.round(F.sum("r"), 2).alias("total_revenue"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("r")) / (F.first("n") * F.sum("r"))
-            - (F.first("n") + 1.0) / F.first("n"),
+            2.0 * F.sum(F.col("i") * F.col("r")) / (n * F.sum("r"))
+            - (n + 1.0) / n,
             6,
         ).alias("gini"),
     )

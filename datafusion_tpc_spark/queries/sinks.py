@@ -222,7 +222,15 @@ def _evolve_dirs(spark, sf_dir):
     exercises Spark's parquet mergeSchema file-level merge."""
     import hashlib as _hl
 
-    key = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    # cache key includes the SOURCE file's (mtime, size) fingerprint:
+    # testdata drops replace files at the same path (FIXTURES.md), and
+    # a _SUCCESS-only check would serve stale snapshots against a
+    # fresh oracle (review r5).
+    src = os.path.join(sf_dir, "customer.parquet")
+    st = os.stat(src)
+    key = _hl.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(_EVOLVE_CACHE, key)
     v1 = os.path.join(root, "v1")
     v2 = os.path.join(root, "v2")
