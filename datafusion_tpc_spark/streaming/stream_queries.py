@@ -211,7 +211,14 @@ def q_stream_join(spark, sf_dir):
     return _drain(joined, spark, "stream_join")
 
 
-@query("q_stream_enrich")  # † rows-only: streaming run
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+           e.event_type, e.value, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def q_stream_enrich(spark, sf_dir):
     """Stream-static enrichment join: the click-stream × dimension
     pattern — every incoming event picks up its customer attributes
@@ -221,8 +228,13 @@ def q_stream_enrich(spark, sf_dir):
     enrichment adds zero exchange to the streaming plan and state is
     EMPTY — stateless operator, unlimited run length.
 
-    tests/test_streaming.py checks row-for-row equivalence against
-    the batch join of the same fixture."""
+    STATELESS ⇒ deterministic: no watermark ever drops a row, so the
+    availableNow drain emits exactly the batch join's rows and the
+    query carries an EXACT oracle (r5 upgrade from rows-only — same
+    reasoning as q_stream_sink/q_stream_pysource); values pass
+    through unrounded since nothing is aggregated.
+    tests/test_streaming.py additionally checks row-for-row
+    equivalence against the batch join."""
     from datafusion_tpc_spark.catalog import load_table
 
     customers = load_table(spark, sf_dir, "customer").select(
