@@ -251,3 +251,78 @@ def q_scd2(spark, sf_dir):
         F.row_number().over(w_v).cast("bigint").alias("version"),
         F.lead("valid_from").over(w_v).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS v_type, valid_from,
+             LEAD(valid_from) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY valid_from ASC NULLS LAST, event_id ASC NULLS LAST)
+    ),
+    pit AS (
+      SELECT e.event_id, e.event_type, d.v_type
+      FROM (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events) e
+      JOIN dim d
+        ON d.user_id = e.user_id
+       AND d.valid_from <= e.ts
+       AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(count_if(event_type <> v_type) AS BIGINT) AS n_mismatch
+    FROM pit
+    """,
+)
+def q_join_pit(spark, sf_dir):
+    """Point-in-time (temporal) join against the SCD2 dimension built
+    by q_scd2: each event joins the version whose validity interval
+    contains its timestamp — the bi-temporal lookup every warehouse
+    fact-to-history join performs. Two invariants are PINNED by the
+    exact oracle: n_joined equals the event count (intervals tile
+    each user's timeline with no gap or overlap — a same-µs change
+    event joins only the later version because intervals are
+    half-open [from, to)), and n_mismatch = 0 (the version active at
+    any event's time carries that event's own type, by construction
+    of change-point compression).
+
+    100 TB: equi-key on user_id + interval residual — per-key cost is
+    versions_per_user × events_per_user, never a cross product (the
+    q_join_overlap bound); the dim side is change-compressed, i.e.
+    minimal."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = q_scd2(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("v_type"),
+        "valid_from",
+        "valid_to",
+    )
+    e = ev.select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    pit = e.join(
+        dim,
+        (e.user_id == dim.user_id)
+        & (dim.valid_from <= e.ts)
+        & (dim.valid_to.isNull() | (e.ts < dim.valid_to)),
+    )
+    return pit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_joined"),
+        F.count_if(F.col("event_type") != F.col("v_type"))
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )

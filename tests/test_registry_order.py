@@ -206,6 +206,7 @@ _BIRTH_ROUND = {
     "q_pipe_ipf": 5,
     "q_scan_evolve": 5,
     "q_agg_gini": 5,
+    "q_join_pit": 5,
 }
 
 
