@@ -246,3 +246,56 @@ def q_pipe_ipf(spark, sf_dir):
             ),
         )
     return w.select("lang", "source", "cnt", F.col("w").alias("weight"))
+
+
+_DP_EPS = 0.5
+
+
+@query(
+    "q_agg_dp",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY c_mktsegment
+    ),
+    noised AS (
+      SELECT c_mktsegment, n_true,
+             ({_h60_duck("concat('dp:', c_mktsegment)")} + 1) / {float(1 << 60)!r} - 0.5 AS u
+      FROM agg
+    )
+    SELECT c_mktsegment,
+           n_true,
+           ROUND(n_true - (1.0 / {_DP_EPS}) *
+                 CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END *
+                 ln(1.0 - 2.0 * ABS(u)), 6) AS n_released
+    FROM noised
+    """,
+)
+def q_agg_dp(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism,
+    ε=0.5, sensitivity 1 for a per-segment count): the privacy layer
+    a data-release pipeline applies before publishing corpus
+    statistics. Noise is Laplace(1/ε) drawn by INVERSE CDF from the
+    md5/h60 uniform — deterministic under the driver seed convention,
+    so the released values carry an EXACT oracle (a production
+    deployment swaps the h60 uniform for a secret-seeded PRNG; the
+    plan is identical). Per-group noise is one row-local expression
+    over the aggregated (group-bound) table — zero extra passes.
+    ln() is transcendental → ROUND(…, 6) per repo convention."""
+    cust = load_table(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    u = (
+        h60(F.concat(F.lit("dp:"), F.col("c_mktsegment"))) + 1
+    ) / F.lit(float(1 << 60)) - 0.5
+    noise = (
+        (1.0 / _DP_EPS)
+        * F.when(u >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_true",
+        F.round(F.col("n_true") - noise, 6).alias("n_released"),
+    )

@@ -461,3 +461,47 @@ def q_text_kl(spark, sf_dir):
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
         .select("lang", F.col("n").cast("bigint").alias("n_tokens"), "kl")
     )
+
+
+@query("q_text_compress")  # † rows-only: zlib has no DuckDB counterpart
+def q_text_compress(spark, sf_dir):
+    """Compression-ratio quality signal — the classic repetitive-text
+    detector (used alongside the Gopher repetition rules: highly
+    compressible text is boilerplate/spam; near-incompressible text
+    is noise/binary garbage). ratio = deflate_bytes / raw_bytes per
+    document via an Arrow-batched pandas_udf over zlib level 6.
+
+    Rows-only by contract (DuckDB has no compression function), but
+    NOT unchecked: tests/test_extensions.py pins the UDF byte-for-
+    byte against direct zlib on sampled docs, and the flag thresholds
+    are integer-free of float-boundary risk only in the pytest pin
+    (the driver check is row-count/schema). 100 TB: one mapPartitions-
+    equivalent pass, zero shuffle; zlib level 6 ~100 MB/s/core —
+    the only deliberately CPU-bound Python op in the repo, which is
+    why it emits bytes counts (reusable) rather than re-deriving per
+    downstream filter."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def deflate_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("int").alias("n_bytes"),
+        deflate_len(F.col("text")).alias("comp_bytes"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "comp_bytes",
+        F.round(F.col("comp_bytes") / F.col("n_bytes"), 6).alias("ratio"),
+        (F.col("comp_bytes") * 10 < F.col("n_bytes") * 3).alias(
+            "flag_repetitive"
+        ),
+    )

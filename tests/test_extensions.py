@@ -279,3 +279,30 @@ def test_sign_bucket_literal_matches_expression(spark):
         ).collect()
     }
     assert expr_path == lit_path
+
+
+def test_text_compress_matches_direct_zlib(spark):
+    """q_text_compress's pandas_udf must agree byte-for-byte with
+    direct zlib at the same level — pins the rows-only query's values
+    since no DuckDB oracle can."""
+    import zlib
+
+    from datafusion_tpc_spark import registry
+
+    rows = (
+        registry.QUERIES["q_text_compress"](spark, SF_DIR)
+        .limit(50)
+        .collect()
+    )
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(500)
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        expected = len(zlib.compress(docs[r.doc_id].encode("utf-8"), 6))
+        assert r.comp_bytes == expected, r.doc_id
+        assert r.flag_repetitive == (r.comp_bytes * 10 < r.n_bytes * 3)

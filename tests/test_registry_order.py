@@ -207,6 +207,8 @@ _BIRTH_ROUND = {
     "q_scan_evolve": 5,
     "q_agg_gini": 5,
     "q_join_pit": 5,
+    "q_agg_dp": 5,
+    "q_text_compress": 5,
 }
 
 
