@@ -753,3 +753,59 @@ def q_evt_attrib(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+@query(
+    "q_evt_cusum",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, ROUND(AVG(value), 6) AS mu
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type,
+             SUM(e.value - m.mu) OVER (
+               PARTITION BY e.event_type
+               ORDER BY CAST(e.ts AS TIMESTAMP) ASC NULLS LAST,
+                        e.event_id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM events e JOIN m ON e.event_type = m.event_type
+    )
+    SELECT event_type,
+           ROUND(MAX(s), 6) AS cusum_max,
+           ROUND(MIN(s), 6) AS cusum_min,
+           ROUND(MAX(s) - MIN(s), 6) AS cusum_range
+    FROM c
+    GROUP BY event_type
+    """,
+)
+def q_evt_cusum(spark, sf_dir):
+    """CUSUM change detection per event_type: the cumulative sum of
+    deviations from the (pre-rounded) type mean over the (ts,
+    event_id) total order; a large |excursion| is the classic drift /
+    level-shift alarm. Determinism choreography: the mean is
+    ROUND(6)ed BEFORE subtraction so every deviation term is
+    bit-identical cross-engine, and a running-frame window sum folds
+    SEQUENTIALLY in the same order on both engines — the cumulative
+    series is therefore exact, not merely rounded-close. One
+    event_type exchange serves the mean join and the window.
+    100 TB: state per key is one running scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mu"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(
+            F.col("ts").cast("timestamp").asc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.sum(F.col("value") - F.col("mu")).over(w).alias("s"),
+    )
+    return c.groupBy("event_type").agg(
+        F.round(F.max("s"), 6).alias("cusum_max"),
+        F.round(F.min("s"), 6).alias("cusum_min"),
+        F.round(F.max("s") - F.min("s"), 6).alias("cusum_range"),
+    )

@@ -209,6 +209,7 @@ _BIRTH_ROUND = {
     "q_join_pit": 5,
     "q_agg_dp": 5,
     "q_text_compress": 5,
+    "q_evt_cusum": 5,
 }
 
 
