@@ -505,3 +505,40 @@ def q_text_compress(spark, sf_dir):
             "flag_repetitive"
         ),
     )
+
+
+@query(
+    "q_text_ttr",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_types,
+           ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           (len(list_distinct(string_split(text, ' '))) * 10
+            < len(string_split(text, ' ')) * 3) AS flag_low_diversity
+    FROM documents
+    """,
+)
+def q_text_ttr(spark, sf_dir):
+    """Type-token ratio — the lexical-diversity quality signal
+    (low TTR = repetitive/templated text; the array-function twin of
+    q_text_compress's zlib detector, and unlike it fully
+    SQL-expressible, hence exact-oracled). Entirely row-local JVM
+    array functions (split → array_distinct → size): zero shuffle,
+    stays in codegen. The flag threshold is an INTEGER cross-multiply
+    (types·10 < tokens·3, i.e. TTR < 0.3) — no float boundary.
+    100 TB: embarrassingly parallel scan; composes with
+    q_pipe_quality_filter's reject-reason framework."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_types = F.size(F.array_distinct(toks)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(n_types * 1.0 / n_tokens, 6).alias("ttr"),
+        (n_types * 10 < n_tokens * 3).alias("flag_low_diversity"),
+    )

@@ -809,3 +809,57 @@ def q_evt_cusum(spark, sf_dir):
         F.round(F.min("s"), 6).alias("cusum_min"),
         F.round(F.max("s") - F.min("s"), 6).alias("cusum_range"),
     )
+
+
+@query(
+    "q_evt_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM h)
+    SELECT CAST(tot.nt AS BIGINT) AS n_events,
+           CAST(tot.k AS BIGINT) AS n_hours,
+           ROUND(SUM((h.n - tot.nt * 1.0 / tot.k)
+                     * (h.n - tot.nt * 1.0 / tot.k))
+                 / (tot.nt * 1.0 / tot.k), 6) AS chi2
+    FROM h, tot
+    GROUP BY tot.nt, tot.k
+    """,
+)
+def q_evt_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality test: the chi-square goodness-of-fit
+    statistic of the hourly event histogram against uniformity — the
+    "is there a daily cycle" alarm, the testing-family companion to
+    q_agg_abtest (two-sample t) over the time axis. The expected
+    count nt/k and the quadratic form are IEEE +,*,/ over integer
+    counts — exact until the final ROUND. 100 TB: one hour-keyed agg
+    (24 groups, map-side combined); the statistic is computed over
+    the 24-row histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.hour(F.col("ts").cast("timestamp")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = h.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    exp = F.col("nt") * 1.0 / F.col("k")
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "k")
+        .agg(
+            F.round(
+                F.sum((F.col("n") - exp) * (F.col("n") - exp)) / F.first(exp),
+                6,
+            ).alias("chi2")
+        )
+        .select(
+            F.col("nt").alias("n_events"),
+            F.col("k").alias("n_hours"),
+            "chi2",
+        )
+    )

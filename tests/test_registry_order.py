@@ -210,6 +210,8 @@ _BIRTH_ROUND = {
     "q_agg_dp": 5,
     "q_text_compress": 5,
     "q_evt_cusum": 5,
+    "q_evt_seasonality": 5,
+    "q_text_ttr": 5,
 }
 
 
