@@ -212,6 +212,7 @@ _BIRTH_ROUND = {
     "q_evt_cusum": 5,
     "q_evt_seasonality": 5,
     "q_text_ttr": 5,
+    "q_join_overlap_banded": 5,
 }
 
 
