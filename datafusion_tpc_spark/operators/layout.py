@@ -31,6 +31,7 @@ Python cell enumerator.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -38,6 +39,21 @@ from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
+
+
+def _source_tag(sf_dir: str, table: str = "lineitem") -> str:
+    """Cache key for derived-layout copies: sf tag PLUS an (mtime_ns,
+    size) fingerprint of the source parquet. Testdata drops replace
+    files at the same path (FIXTURES.md), so a path-only key would
+    serve a stale cached layout against a fresh oracle — the
+    _evolve_dirs pattern (sinks.py, review r5; ADVICE r5 flagged this
+    module still keying by sf tag alone)."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    fp = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return f"{tag}-{fp}"
 
 _CELLS_BITS = 4  # 16 cells per dimension → 256 z-buckets
 _CACHE_ROOT = os.path.join(
@@ -74,8 +90,7 @@ def _zorder_copy(spark, sf_dir: str) -> tuple[str, int, int]:
     """Ensure the z-clustered lineitem copy exists; returns
     (path, max_partkey, max_suppkey). Maxes persist beside the data so
     foreign sessions enumerate cells with the writer's exact grid."""
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    path = os.path.join(_CACHE_ROOT, tag)
+    path = os.path.join(_CACHE_ROOT, _source_tag(sf_dir))
     meta = os.path.join(path, "_zorder_meta.json")
     if os.path.exists(meta):
         # grid-constant guard: a cached copy built under a different
@@ -194,7 +209,7 @@ def _compact_dirs(spark, sf_dir):
     repartition pins the output count at the price of one small
     shuffle; production compaction of append-only data keeps the
     no-shuffle coalesce and simply reports the realized count."""
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _source_tag(sf_dir)
     frag = os.path.join(_COMPACT_ROOT, tag, "fragmented")
     comp = os.path.join(_COMPACT_ROOT, tag, "compacted_rp")
     if not os.path.exists(os.path.join(frag, "_SUCCESS")):

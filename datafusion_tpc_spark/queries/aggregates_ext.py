@@ -97,28 +97,12 @@ def q_agg_hist(spark, sf_dir):
     )
 
 
-@query(
-    "q_agg_decimal",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(1,0))
-                       - CAST(l_discount AS DECIMAL(18,4))))
-                AS DECIMAL(28,4)) AS sum_disc_price,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag NULLS LAST
-    """,
-)
-def q_agg_decimal(spark, sf_dir):
-    """DECIMAL-typed aggregation — exercises DecimalType arithmetic
-    end-to-end (cast, subtract, multiply, SUM) with an EXACT unrounded
-    oracle, closing the SURVEY §1 Decimal128 type row (reference
-    Cargo.toml:15; Arrow 34 Decimal128 at Cargo.lock:102).
+def agg_decimal_raw(spark, sf_dir):
+    """Raw-DECIMAL form of q_agg_decimal — exercises DecimalType
+    arithmetic end-to-end (cast, subtract, multiply, SUM) with EXACT
+    unrounded DECIMAL(28,4) output, closing the SURVEY §1 Decimal128
+    type row (reference Cargo.toml:15; Arrow 34 Decimal128 at
+    Cargo.lock:102).
 
     Exactness argument (why no ROUND on the sums): source money
     columns carry 2 decimal places, so DECIMAL(18,4) casts are exact
@@ -132,6 +116,16 @@ def q_agg_decimal(spark, sf_dir):
     between Spark (HALF_UP at derived scale) and DuckDB (promotes to
     DOUBLE), so a decimal avg is not portable without re-rounding —
     which would defeat the exactness point.
+
+    This raw form is pytest-only (tests/test_queries_oracle.py pins
+    it against DuckDB decimal-to-decimal): the r5 driver run proved
+    its VALUES bit-identical at three scale factors, but bare
+    DECIMAL-object columns trip the driver's hash canonicalizer
+    (CORRECTNESS_r05 hash_match:false with equal values — same hazard
+    class as bare array/map columns, see CLAUDE.md conventions). The
+    registered q_agg_decimal therefore emits the sums as fixed-scale
+    STRINGs, which carry the same information (scale 4 makes the
+    string forms identical iff the decimals are).
 
     Scale: identical to any grouped sum — partial decimal sums are
     fixed 16-byte state, map-side combined; one shuffle of
@@ -149,4 +143,56 @@ def q_agg_decimal(spark, sf_dir):
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         )
         .orderBy(F.col("l_returnflag").asc_nulls_last())
+    )
+
+
+AGG_DECIMAL_RAW_ORACLE = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(1,0))
+                       - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(28,4)) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS LAST
+    """
+
+
+@query(
+    "q_agg_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DECIMAL(28,4)) AS VARCHAR) AS sum_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(1,0))
+                            - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(28,4)) AS VARCHAR) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS LAST
+    """,
+)
+def q_agg_decimal(spark, sf_dir):
+    """Driver-facing DECIMAL aggregation (see agg_decimal_raw for the
+    full exactness argument): same exact decimal arithmetic, but the
+    two DECIMAL(28,4) sums are emitted as their fixed-scale STRING
+    forms — 'd+.dddd' is identical between Spark and DuckDB iff the
+    decimals are bit-identical, and strings are safe through the
+    driver's hash canonicalizer where bare DECIMAL objects are not
+    (CORRECTNESS_r05 adjudication: values equal, representation
+    driver-hostile)."""
+    raw = agg_decimal_raw(spark, sf_dir)
+    return raw.select(
+        "l_returnflag",
+        F.col("sum_price").cast("string").alias("sum_price"),
+        F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+        "n",
+        "avg_price",
     )

@@ -32,25 +32,41 @@ testdata supplier fan-out; the nearest group sits 1.3e-4 relative
 from the threshold — nine orders of magnitude above double ulp error,
 so the HAVING comparison cannot flip cross-engine).
 
-Q2/Q11/Q20 run ONE shared SQL text verbatim through both spark.sql
-and DuckDB (the decorrelation shapes — correlated scalar MIN,
+Q2/Q11/Q20 run a shared SQL BODY verbatim through both spark.sql and
+DuckDB (the decorrelation shapes — correlated scalar MIN,
 HAVING-vs-scalar-subquery, nested IN + two-key correlated scalar —
 where identical text is the parity statement). Q9/Q12/Q16 are
-DataFrame-API-first with mirrored oracles.
-
-Registered after the round-5 driver window (registry.load_all) —
-queued for the r6 staleness rotation; exact oracles pytest-verified
-meanwhile (tests/test_queries_oracle.py).
+DataFrame-API-first with mirrored oracles. Since r6, the Spark side
+resolves `partsupp` as the MATERIALIZED derived table
+(catalog.derived_partsupp — built once per lineitem fingerprint)
+while the oracles keep the inline CTE; the provenance difference is
+bit-invisible (order-independent MIN, exact integral-double SUM,
+lossless parquet round-trip), and it removes the per-execution
+lineitem re-aggregation that made q_tpch_q9 the suite's worst
+12-concurrent amplifier (VERDICT r5 item 3, BASELINE.md).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table, register_tables
+from datafusion_tpc_spark.catalog import (
+    derived_partsupp,
+    load_table,
+    register_tables,
+)
 from datafusion_tpc_spark.registry import query
 
-# Identical on both engines (see module docstring): derived partsupp.
+# Identical semantics on both engines (see module docstring). The
+# ORACLES derive partsupp inline with this CTE; the Spark side reads
+# the MATERIALIZED copy (catalog.derived_partsupp — built once per
+# lineitem fingerprint, VERDICT r5 item 3: per-query re-derivation
+# made q_tpch_q9 the suite's worst 12-concurrent amplifier). The
+# query BODIES below stay verbatim-shared between spark.sql and
+# DuckDB; only the partsupp *provenance* differs — CTE vs persisted
+# table — which is bit-invisible (MIN is order-independent,
+# SUM(l_quantity) is an exact integral-double sum, parquet
+# round-trips doubles losslessly).
 _PARTSUPP_CTE = """
     WITH partsupp AS (
       SELECT l_partkey AS ps_partkey,
@@ -63,21 +79,15 @@ _PARTSUPP_CTE = """
 """
 
 
-def _partsupp_df(spark, sf_dir):
-    """DataFrame twin of _PARTSUPP_CTE for the DataFrame-first queries."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
-        F.sum("l_quantity").alias("ps_availqty"),
-    )
+def _register_with_partsupp(spark, sf_dir):
+    """Register the standard views plus the materialized partsupp, so
+    the shared SQL bodies resolve `partsupp` as a table on the Spark
+    side exactly as the oracle's CTE does on the DuckDB side."""
+    register_tables(spark, sf_dir)
+    derived_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
 
 
-_Q2_SQL = (
-    _PARTSUPP_CTE
-    + """
+_Q2_BODY = """
     SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
            p.p_partkey, ROUND(ps.ps_supplycost, 6) AS supplycost
     FROM part p
@@ -98,7 +108,7 @@ _Q2_SQL = (
              s.s_name ASC NULLS LAST, p.p_partkey ASC NULLS LAST
     LIMIT 100
 """
-)
+_Q2_SQL = _PARTSUPP_CTE + _Q2_BODY
 
 
 @query("q_tpch_q2", oracle=_Q2_SQL)
@@ -116,9 +126,11 @@ def q_tpch_q2(spark, sf_dir):
     Scale: partsupp derivation is one composite-key shuffle; Catalyst
     plans the inner and outer dim gauntlets with broadcast
     nation/region; the decorrelated MIN reuses the partkey shuffle;
-    top-100 via TakeOrderedAndProject — no global sort."""
-    register_tables(spark, sf_dir)
-    return spark.sql(_Q2_SQL)
+    top-100 via TakeOrderedAndProject — no global sort. partsupp is
+    the materialized derived table (catalog.derived_partsupp); the
+    query body is verbatim-shared with the oracle."""
+    _register_with_partsupp(spark, sf_dir)
+    return spark.sql(_Q2_BODY)
 
 
 @query(
@@ -154,14 +166,34 @@ def q_tpch_q9(spark, sf_dir):
     difference of two products aggregated after. ROUND 2dp: the sum is
     a difference of large terms (CLAUDE.md convention).
 
-    Scale: the composite-key join co-partitions lineitem and partsupp
-    on (partkey, suppkey) — one shuffle each; part's LIKE prunes
-    before its join; nation broadcasts; final agg is |nations|×|years|
-    rows."""
+    Scale: partsupp is the materialized derived table (catalog.
+    derived_partsupp; was re-aggregated per execution pre-r6 — the
+    suite's worst 12-concurrent amplifier, VERDICT r5 item 3). The
+    part LIKE filter is propagated to the partsupp side as a
+    broadcast SEMI join on the red part keys BEFORE the composite-key
+    join — semantically free (ps rows for non-red parts can never
+    survive the inner part join) but it shrinks the ps build side
+    ~10×, which cut the 12-concurrent supplement 15.8 s → 1.7 s at
+    sf0.1 (the manual form of the dynamic filter Spark's DPP applies
+    only to partitioned scans). At 100 TB the filtered ps stops being
+    broadcastable and the same semi join instead feeds a
+    co-partitioned (partkey, suppkey) shuffle join — the filter
+    propagation is the scale-relevant part, not the broadcast. Part's
+    LIKE prunes before its join; nation broadcasts; final agg is
+    |nations|×|years| rows."""
     li = load_table(spark, sf_dir, "lineitem")
+    red_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
-    ps = _partsupp_df(spark, sf_dir)
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(red_keys),
+        F.col("ps_partkey") == red_keys.p_partkey,
+        "left_semi",
+    )
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -171,7 +203,7 @@ def q_tpch_q9(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(
-            ps,
+            F.broadcast(ps),
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -187,9 +219,7 @@ def q_tpch_q9(spark, sf_dir):
     )
 
 
-_Q11_SQL = (
-    _PARTSUPP_CTE
-    + """
+_Q11_BODY = """
     SELECT ps.ps_partkey,
            ROUND(SUM(ps.ps_supplycost * ps.ps_availqty), 2) AS value
     FROM partsupp ps
@@ -206,7 +236,7 @@ _Q11_SQL = (
     )
     ORDER BY value DESC NULLS LAST, ps.ps_partkey ASC NULLS LAST
 """
-)
+_Q11_SQL = _PARTSUPP_CTE + _Q11_BODY
 
 
 @query("q_tpch_q11", oracle=_Q11_SQL)
@@ -225,10 +255,12 @@ def q_tpch_q11(spark, sf_dir):
     Scale: partsupp derivation shuffles once on the composite key;
     the nation filter broadcasts through supplier; the scalar total
     is a broadcast one-row subplan; the per-part agg shuffles on
-    ps_partkey. Catalyst materializes the filtered partsupp subplan
-    twice — an explicit persist would dedupe at true scale."""
-    register_tables(spark, sf_dir)
-    return spark.sql(_Q11_SQL)
+    ps_partkey. partsupp is the materialized derived table
+    (catalog.derived_partsupp) — Catalyst's double reference to it
+    (groups + global threshold) now re-reads a small persisted
+    parquet instead of re-aggregating lineitem twice."""
+    _register_with_partsupp(spark, sf_dir)
+    return spark.sql(_Q11_BODY)
 
 
 @query(
@@ -313,7 +345,7 @@ def q_tpch_q16(spark, sf_dir):
     extra shuffle; negated brand/type predicates and the size IN-list
     prune the part scan; COUNT(DISTINCT suppkey) expands per group —
     bounded by 100 suppliers per bucket."""
-    ps = _partsupp_df(spark, sf_dir)
+    ps = derived_partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -336,9 +368,7 @@ def q_tpch_q16(spark, sf_dir):
     )
 
 
-_Q20_SQL = (
-    _PARTSUPP_CTE
-    + """
+_Q20_BODY = """
     SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -360,7 +390,7 @@ _Q20_SQL = (
       )
     ORDER BY s.s_name ASC NULLS LAST
 """
-)
+_Q20_SQL = _PARTSUPP_CTE + _Q20_BODY
 
 
 @query("q_tpch_q20", oracle=_Q20_SQL)
@@ -378,6 +408,7 @@ def q_tpch_q20(spark, sf_dir):
     (partkey, suppkey)-keyed aggregate joined back — co-partitioned
     with the partsupp derivation's own shuffle; the part IN-list
     becomes a semi join pruned by the LIKE; the outer IN a semi join
-    on suppkey; nation broadcasts."""
-    register_tables(spark, sf_dir)
-    return spark.sql(_Q20_SQL)
+    on suppkey; nation broadcasts. partsupp is the materialized
+    derived table (catalog.derived_partsupp)."""
+    _register_with_partsupp(spark, sf_dir)
+    return spark.sql(_Q20_BODY)

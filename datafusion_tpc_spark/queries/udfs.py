@@ -181,8 +181,16 @@ def q_udf_arrow(spark, sf_dir):
                 {
                     "l_orderkey": batch.column(0),
                     "l_linenumber": batch.column(1),
+                    # round_mode: pyarrow defaults to half-to-even;
+                    # Spark/DuckDB ROUND is half away from zero. The
+                    # 2dp×2dp product has ≤4 decimal places today so
+                    # 6dp rounding is an identity either way, but a
+                    # fixture with >6dp products would diverge at ties
+                    # (ADVICE r5) — pin the portable mode explicitly.
                     "gross": pc.round(
-                        pc.multiply(batch.column(2), batch.column(3)), 6
+                        pc.multiply(batch.column(2), batch.column(3)),
+                        6,
+                        round_mode="half_towards_infinity",
                     ),
                     "flag_bytes": pc.cast(
                         pc.binary_length(batch.column(4)), pa.int32()

@@ -44,24 +44,26 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-4), so the window is re-pointed each round at (a) every query
+    1-5), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 5 order (VERDICT r4 item 1): every one
-    of the 17 never-verified r4 additions plus the 2 new r5 queries,
-    via their modules — sorts (4: q_topk_group never + 3 r1-only
-    greens), setops (7: q_except_all/q_intersect_all never + 5
-    r1-only), arrays (2: both never), tpch_extra (3: q7/q14 never +
-    NEW q_tpch_q21), stream_sink (1: never — the only EXACT-oracled
-    streaming query, its first driver row proves the write path the
-    reference left as todo!()), chunking (4: all never), text (5:
-    q_text_vocab never + 4 r2/r3 greens), scans (10: q_scan_xml/
-    q_scan_dpp never + 8 r1/r3 greens), aggregates_ext (3:
-    q_agg_mode/q_agg_hist never + NEW q_agg_decimal) = 39; then the
-    stalest greens fill to 50: predicates (3, r1-only), subqueries
-    (6, r2), asof (2, r2) = exactly 50. After this round every
-    registered query has ≥1 driver CORRECTNESS row and the window
-    settles into pure staleness rotation
-    (tests/test_registry_order.py::test_window_staleness).
+    stalest green rows. Round 6 order (VERDICT r5 item 1 — burn down
+    the 81-query never-verified backlog, 50 at a time): every module
+    whose queries are ALL never-verified, exactly filling 50 —
+    aggregates_ext (3: the r6-FIXED q_agg_decimal, VERDICT r5 item 2,
+    plus its 2 r5 greens ride along — module granularity), tpch_full
+    (6: q2/q9/q11/q12/q16/q20) + tpch_more (6: q8/q13/q15/q17/q19/
+    q22) completing TPC-H driver evidence for all 22 shapes,
+    sql_shapes (8: recursive CTE, lateral, null-safe/fuzzy/overlap
+    joins, unpivot, schema-evo union), typefns (4: interval/binary/
+    variant/profile), sinks (4: avro sink, corrupt/meta/evolve
+    scans), sketches (8: Misra-Gries freq, BPE, classifier, Zipf,
+    KMV, KL, compress†, TTR), audit (3: DQ checks, SCD2, PIT join),
+    sampling (4: weighted/mixture/IPF/DP), layout (2: z-order,
+    compact), bloom (1), bucketing (1) = 50. Remaining ~31
+    never-verified (events batch, windows trio, aggregates sextet,
+    streaming quartet incl. the q_stream_enrich exact-oracle
+    re-verify, graph/kmeans/skyline/geo/pipeline singles) rotate in
+    round 7 — test_window_staleness enforces that promise.
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
@@ -73,20 +75,21 @@ def load_all() -> None:
     shifts fail loudly.
     """
     from datafusion_tpc_spark.queries import (  # noqa: F401
-        sorts,
-        setops,
-        arrays,
-        tpch_extra,
-    )
-    from datafusion_tpc_spark.streaming import stream_sink  # noqa: F401
-    from datafusion_tpc_spark.operators import chunking, text  # noqa: F401
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        scans,
         aggregates_ext,
-        predicates,
-        subqueries,
+        tpch_full,
+        tpch_more,
+        sql_shapes,
+        typefns,
+        sinks,
     )
-    from datafusion_tpc_spark.operators import asof  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        sketches,
+        audit,
+        sampling,
+        layout,
+        bloom,
+        bucketing,
+    )
 
     # --- window boundary (50) — everything below queues behind ---
     from datafusion_tpc_spark.queries import (  # noqa: F401
@@ -100,31 +103,31 @@ def load_all() -> None:
         py_source,
         py_sink,
         merge,
+        stream_sink,
     )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         joins,
         windows,
         aggregates,
         logs_queries,
-        tpch_more,
-        tpch_full,
-        typefns,
-        sql_shapes,
-        sinks,
+        sorts,
+        setops,
+        arrays,
+        tpch_extra,
+        scans,
+        predicates,
+        subqueries,
         geo,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
+        asof,
+        chunking,
+        text,
         dedup,
         pipeline,
         similarity,
         multimodal,
-        bucketing,
-        sketches,
         graph,
-        layout,
-        audit,
-        sampling,
-        bloom,
         skyline,
         kmeans,
     )

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark.sql import functions as F
+
 from datafusion_tpc_spark import registry
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -294,15 +296,36 @@ def test_text_compress_matches_direct_zlib(spark):
         .limit(50)
         .collect()
     )
+    assert rows
+    # join the sampled doc_ids back by KEY — two independent unordered
+    # limit() prefixes can diverge once the fixture is multi-file
+    # (ADVICE r5), turning a real assertion into a KeyError.
+    sampled_ids = [r.doc_id for r in rows]
     docs = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text")
-        .limit(500)
+        .filter(F.col("doc_id").isin(sampled_ids))
         .collect()
     }
-    assert rows
     for r in rows:
         expected = len(zlib.compress(docs[r.doc_id].encode("utf-8"), 6))
         assert r.comp_bytes == expected, r.doc_id
         assert r.flag_repetitive == (r.comp_bytes * 10 < r.n_bytes * 3)
+
+
+def test_documents_text_is_single_byte_chars(spark):
+    """q_mm_dedup's oracle slices a 32-CHARACTER text prefix while the
+    Spark side slices a 32-BYTE payload prefix (DuckDB has no BLOB
+    substring) — equivalent only while every document, including
+    lang='zh', is pure single-byte text. q_mm_meta compares byte
+    lengths to byte lengths so it does NOT pin this (ADVICE r5); this
+    does, explicitly: chars == bytes for every document. A fixture
+    drop with real multi-byte text fails HERE, not via silent group-
+    membership drift."""
+    mismatched = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert mismatched == 0

@@ -305,6 +305,37 @@ def test_zorder_box_prunes_partitions(spark):
     assert "l_partkey" in plan and "l_suppkey" in plan
 
 
+def test_zorder_box_skips_files_measured(spark):
+    """The z-order benefit MEASURED, not just plan-shaped (VERDICT r5
+    item 7): count distinct `_metadata.file_name` actually read by the
+    pruned box scan vs the total file population of the z-copy, at
+    sf0.1. The pruned read must touch at most the box's cell-cover
+    fraction of the files (cover < 64 of 256 cells ⇒ < ~25%, with one
+    file per populated cell directory)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.operators import layout
+
+    sf_dir = "/root/testdata/sf0.1"
+    path, _, _ = layout._zorder_copy(spark, sf_dir)
+    total = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("f"))  # file_name is
+        # NOT unique across partition dirs (one task writes the same
+        # part-XXXXX name into many zbucket=N/ dirs)
+        .distinct()
+        .count()
+    )
+    read = (
+        layout.zorder_read(spark, sf_dir)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .count()
+    )
+    assert total >= 200, f"z-copy unexpectedly sparse: {total} files"
+    assert 0 < read < total * 0.3, f"no file skipping measured: {read}/{total}"
+
+
 def test_bloom_probe_no_fact_exchange(spark):
     """q_join_bloom (operators/bloom.py): the fact probe must be pure
     broadcast joins — the only Exchange allowed is the tiny bloom

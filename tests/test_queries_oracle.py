@@ -32,3 +32,18 @@ def test_rows_only(spark, name):
     n = df.count()
     assert n >= 0
     _ = df.schema  # stable schema required by the driver
+
+
+def test_agg_decimal_raw_exact(spark, ddb):
+    """Pytest-only raw-DECIMAL exactness proof (CORRECTNESS_r05
+    adjudication): the registered q_agg_decimal emits STRING sums for
+    the driver canonicalizer; this case pins that the underlying
+    DECIMAL(28,4) values themselves — no rounding, no string cast —
+    are bit-identical between Spark and DuckDB."""
+    from datafusion_tpc_spark.queries.aggregates_ext import (
+        AGG_DECIMAL_RAW_ORACLE,
+        agg_decimal_raw,
+    )
+
+    df = agg_decimal_raw(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, AGG_DECIMAL_RAW_ORACLE, name="agg_decimal_raw")

@@ -28,65 +28,64 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-5 driver window (VERDICT r4 item 1): all 17 ids that had
-# never had a driver CORRECTNESS row after r4 (q_topk_group,
-# q_except_all, q_intersect_all, q_fn_array, q_fn_map, q_tpch_q7,
-# q_tpch_q14, q_stream_sink, q_pipe_chunk/rep/pack/upsert,
-# q_text_vocab, q_scan_xml, q_scan_dpp, q_agg_mode, q_agg_hist), the
-# 2 new r5 queries (q_tpch_q21, q_agg_decimal), and the stalest
-# greens (r1-only sorts/setops/predicates, r1/r3 scans, r2/r3 text,
-# r2 subqueries/asof) to fill exactly 50.
+# The round-6 driver window (VERDICT r5 items 1+2): 47 of the 81
+# never-driver-verified ids — whole modules whose queries are all
+# never-verified (tpch_full, tpch_more, sql_shapes, typefns, sinks,
+# sketches, audit, sampling, layout, bloom, bucketing) — plus
+# aggregates_ext for the r6-fixed q_agg_decimal (its 2 r5 greens ride
+# along at module granularity) = exactly 50. The remaining ~31
+# never-verified rotate in round 7 (test_window_staleness enforces).
 EXPECTED_WINDOW_50 = [
-    "q_sort_multi",
-    "q_limit",
-    "q_topk",
-    "q_topk_group",
-    "q_union",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_distinct",
-    "q_except_all",
-    "q_intersect_all",
-    "q_fn_array",
-    "q_fn_map",
-    "q_tpch_q7",
-    "q_tpch_q14",
-    "q_tpch_q21",
-    "q_stream_sink",
-    "q_pipe_chunk",
-    "q_pipe_rep",
-    "q_pipe_pack",
-    "q_pipe_upsert",
-    "q_text_stats",
-    "q_text_lang",
-    "q_text_fingerprint",
-    "q_text_quality",
-    "q_text_vocab",
-    "q_scan_full",
-    "q_filter_proj",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_values",
-    "q_scan_avro",
-    "q_scan_partitioned",
-    "q_scan_orc",
-    "q_scan_xml",
-    "q_scan_dpp",
     "q_agg_mode",
     "q_agg_hist",
     "q_agg_decimal",
-    "q_pred_algebra",
-    "q_pred_like",
-    "q_case_cast",
-    "q_sub_in",
-    "q_sub_notin",
-    "q_sub_scalar",
-    "q_sub_corr_scalar",
-    "q_agg_gsets",
-    "q_cte",
-    "q_asof_join",
-    "q_range_join",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_cte_recursive",
+    "q_join_lateral",
+    "q_join_nullsafe",
+    "q_union_evo",
+    "q_unpivot",
+    "q_join_fuzzy",
+    "q_join_overlap",
+    "q_join_overlap_banded",
+    "q_fn_interval",
+    "q_fn_binary",
+    "q_profile",
+    "q_fn_variant",
+    "q_sink_avro",
+    "q_scan_corrupt",
+    "q_scan_meta",
+    "q_scan_evolve",
+    "q_agg_freq",
+    "q_pipe_bpe",
+    "q_pipe_classify",
+    "q_text_zipf",
+    "q_agg_kmv",
+    "q_text_kl",
+    "q_text_compress",
+    "q_text_ttr",
+    "q_dq_checks",
+    "q_scd2",
+    "q_join_pit",
+    "q_pipe_sample_weighted",
+    "q_pipe_mixture",
+    "q_pipe_ipf",
+    "q_agg_dp",
+    "q_layout_zorder",
+    "q_layout_compact",
+    "q_join_bloom",
+    "q_join_bucketed",
 ]
 
 
