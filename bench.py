@@ -65,6 +65,12 @@ HEADLINE = [
     # the SCD2 warehouse-history build
     "q_join_bloom",
     "q_scd2",
+    # round-6 families promoted: reciprocal-rank fusion (retrieval
+    # stack representative) and the broadcast-tombstone GDPR purge;
+    # solo-idle rows recorded at promotion (BASELINE.md, VERDICT r5
+    # item 6 discipline)
+    "q_sim_rrf",
+    "q_pipe_forget",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",

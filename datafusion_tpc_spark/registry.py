@@ -130,4 +130,10 @@ def load_all() -> None:
         graph,
         skyline,
         kmeans,
+        retrieval,
+        curation,
+    )
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events_ext,
+        stats_ext,
     )

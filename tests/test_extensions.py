@@ -314,6 +314,64 @@ def test_text_compress_matches_direct_zlib(spark):
         assert r.flag_repetitive == (r.comp_bytes * 10 < r.n_bytes * 3)
 
 
+def test_tdigest_rank_error_within_bound(spark):
+    """q_agg_tdigest (rows-only): each quantile estimate must sit
+    between the exact (q−2%) and (q+2%) quantiles of o_totalprice —
+    i.e. rank error ≤ 2%, the accuracy class t-digest promises at
+    this compression width."""
+    rows = {
+        r.q: r.estimate
+        for r in registry.QUERIES["q_agg_tdigest"](spark, SF_DIR).collect()
+    }
+    vals = sorted(
+        r.o_totalprice
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    assert set(rows) == {0.5, 0.9, 0.99}
+    for q, est in rows.items():
+        lo = vals[max(0, int((q - 0.02) * n) - 1)]
+        hi = vals[min(n - 1, int((q + 0.02) * n))]
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_pca_power_iteration_invariants(spark):
+    """q_sim_pca invariants. The fixture's embeddings are nearly
+    isotropic (top two eigenvalues of XᵀX within ~2% of each other),
+    so two power-iteration rounds CANNOT lock onto the top
+    eigenvector — what power iteration does guarantee, and what this
+    pins, is (a) monotone Rayleigh-quotient ascent from the v0 start,
+    (b) ‖XᵀX·v‖ ≤ λmax for the unit iterate (the eigval_est upper
+    bound), and (c) a unit-norm output vector."""
+    import numpy as np
+
+    out = registry.QUERIES["q_sim_pca"](spark, SF_DIR).collect()
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.pos)])
+    est = out[0].eigval_est
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    S = X.T @ X
+    eigvals = np.linalg.eigvalsh(S)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # (c) unit output
+    v0 = np.full(64, 0.125)
+    rayleigh0 = float(v0 @ S @ v0)
+    rayleigh2 = float(v @ S @ v)
+    assert rayleigh2 > rayleigh0  # (a) monotone ascent
+    # (b) the norm estimate can never exceed the top eigenvalue
+    assert est <= eigvals[-1] * 1.001, (est, eigvals[-1])
+    # and it must have made real progress from the isotropic floor
+    assert est > eigvals.mean(), (est, eigvals.mean())
+
+
 def test_documents_text_is_single_byte_chars(spark):
     """q_mm_dedup's oracle slices a 32-CHARACTER text prefix while the
     Spark side slices a 32-BYTE payload prefix (DuckDB has no BLOB

@@ -305,6 +305,23 @@ def test_zorder_box_prunes_partitions(spark):
     assert "l_partkey" in plan and "l_suppkey" in plan
 
 
+def test_hardneg_rank_uses_window_group_limit(spark):
+    """q_sim_hardneg: per-anchor top-3 must compile to
+    WindowGroupLimit (map-side truncation before the rank shuffle) —
+    the grouped analog of TakeOrdered, same gate as q_topk_group."""
+    plan = _plan(spark, "q_sim_hardneg")
+    assert "WindowGroupLimit" in plan
+
+
+def test_forget_purge_is_broadcast_anti(spark):
+    """q_pipe_forget: the tombstone purge must ride the document scan
+    as a broadcast anti join — never a co-partitioning shuffle of the
+    corpus against a tiny forget-list."""
+    plan = _plan(spark, "q_pipe_forget")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_zorder_box_skips_files_measured(spark):
     """The z-order benefit MEASURED, not just plan-shaped (VERDICT r5
     item 7): count distinct `_metadata.file_name` actually read by the

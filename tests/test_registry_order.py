@@ -212,6 +212,14 @@ _BIRTH_ROUND = {
     "q_evt_seasonality": 5,
     "q_text_ttr": 5,
     "q_join_overlap_banded": 5,
+    "q_sim_rrf": 6,
+    "q_sim_hardneg": 6,
+    "q_sim_pca": 6,
+    "q_pipe_forget": 6,
+    "q_pipe_bpe_train": 6,
+    "q_evt_islands": 6,
+    "q_agg_corrmat": 6,
+    "q_agg_tdigest": 6,
 }
 
 
