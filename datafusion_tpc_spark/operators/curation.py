@@ -86,6 +86,64 @@ def q_pipe_forget(spark, sf_dir):
     )
 
 
+@query(
+    "q_pipe_curriculum",
+    oracle="""
+    WITH binned AS (
+      SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(NTILE(4) OVER (PARTITION BY lang
+                                 ORDER BY n_chars ASC, doc_id ASC) AS INT)
+               AS difficulty_bin
+      FROM documents
+    )
+    SELECT lang, difficulty_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned
+    GROUP BY lang, difficulty_bin
+    ORDER BY lang ASC NULLS LAST, difficulty_bin ASC NULLS LAST
+    """,
+)
+def q_pipe_curriculum(spark, sf_dir):
+    """Curriculum binning — order training data easy→hard and cut it
+    into per-language quartiles (difficulty proxy: document length),
+    the curriculum-learning data layout. NTILE(4) per language with a
+    doc_id tie-break makes bucket membership deterministic; the
+    rollup reports per-bin doc counts, mean length, and the token
+    budget each curriculum stage will feed the trainer.
+
+    Plan shape: one window over lang partitions (each language sorts
+    independently — no global sort) + one map-side-combined rollup.
+    100 TB: per-partition NTILE is the only ranked piece; with
+    billions of docs per language the cut switches to quantile
+    thresholds (q_agg_tdigest) joined broadcast — bin semantics
+    identical, sort eliminated."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    binned = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.ntile(4).over(w).cast("int").alias("difficulty_bin"),
+    )
+    return (
+        binned.groupBy("lang", "difficulty_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_last(),
+            F.col("difficulty_bin").asc_nulls_last(),
+        )
+    )
+
+
 _BPE_TOP = 5  # merge candidates reported per round
 
 

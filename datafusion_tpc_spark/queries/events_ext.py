@@ -14,6 +14,101 @@ from datafusion_tpc_spark.registry import query
 
 
 @query(
+    "q_evt_rfm",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', MAX(CAST(ts AS DATE)), (SELECT maxd FROM anchor))
+               AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             ROUND(SUM(value), 6) AS mon
+      FROM events
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             CAST(NTILE(5) OVER (ORDER BY rec_days ASC, user_id ASC) AS INT) AS r_q,
+             CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id ASC) AS INT) AS f_q,
+             CAST(NTILE(5) OVER (ORDER BY mon DESC, user_id ASC) AS INT) AS m_q,
+             freq, mon
+      FROM per_user
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(freq), 6) AS avg_freq,
+           ROUND(SUM(mon), 2) AS total_mon
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q ASC NULLS LAST, f_q ASC NULLS LAST, m_q ASC NULLS LAST
+    """,
+)
+def q_evt_rfm(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation — the
+    classic customer-scoring shape: per-user recency-from-anchor,
+    event count, and value sum, each quintiled with NTILE(5), then
+    segment-level rollup. NTILE orders carry user_id tie-breaks and
+    the monetary metric is pre-ROUNDed, so bucket boundaries are
+    deterministic cross-engine (window tie-break convention).
+
+    Plan shape: one user-keyed aggregation over the fact scan (maps
+    combine), then three NTILE windows over the |users|-sized profile
+    table — dimension-sized, not fact-sized; the global NTILE sort is
+    over users only. 100 TB: the profile table is what fits easily
+    (users ≪ events); if even that outgrows one partition, NTILE
+    becomes percent_rank-over-range or the t-digest quantile cut, and
+    the fact-side plan is unchanged. Anchor is a broadcast 1-row
+    scalar, not a driver literal — no collect."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.round(F.sum("value"), 6).alias("mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("maxd"), F.col("lastd")).alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon").desc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("m_q"),
+        "freq",
+        "mon",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("freq"), 6).alias("avg_freq"),
+            F.round(F.sum("mon"), 2).alias("total_mon"),
+        )
+        .orderBy(
+            F.col("r_q").asc_nulls_last(),
+            F.col("f_q").asc_nulls_last(),
+            F.col("m_q").asc_nulls_last(),
+        )
+    )
+
+
+@query(
     "q_evt_islands",
     oracle="""
     WITH days AS (

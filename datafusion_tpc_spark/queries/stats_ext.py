@@ -62,6 +62,63 @@ def q_agg_corrmat(spark, sf_dir):
     )
 
 
+@query(
+    "q_agg_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o.o_totalprice), 6) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 6)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo
+                           OR o.o_totalprice > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders o, bounds b
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority ASC NULLS LAST
+    """,
+)
+def q_agg_winsorize(spark, sf_dir):
+    """Winsorized (outlier-clipped) mean — the robust-statistics pass
+    a metrics/data-cleaning pipeline runs before trusting averages:
+    clamp every value into the global [p5, p95] band, then average
+    per group, reporting the raw mean and clip count alongside.
+
+    Plan shape: the bounds are ONE exact-percentile aggregate (the
+    q_agg_pctl_w percentile↔quantile_cont parity) broadcast as a
+    1-row cross join onto the grouped scan — the group aggregation
+    never re-sorts anything; clamp is least/greatest in codegen.
+    100 TB: global exact percentiles are the one heavy piece — at
+    that scale the bounds come from q_agg_tdigest's sketch instead
+    (±2% rank error moves the clip threshold, not the mechanism) and
+    this plan is unchanged from the cross join down."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    outlier = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.sum(F.when(outlier, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
 _TD_CENTROIDS = 64  # per-partition and post-merge compression width
 _TD_QUANTILES = (0.5, 0.9, 0.99)
 

@@ -136,4 +136,5 @@ def load_all() -> None:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         events_ext,
         stats_ext,
+        sinks_ext,
     )

@@ -220,6 +220,10 @@ _BIRTH_ROUND = {
     "q_evt_islands": 6,
     "q_agg_corrmat": 6,
     "q_agg_tdigest": 6,
+    "q_agg_winsorize": 6,
+    "q_evt_rfm": 6,
+    "q_pipe_curriculum": 6,
+    "q_sink_json": 6,
 }
 
 
