@@ -224,196 +224,3 @@ def q_win_dist(spark, sf_dir):
         F.round(F.first("c_acctbal").over(w_full), 2).alias("nation_min_bal"),
         F.round(F.last("c_acctbal").over(w_full), 2).alias("nation_max_bal"),
     )
-
-
-@query(
-    "q_win_sessionize",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST,
-                   event_id ASC NULLS LAST)
-    ),
-    sessions AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts ASC NULLS LAST,
-                                             event_id ASC NULLS LAST
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
-      FROM marked
-    )
-    SELECT user_id,
-           CAST(session_seq AS BIGINT) AS session_seq,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM sessions
-    GROUP BY user_id, session_seq
-    """,
-)
-def q_win_sessionize(spark, sf_dir):
-    """Gaps-and-islands sessionization — the pure-window twin of the
-    engine-native session_window (q_evt_session): LAG marks gaps
-    > 30 min, a running SUM of the marks numbers the islands, and a
-    grouped count sizes each session. Ties on ts break by event_id so
-    LAG order is deterministic cross-engine. The two formulations
-    must agree on session COUNT per user (pinned against
-    q_evt_session's gap semantics in spirit; the window form also
-    works where session_window doesn't — e.g. assigning the session
-    id back onto EVERY event row without a join).
-
-    Scale: one hash exchange on user_id serves both window passes and
-    the final aggregation (same partitioning reused across stages —
-    Catalyst plans a single shuffle); state is one row per
-    (user, open island), never the whole history."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
-    )
-    # microsecond-exact gap compare (a seconds cast truncates and can
-    # disagree with the oracle at sub-second boundaries); tie-break the
-    # running sum by event_id so duplicate-ts rows order identically
-    # ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
-    # cast is value-identity under the UTC session tz
-    # (catalog.configure_runtime)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.lag(us).over(w)
-    marked = ev.withColumn(
-        "new_session", F.when(gap > 1_800_000_000, 1).otherwise(0)
-    )
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sessions = marked.withColumn(
-        "session_seq", F.sum("new_session").over(wrun).cast("bigint")
-    )
-    return sessions.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-
-
-@query(
-    "q_win_ema",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts ASC NULLS LAST,
-                                         event_id ASC NULLS LAST) AS rn
-      FROM events
-    )
-    SELECT a.event_id, a.user_id, a.ts, a.value,
-           ROUND(0.2 * SUM(COALESCE(b.value, 0) * pow(0.8, a.rn - b.rn)), 6) AS ema
-    FROM e a JOIN e b
-      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 31 AND a.rn
-    GROUP BY a.event_id, a.user_id, a.ts, a.value
-    """,
-)
-def q_win_ema(spark, sf_dir):
-    """Truncated exponential moving average (α=0.2, 32-step lookback)
-    per user over (ts, event_id) order — the time-series smoothing
-    shape recursive EMA needs, made window-expressible by truncation
-    (the weight tail below 0.8^31 ≈ 1e-3 is dropped BY DEFINITION on
-    both engines, so the truncation is parity-exact, not an
-    approximation error).
-
-    Spark plan: ONE user_id exchange → WindowExec collect_list over a
-    bounded 32-row frame → JVM aggregate() lambda folds the frame
-    with positional weights — no self-join, no Python. The oracle
-    computes the same weighted sum via a bounded rn-band self-join
-    (DuckDB has no positional fold over window frames). Float-sum
-    order differs between the fold and SUM(); ROUND(…, 6) absorbs it
-    per repo convention."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
-        .rowsBetween(-31, 0)
-    )
-    # COALESCE(value, 0) on BOTH sides: collect_list silently drops
-    # NULLs, which would shift every positional weight after a null —
-    # the fixture has no null values today, but a future drop must
-    # not turn this into a silent weight misalignment.
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "value",
-        F.collect_list(F.coalesce(F.col("value"), F.lit(0.0))).over(w).alias("vals"),
-    ).select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.expr(
-            "round(0.2 * aggregate(vals,"
-            " struct(cast(0.0 as double) as s, 0 as i),"
-            " (acc, x) -> struct(acc.s + x * pow(0.8, size(vals) - 1 - acc.i),"
-            "                    acc.i + 1),"
-            " acc -> acc.s), 6)"
-        ).alias("ema"),
-    )
-
-
-@query(
-    "q_win_rolling_distinct",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-             user_id
-      FROM events
-    ),
-    days AS (
-      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
-      FROM d GROUP BY day
-    )
-    SELECT a.day, a.dau,
-           (SELECT CAST(COUNT(DISTINCT b.user_id) AS BIGINT)
-            FROM d b
-            WHERE b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day) AS wau
-    FROM days a
-    ORDER BY day ASC NULLS LAST
-    """,
-)
-def q_win_rolling_distinct(spark, sf_dir):
-    """Rolling distinct actives — the DAU/WAU product metric: daily
-    distinct users plus a 7-day rolling distinct, which no engine's
-    COUNT(DISTINCT) OVER supports directly. Spark shape: pre-aggregate
-    to day grain (collect_set of users per day — the ONLY corpus-sized
-    pass), then a RANGE frame over day numbers merges the 7 per-day
-    sets JVM-side (flatten → array_distinct → size). The window runs
-    over the day-grain table (30 rows here; a few thousand at any
-    scale), so the single-partition window is a non-issue — the 100 TB
-    cost lives entirely in the one day-keyed exchange."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
-            "user_id",
-        )
-        .groupBy("day")
-        .agg(F.collect_set("user_id").alias("users"))
-    )
-    w = (
-        Window.orderBy(
-            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
-        )
-        .rangeBetween(-6, 0)
-    )
-    return (
-        daily.select(
-            "day",
-            F.size("users").cast("bigint").alias("dau"),
-            F.size(
-                F.array_distinct(F.flatten(F.collect_list("users").over(w)))
-            )
-            .cast("bigint")
-            .alias("wau"),
-        )
-        .orderBy(F.col("day").asc_nulls_last())
-    )

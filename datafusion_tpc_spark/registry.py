@@ -92,14 +92,26 @@ def load_all() -> None:
     )
 
     # --- window boundary (50) — everything below queues behind ---
+    # r6 pre-splits for the round-7 rotation (see the round6-window
+    # plan memory): every module whose never-verified ids were locked
+    # behind big already-green modules now registers them separately —
+    # events_behavior (10), aggregates_more (6), pipeline_ext (3),
+    # windows_ext (3), scalar_ext (1), udfs_ext (1), stream_enrich (2
+    # incl. the q_stream_enrich exact-oracle re-verify).
     from datafusion_tpc_spark.queries import (  # noqa: F401
         tpch,
         udfs,
+        udfs_ext,
         scalar_functions,
+        scalar_ext,
         events,
+        events_behavior,
+        aggregates_more,
+        windows_ext,
     )
     from datafusion_tpc_spark.streaming import (  # noqa: F401
         stream_queries,
+        stream_enrich,
         py_source,
         py_sink,
         merge,
@@ -125,6 +137,7 @@ def load_all() -> None:
         text,
         dedup,
         pipeline,
+        pipeline_ext,
         similarity,
         multimodal,
         graph,

@@ -46,3 +46,25 @@ def _events_streaming(spark, sf_dir):
     if ns_long:
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return src
+
+
+def drain(df, spark, name_prefix: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized result (availableNow trigger). Lives here
+    (registration-free module) so split streaming query modules can
+    share it without coupling registration order (r6)."""
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
