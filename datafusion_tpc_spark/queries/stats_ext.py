@@ -63,6 +63,66 @@ def q_agg_corrmat(spark, sf_dir):
 
 
 @query(
+    "q_agg_entropy",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      GROUP BY event_type, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM hist GROUP BY event_type
+    )
+    SELECT h.event_type,
+           t.n_buckets,
+           ROUND(-SUM((CAST(h.c AS DOUBLE) / t.n)
+                      * ln(CAST(h.c AS DOUBLE) / t.n)), 6) AS entropy_nats,
+           ROUND(-SUM((CAST(h.c AS DOUBLE) / t.n)
+                      * ln(CAST(h.c AS DOUBLE) / t.n)) / ln(24), 6)
+             AS entropy_norm
+    FROM hist h JOIN tot t USING (event_type)
+    GROUP BY h.event_type, t.n_buckets
+    ORDER BY h.event_type ASC NULLS LAST
+    """,
+)
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy of each event type's hour-of-day activity
+    histogram — the concentration profile (uniform usage → ln 24
+    nats, single-hour bots → 0) that complements q_evt_seasonality's
+    chi-square test. Two-level aggregate: integer hour histogram,
+    then −Σ p ln p with the normalized [0,1] form alongside.
+
+    Cross-engine exactness: the histogram counts are integers (bit-
+    exact), p = c/n is one IEEE division, and only the ln-sums —
+    transcendental, hence ROUND 6 after (verify-skill convention) —
+    differ in fold order (≤24 terms, noise ~1e-15). Scale: both
+    aggregations are map-side combined; state is 24 buckets per event
+    type — a profiling pass that costs one scan at any corpus
+    size."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        hist.join(tot, "event_type")
+        .groupBy("event_type", "n_buckets")
+        .agg(
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(ent / F.log(F.lit(24.0)), 6).alias("entropy_norm"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )
+
+
+@query(
     "q_agg_winsorize",
     oracle="""
     WITH bounds AS (

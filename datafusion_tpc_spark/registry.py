@@ -145,6 +145,7 @@ def load_all() -> None:
         kmeans,
         retrieval,
         curation,
+        audit_ext,
     )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         events_ext,

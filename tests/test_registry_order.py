@@ -224,6 +224,9 @@ _BIRTH_ROUND = {
     "q_evt_rfm": 6,
     "q_pipe_curriculum": 6,
     "q_sink_json": 6,
+    "q_graph_triangles": 6,
+    "q_agg_entropy": 6,
+    "q_dq_reconcile": 6,
 }
 
 
