@@ -275,3 +275,79 @@ def q_pipe_bpe_train(spark, sf_dir):
     return ranked(p1, 1).unionAll(ranked(p2, 2)).orderBy(
         F.col("rnd").asc_nulls_last(), F.col("rk").asc_nulls_last()
     )
+
+
+_SHARD_BYTES = 20_000  # per-shard byte budget
+
+
+@query(
+    "q_pipe_shard",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, nb,
+             SUM(nb) OVER (PARTITION BY source ORDER BY doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) - nb AS bytes_before
+      FROM sized
+    ),
+    assigned AS (
+      SELECT source, doc_id, nb,
+             CAST(bytes_before // {_SHARD_BYTES} AS INT) AS shard_id
+      FROM cum
+    )
+    SELECT source, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM assigned
+    GROUP BY source, shard_id
+    ORDER BY source ASC NULLS LAST, shard_id ASC NULLS LAST
+    """,
+)
+def q_pipe_shard(spark, sf_dir):
+    """Byte-budget dataset sharding — the webdataset/TFRecord prep
+    step: pack each source's documents, in deterministic doc_id
+    order, into ~20 KB shards by cumulative byte offset (a document
+    lands in shard floor(bytes_before/budget) — the greedy
+    streaming-append rule every shard writer implements). Output is
+    the shard manifest: doc count, realized bytes, id range per
+    shard — what the training loader consumes.
+
+    Cross-engine exactness: byte lengths are integers and the running
+    sum is an integer window fold — bit-exact; `// budget` is integer
+    division (epoch-math convention).
+
+    Scale: the window partitions by SOURCE — each source packs
+    independently (exactly how production sharding parallelizes);
+    no global ordering exists anywhere. A source too big for one
+    task gets range-split by id first and the budget applied per
+    range with offset carry — same manifest semantics; the
+    per-source running sum here is the honest single-writer form."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sized = docs.select(
+        "source", "doc_id", F.octet_length("text").alias("nb")
+    )
+    assigned = sized.select(
+        "source",
+        "doc_id",
+        "nb",
+        ((F.sum("nb").over(w) - F.col("nb")) / _SHARD_BYTES)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy(F.col("source").asc_nulls_last(), F.col("shard_id").asc_nulls_last())
+    )

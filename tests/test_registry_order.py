@@ -227,6 +227,7 @@ _BIRTH_ROUND = {
     "q_graph_triangles": 6,
     "q_agg_entropy": 6,
     "q_dq_reconcile": 6,
+    "q_pipe_shard": 6,
 }
 
 
