@@ -82,12 +82,17 @@ def q_sim_rrf(spark, sf_dir):
     rrf(d) = Σ_lists 1/(60 + rank_list(d)) over the top-100 candidates
     of each list, absent→0.
 
-    Plan shape: the dense ranking is the q_sim_topk plan (broadcast
-    1-row query vector, rounded score) + rank; the lexical ranking is
-    an explode→broadcast-semi-join→count; both rank filters compile to
-    WindowGroupLimit (map-side top-K before the single-partition rank,
-    same shape as q_topk_group) and fusion is a FULL OUTER join of two
-    ≤100-row lists — driver-tiny. 100 TB: candidate generation is the
+    Plan shape: the dense scoring is the q_sim_topk plan (broadcast
+    1-row query vector, rounded score); each candidate list is cut to
+    top-100 with orderBy+limit — TakeOrderedAndProject, i.e. map-side
+    top-K per partition then a K-row merge, never a global sort
+    (WindowGroupLimit does NOT fire on partition-less windows, so a
+    global rank-then-filter would sort everything in one partition —
+    measured and avoided here); row_number then ranks the 100-row
+    list, which is identical to the global rank because the list is
+    the ordered prefix. Fusion is a FULL OUTER join of two ≤100-row
+    lists (full outer can't broadcast in Spark — the sort-merge
+    exchange moves ≤200 rows). 100 TB: candidate generation is the
     ANN index (q_sim_ann / q_sim_ivf); fusion cost never grows past
     |lists|·K rows, which is the point of RRF.
 
@@ -105,13 +110,17 @@ def q_sim_rrf(spark, sf_dir):
             F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("cs"),
         )
     )
-    dr = dense.select(
-        "id",
-        F.row_number()
-        .over(Window.orderBy(F.col("cs").desc(), F.col("id").asc()))
-        .cast("int")
-        .alias("ra"),
-    ).filter(F.col("ra") <= _RRF_TOPC)
+    dr = (
+        dense.orderBy(F.col("cs").desc(), F.col("id").asc())
+        .limit(_RRF_TOPC)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), F.col("id").asc()))
+            .cast("int")
+            .alias("ra"),
+        )
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     qt = (
@@ -127,13 +136,17 @@ def q_sim_rrf(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("tok").cast("bigint").alias("ov"))
     )
-    lb = lex.select(
-        F.col("doc_id").alias("id"),
-        F.row_number()
-        .over(Window.orderBy(F.col("ov").desc(), F.col("doc_id").asc()))
-        .cast("int")
-        .alias("rb"),
-    ).filter(F.col("rb") <= _RRF_TOPC)
+    lb = (
+        lex.orderBy(F.col("ov").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPC)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("ov").desc(), F.col("doc_id").asc()))
+            .cast("int")
+            .alias("rb"),
+        )
+    )
 
     one = F.lit(1.0)
     fused = (

@@ -313,6 +313,16 @@ def test_hardneg_rank_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_rrf_candidate_cut_is_take_ordered(spark):
+    """q_sim_rrf: each candidate list must be cut via
+    TakeOrderedAndProject (map-side top-K), never a partition-less
+    rank-then-filter window (WindowGroupLimit does not fire on global
+    windows — measured r6 — so that shape single-partition-sorts the
+    corpus)."""
+    plan = _plan(spark, "q_sim_rrf")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_forget_purge_is_broadcast_anti(spark):
     """q_pipe_forget: the tombstone purge must ride the document scan
     as a broadcast anti join — never a co-partitioning shuffle of the
