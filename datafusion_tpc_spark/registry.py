@@ -112,6 +112,7 @@ def load_all() -> None:
     from datafusion_tpc_spark.streaming import (  # noqa: F401
         stream_queries,
         stream_enrich,
+        stream_quantile,
         py_source,
         py_sink,
         merge,

@@ -228,6 +228,7 @@ _BIRTH_ROUND = {
     "q_agg_entropy": 6,
     "q_dq_reconcile": 6,
     "q_pipe_shard": 6,
+    "q_stream_quantile": 6,
 }
 
 

@@ -467,3 +467,34 @@ def test_stream_join_outer_emits_unmatched(spark):
     assert n_eligible - 5 <= n_null <= n_unmatched_batch
     assert n_unmatched_batch - n_null < 50  # only the tail is withheld
     assert n_outer == n_inner_batch + n_null
+
+
+def test_stream_quantile_rank_error(spark):
+    """q_stream_quantile (rows-only): the final streaming centroid
+    estimates per event type must sit within ±3% rank of the exact
+    per-type percentiles of `value` — slightly looser than the batch
+    t-digest's 2% because the streaming state also absorbs per-batch
+    compression."""
+    from datafusion_tpc_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_stream_quantile"](spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        if r.value is not None:
+            vals[r.event_type].append(r.value)
+    for r in rows:
+        v = sorted(vals[r.event_type])
+        n = len(v)
+        assert r.n_rows == n, (r.event_type, r.n_rows, n)
+        for q, est in ((0.5, r.p50), (0.9, r.p90)):
+            lo = v[max(0, int((q - 0.03) * n) - 1)]
+            hi = v[min(n - 1, int((q + 0.03) * n))]
+            assert lo <= est <= hi, (r.event_type, q, est, lo, hi)
