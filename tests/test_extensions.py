@@ -387,3 +387,58 @@ def test_documents_text_is_single_byte_chars(spark):
         .count()
     )
     assert mismatched == 0
+
+
+def test_bpe_train_matches_list_based_reference(spark):
+    """q_pipe_bpe_train's sentinel-padded string-replace merge must
+    agree with an INDEPENDENT list-based BPE implementation (scan the
+    symbol list left→right; on a pair match emit the merged symbol
+    and continue AFTER it — the same single-pass non-overlapping
+    semantics Java String.replace / DuckDB replace implement). Pins
+    the merge-application mechanics the oracle alone can't isolate:
+    both engines could share a boundary bug, a third implementation
+    can't."""
+    import collections
+
+    rows = registry.QUERIES["q_pipe_bpe_train"](spark, SF_DIR).collect()
+    got = {(r.rnd, r.rk): (r.pair, r.cnt) for r in rows}
+
+    wf = collections.Counter()
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for w in r.text.split(" "):
+            wf[w] += 1
+
+    def pair_counts(symlists):
+        c = collections.Counter()
+        for syms, f in symlists:
+            for a, b in zip(syms[:-1], syms[1:]):
+                c[f"{a} {b}"] += f
+        return c
+
+    def apply_merge(syms, pair):
+        a, b = pair.split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2  # continue AFTER the merged pair (single pass)
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    symlists = [(list(w), f) for w, f in wf.items() if len(w) >= 2]
+    p1 = pair_counts(symlists)
+    top5_r1 = sorted(p1.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for rk, (pair, cnt) in enumerate(top5_r1, 1):
+        assert got[(1, rk)] == (pair, cnt), (rk, got[(1, rk)], pair, cnt)
+    m1 = top5_r1[0][0]
+    symlists = [(apply_merge(s, m1), f) for s, f in symlists]
+    p2 = pair_counts(symlists)
+    top5_r2 = sorted(p2.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for rk, (pair, cnt) in enumerate(top5_r2, 1):
+        assert got[(2, rk)] == (pair, cnt), (rk, got[(2, rk)], pair, cnt)
