@@ -332,6 +332,17 @@ def test_forget_purge_is_broadcast_anti(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_sharding_and_curriculum_windows_are_partitioned(spark):
+    """q_pipe_shard / q_pipe_curriculum: their ranking windows must
+    partition (by source / lang) — a partition-less window would
+    funnel the corpus into one task. No SinglePartition exchange
+    anywhere in either plan."""
+    for name in ("q_pipe_shard", "q_pipe_curriculum"):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning" in plan, name
+
+
 def test_zorder_box_skips_files_measured(spark):
     """The z-order benefit MEASURED, not just plan-shaped (VERDICT r5
     item 7): count distinct `_metadata.file_name` actually read by the
