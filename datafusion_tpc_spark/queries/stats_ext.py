@@ -11,6 +11,7 @@ from collections.abc import Iterator
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 
 
@@ -176,6 +177,113 @@ def q_agg_winsorize(spark, sf_dir):
             F.sum(F.when(outlier, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
         )
         .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+_N_BOOT = 10  # bootstrap replicates
+_TWO60 = float(1 << 60)
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 Σ 1/k!) — the
+# replicate weight each row draws; identical literals on both sides.
+_POIS = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238462)
+
+
+@query(
+    "q_agg_bootstrap",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT o_orderkey, o_totalprice, rr.rep,
+             CAST({_h60_duck("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(rr.rep AS VARCHAR))")}
+                  AS DOUBLE) / {_TWO60} AS u
+      FROM orders,
+           LATERAL (SELECT unnest(generate_series(0, {_N_BOOT - 1})) AS rep) rr
+    ),
+    weighted AS (
+      SELECT rep, o_totalprice,
+             CASE
+               WHEN u < {_POIS[0]} THEN 0
+               WHEN u < {_POIS[1]} THEN 1
+               WHEN u < {_POIS[2]} THEN 2
+               WHEN u < {_POIS[3]} THEN 3
+               ELSE 4
+             END AS w
+      FROM expanded
+    ),
+    reps AS (
+      SELECT rep,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             ROUND(SUM(w * o_totalprice) / SUM(w), 6) AS boot_mean
+      FROM weighted
+      GROUP BY rep
+    ),
+    spread AS (
+      SELECT ROUND(STDDEV_SAMP(boot_mean), 6) AS se_boot FROM reps
+    )
+    SELECT reps.rep, reps.n_eff, reps.boot_mean, spread.se_boot
+    FROM reps, spread
+    ORDER BY rep ASC NULLS LAST
+    """,
+)
+def q_agg_bootstrap(spark, sf_dir):
+    """Poisson bootstrap of the mean order value — THE distributed
+    bootstrap: instead of resampling n rows with replacement (which
+    needs global coordination), each row independently draws a
+    Poisson(1) weight per replicate, which converges to multinomial
+    resampling and needs only one scan (the estimator production A/B
+    platforms run). 10 replicates; output = per-replicate effective n
+    and mean, plus the bootstrap standard error of the means.
+
+    Determinism: the weight is the Poisson inverse-CDF applied to the
+    md5/h60 uniform of (orderkey, replicate) — the digest.py seed
+    convention — so both engines draw the SAME resamples and the
+    oracle is exact (u is one IEEE division; thresholds are shared
+    literals; a u landing exactly on a threshold would be a 1-in-2⁶⁰
+    event). ROUND 6 on the ratio-of-sums and on the final stddev
+    (fold-order noise ~1e-12 relative).
+
+    Scale: the explode is ×10 on the scanned rows but the aggregate
+    state is |replicates| pairs of sums, map-side combined — one
+    shuffle of 10 rows; at 100 TB replicate count grows to ~1000 and
+    the shuffle is still 1000 rows. No sort, no window, no driver
+    data path."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    expanded = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("rep"),
+    )
+    u = (
+        h60(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(_TWO60)
+    )
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .otherwise(4)
+    )
+    reps = (
+        expanded.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 6
+            ).alias("boot_mean"),
+        )
+    )
+    spread = reps.agg(F.round(F.stddev_samp("boot_mean"), 6).alias("se_boot"))
+    return (
+        reps.crossJoin(F.broadcast(spread))
+        .select("rep", "n_eff", "boot_mean", "se_boot")
+        .orderBy(F.col("rep").asc_nulls_last())
     )
 
 

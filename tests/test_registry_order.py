@@ -229,6 +229,7 @@ _BIRTH_ROUND = {
     "q_dq_reconcile": 6,
     "q_pipe_shard": 6,
     "q_stream_quantile": 6,
+    "q_agg_bootstrap": 6,
 }
 
 
