@@ -379,3 +379,110 @@ def q_agg_tdigest(spark, sf_dir):
         .applyInPandas(merge, "q double, estimate double, n_rows long")
         .orderBy(F.col("q").asc_nulls_last())
     )
+
+
+_THETA_K = 64
+_THETA_TWO60 = float(1 << 60)
+
+
+@query(
+    "q_agg_theta",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_h60_duck("concat('theta:', CAST(user_id AS VARCHAR))")} AS hv
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT {_h60_duck("concat('theta:', CAST(user_id AS VARCHAR))")} AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ska AS (SELECT hv FROM ha ORDER BY hv ASC LIMIT {_THETA_K}),
+    skb AS (SELECT hv FROM hb ORDER BY hv ASC LIMIT {_THETA_K}),
+    ta AS (SELECT MAX(hv) AS th FROM ska),
+    tb AS (SELECT MAX(hv) AS th FROM skb),
+    theta AS (SELECT LEAST(ta.th, tb.th) AS th FROM ta, tb),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sample
+      FROM ska JOIN skb USING (hv), theta
+      WHERE ska.hv < theta.th
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM (SELECT hv FROM ha INTERSECT SELECT hv FROM hb)
+    )
+    SELECT exact.n_exact,
+           inter.n_sample,
+           ROUND(inter.n_sample * {_THETA_TWO60!r} / theta.th, 6)
+             AS theta_estimate,
+           ROUND(ABS(inter.n_sample * {_THETA_TWO60!r} / theta.th
+                     - exact.n_exact) / exact.n_exact, 6) AS rel_error
+    FROM exact, inter, theta
+    """,
+)
+def q_agg_theta(spark, sf_dir):
+    """Theta-sketch SET INTERSECTION — the operation KMV/HLL distinct
+    counts cannot answer (audience overlap: how many users both click
+    AND purchase) and the reason production stacks carry theta
+    sketches: two KMV sketches built under the SAME hash intersect by
+    keeping the common hashes below θ = min(θ_A, θ_B), and
+    |A∩B| ≈ |sample| · 2⁶⁰ / θ. Like q_agg_kmv, every quantity is a
+    pure function of the deterministic md5/h60 hashes, so the
+    approximate estimate itself carries an EXACT oracle; the exact
+    intersection rides along to report realized error.
+
+    Scale: each sketch is a bounded top-k heap per partition
+    (TakeOrderedAndProject) merging associatively; the intersection
+    touches 2·k rows. The exact comparator is the expensive half
+    (distinct-user semi join) and exists only for the error report —
+    at 100 TB you keep the sketches and drop the comparator, which is
+    the point."""
+    e = load_table(spark, sf_dir, "events")
+    hv = h60(F.concat(F.lit("theta:"), F.col("user_id").cast("string")))
+
+    def sketch(evt):
+        return (
+            e.filter(F.col("event_type") == evt)
+            .select(hv.alias("hv"))
+            .distinct()
+            .orderBy(F.col("hv").asc())
+            .limit(_THETA_K)
+        )
+
+    ska, skb = sketch("click"), sketch("purchase")
+    ta = ska.agg(F.max("hv").alias("th_a"))
+    tb = skb.agg(F.max("hv").alias("th_b"))
+    theta = ta.crossJoin(tb).select(
+        F.least(F.col("th_a"), F.col("th_b")).alias("th")
+    )
+    inter = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    )
+    exact = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            e.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    est = F.col("n_sample") * F.lit(_THETA_TWO60) / F.col("th")
+    return (
+        exact.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "n_exact",
+            "n_sample",
+            F.round(est, 6).alias("theta_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )

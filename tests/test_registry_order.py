@@ -230,6 +230,7 @@ _BIRTH_ROUND = {
     "q_pipe_shard": 6,
     "q_stream_quantile": 6,
     "q_agg_bootstrap": 6,
+    "q_agg_theta": 6,
 }
 
 
