@@ -237,3 +237,115 @@ def q_graph_triangles(spark, sf_dir):
         .orderBy(F.col("n_tri").desc_nulls_last(), F.col("part_key").asc_nulls_last())
         .limit(10)
     )
+
+
+# ---- BFS / multi-source shortest hops (r6) ---------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE = "c1"
+
+
+def _bfs_round_cte(i: int) -> str:
+    """One unrolled label-correcting BFS update: d{i} from d{i-1} —
+    a node's distance is the min of its current distance and any
+    in-neighbor's distance + 1."""
+    return f"""
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+
+
+# standalone CTE (not _GRAPH_CTE: its deg/nn members are unused here
+# and an unused-but-unbindable CTE is a DuckDB-version hazard)
+_BFS_GRAPH_CTE = """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT concat('c', CAST(ck AS VARCHAR)) AS src,
+             concat('s', CAST(sk AS VARCHAR)) AS dst FROM cs
+      UNION ALL
+      SELECT concat('s', CAST(sk AS VARCHAR)) AS src,
+             concat('c', CAST(ck AS VARCHAR)) AS dst FROM cs
+    )
+"""
+
+_BFS_SQL = (
+    _BFS_GRAPH_CTE
+    + f""",
+    d0 AS (SELECT '{_BFS_SOURCE}' AS node, 0 AS dist),"""
+    + ",".join(_bfs_round_cte(i) for i in range(1, _BFS_ROUNDS + 1))
+    + f"""
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS sample_node
+    FROM d{_BFS_ROUNDS}
+    GROUP BY dist
+    ORDER BY dist ASC NULLS LAST
+"""
+)
+
+
+@query("q_graph_bfs", oracle=_BFS_SQL)
+def q_graph_bfs(spark, sf_dir):
+    """Breadth-first shortest hops from one customer over the
+    customer↔supplier trade graph — the frontier-expansion primitive
+    (reachability, ego networks, supply-chain blast radius) that
+    completes the iterative-graph trio: fixpoint flow (pagerank),
+    label propagation (dedup clusters), and now label-correcting
+    distance relaxation. 4 unrolled rounds ⇒ every node within 4
+    hops gets its exact hop count; output is the per-level frontier
+    census (distance, node count, lexicographic sample node).
+
+    All-integer state (hop counts, MIN-combined) ⇒ the unrolled
+    DuckDB oracle matches bit-for-bit — no rounding anywhere.
+
+    Scale: each round is one co-partitioned edges⋈frontier join +
+    MIN-combine keyed by node — identical shuffle shape to the
+    pagerank update, state is |reached nodes| rows; per-round
+    localCheckpoint truncates lineage (the r2 clusters fix).
+    Production BFS joins only the DELTA frontier (nodes whose
+    distance changed) — round-over-round work decays with the
+    frontier, while this unrolled form re-relaxes everything for
+    oracle symmetry; the delta optimization changes cost, not
+    results."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("ck").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("sk").cast("string"))
+    edges = (
+        cs.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(cs.select(snode.alias("src"), cnode.alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(_BFS_SOURCE, 0)], "node string, dist int")
+    for _ in range(_BFS_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("sample_node"),
+        )
+        .orderBy(F.col("dist").asc_nulls_last())
+    )

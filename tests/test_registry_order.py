@@ -231,6 +231,7 @@ _BIRTH_ROUND = {
     "q_stream_quantile": 6,
     "q_agg_bootstrap": 6,
     "q_agg_theta": 6,
+    "q_graph_bfs": 6,
 }
 
 
