@@ -178,3 +178,76 @@ def q_evt_islands(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@query(
+    "q_evt_interarrival",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             date_diff('second', prev_ts, ts) AS gap_s
+      FROM ordered WHERE prev_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           ROUND(AVG(gap_s), 6) AS mean_gap_s,
+           ROUND(STDDEV_SAMP(gap_s) / AVG(gap_s), 6) AS burstiness
+    FROM gaps
+    GROUP BY user_id
+    HAVING COUNT(*) >= 20
+    ORDER BY burstiness DESC NULLS LAST, user_id ASC NULLS LAST
+    LIMIT 25
+    """,
+)
+def q_evt_interarrival(spark, sf_dir):
+    """Inter-arrival-time profile per user — gap statistics plus the
+    burstiness coefficient (cv = σ/μ of gaps: ≈1 for a Poisson
+    process, ≫1 for bursty bots/sessions, ≈0 for schedulers) — the
+    traffic-shape diagnostic that complements q_evt_islands (streak
+    structure) and q_agg_entropy (hour concentration). Top-25 most
+    bursty among users with ≥20 gaps.
+
+    Cross-engine exactness: gaps are INTEGER seconds from the
+    (ts, event_id)-tie-broken lag (epoch-math convention), so only
+    the final mean/stddev ratio needs ROUND 6. Scale: one user-keyed
+    window + aggregation sharing the same partitioning — Catalyst
+    reuses one exchange; per-user state is constant."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias(
+                "burstiness"
+            ),
+        )
+        .filter(F.col("n_gaps") >= 20)
+        .orderBy(
+            F.col("burstiness").desc_nulls_last(), F.col("user_id").asc_nulls_last()
+        )
+        .limit(25)
+    )

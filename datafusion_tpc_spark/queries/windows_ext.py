@@ -204,3 +204,52 @@ def q_win_rolling_distinct(spark, sf_dir):
         )
         .orderBy(F.col("day").asc_nulls_last())
     )
+
+
+@query(
+    "q_win_ratio",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice
+                 / SUM(o_totalprice) OVER (PARTITION BY o_orderpriority),
+                 6) AS ratio_to_report,
+           ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ROWS UNBOUNDED PRECEDING)
+                 / SUM(o_totalprice) OVER (PARTITION BY o_orderpriority),
+                 6) AS cum_share
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_win_ratio(spark, sf_dir):
+    """RATIO_TO_REPORT + cumulative-share analytics — each order's
+    fraction of its priority class's total and the running
+    concentration curve (the Pareto/ABC-analysis shape: 'the top N
+    orders carry X% of value'). Spark and DuckDB both express it as
+    value / SUM() OVER (partition), with the running share ordered by
+    (value DESC, key ASC) for a deterministic curve.
+
+    Cross-engine exactness: the partition total is one hash-agg-style
+    window sum (fold-order noise ~1e-12 → ROUND 6); the running sum
+    is a sequential frame fold — exact given identical inputs (the
+    CUSUM rule) — and both sides divide by the same rounded-free
+    total before the single final ROUND.
+
+    Scale: one partition-keyed window exchange shared by all three
+    window expressions (same partitioning ⇒ Catalyst computes them in
+    one Window operator); per-class state is the running pair. The
+    classic use is exactly this shape at |classes| ≫ cores."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    part = Window.partitionBy("o_orderpriority")
+    running = part.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = F.sum("o_totalprice").over(part)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / total, 6).alias("ratio_to_report"),
+        F.round(F.sum("o_totalprice").over(running) / total, 6).alias("cum_share"),
+    )

@@ -147,6 +147,7 @@ def load_all() -> None:
         retrieval,
         curation,
         audit_ext,
+        dedup_ext,
     )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         events_ext,

@@ -232,6 +232,9 @@ _BIRTH_ROUND = {
     "q_agg_bootstrap": 6,
     "q_agg_theta": 6,
     "q_graph_bfs": 6,
+    "q_dedup_incr": 6,
+    "q_win_ratio": 6,
+    "q_evt_interarrival": 6,
 }
 
 
