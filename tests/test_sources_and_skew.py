@@ -261,3 +261,38 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_derived_partsupp_cache_keys_on_source_fingerprint(spark, tmp_path):
+    """catalog.derived_partsupp must rebuild when the source lineitem
+    file changes AT THE SAME PATH (testdata drops do exactly this) —
+    the cache key carries the (mtime_ns, size) fingerprint, the
+    _evolve_dirs pattern ADVICE r5 flagged layout.py for missing.
+    Simulated with a private sf_dir copy: build once, swap in a
+    1-row-smaller lineitem, and the derived row count must change."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from datafusion_tpc_spark.catalog import derived_partsupp
+    from tests.conftest import SF_DIR
+
+    sf = tmp_path / "sfpriv"
+    sf.mkdir()
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    dst = str(sf / "lineitem.parquet")
+    shutil.copyfile(src, dst)
+
+    n1 = derived_partsupp(spark, str(sf)).count()
+    assert n1 > 0
+
+    tbl = pq.read_table(dst)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), dst + ".tmp")
+    os.replace(dst + ".tmp", dst)
+
+    n2 = derived_partsupp(spark, str(sf)).count()
+    assert n2 < n1, (
+        "partsupp cache served stale data after the source file was "
+        f"replaced in place ({n1} == {n2})"
+    )
