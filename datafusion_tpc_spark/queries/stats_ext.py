@@ -1,7 +1,9 @@
-"""Statistical aggregates, round 6 — pairwise correlation matrix and
-a mergeable t-digest-style quantile sketch. Extends
-queries/aggregates.py (stats/regr family) and operators/sketches.py
-(Misra-Gries/KMV) without touching their registration order.
+"""Statistical aggregates, round 6 — pairwise correlation matrix,
+activity entropy, winsorized means, the Poisson bootstrap,
+theta-sketch set intersection, and a mergeable t-digest-style
+quantile sketch. Extends queries/aggregates.py (stats/regr family)
+and operators/sketches.py (Misra-Gries/KMV) without touching their
+registration order.
 """
 
 from __future__ import annotations
