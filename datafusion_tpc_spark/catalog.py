@@ -87,16 +87,19 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, and parquet round-trips doubles losslessly — so the
     DuckDB oracles keep deriving the CTE inline and still hash-match.
 
-    Cache key = md5(sf_dir, lineitem mtime_ns, size) — the
+    Cache key = <sf_dir tag>-<md5(lineitem mtime_ns, size)> — the
     _evolve_dirs fingerprint pattern (testdata drops replace files at
-    the same path). The build races safely: in-process threads
-    serialize on a lock (the 12-concurrent bench), and the write goes
-    to a uuid temp dir atomically renamed into place."""
+    the same path); the sf_dir tag prefix lets superseded fingerprints
+    of the SAME sf_dir be pruned when a fresh one is built (ADVICE r6:
+    they leaked unboundedly before). The build races safely:
+    in-process threads serialize on a lock (the 12-concurrent bench),
+    and the write goes to a uuid temp dir atomically renamed into
+    place."""
     configure_runtime(spark)
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    key = f"{sf_tag}-{fp}"
     path = os.path.join(_PARTSUPP_CACHE, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         with _PARTSUPP_LOCK:
@@ -121,7 +124,55 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     import shutil
 
                     shutil.rmtree(tmp, ignore_errors=True)
+                # Prune superseded fingerprints (ADVICE r6): every
+                # testdata drop that touches lineitem would otherwise
+                # leak a full materialized copy forever. Any sibling
+                # cache dir for the same sf_dir whose key differs from
+                # the current fingerprint is dead — same sf_dir can
+                # only have one live lineitem. Age-gate like the JSON
+                # sink: never touch dirs younger than 10 minutes (a
+                # concurrent process may be mid-build on a fresher
+                # fingerprint than ours).
+                import shutil
+                import time
+
+                cutoff = time.time() - 600
+                for sib in os.listdir(_PARTSUPP_CACHE):
+                    if sib == key:
+                        continue
+                    # same-sf_dir superseded fingerprints, plus legacy
+                    # un-prefixed keys from before this format
+                    if sib.startswith(f"{sf_tag}-") or "-" not in sib:
+                        p = os.path.join(_PARTSUPP_CACHE, sib)
+                        try:
+                            if os.path.getmtime(p) < cutoff:
+                                shutil.rmtree(p, ignore_errors=True)
+                        except OSError:
+                            pass
     return spark.read.parquet(path)
+
+
+def derived_partsupp_bytes(sf_dir: str) -> int:
+    """On-disk size of the CURRENT materialized partsupp for sf_dir
+    (0 if not yet built). Lets callers gate broadcast hints on actual
+    data volume instead of hard-coding them (ADVICE r6: q_tpch_q9's
+    unconditional F.broadcast(ps) overrides autoBroadcastJoinThreshold
+    and would OOM, not fall back, once ps outgrows memory)."""
+    st_path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(st_path)
+    except OSError:
+        return 0
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    path = os.path.join(_PARTSUPP_CACHE, f"{sf_tag}-{fp}")
+    total = 0
+    try:
+        for f in os.listdir(path):
+            total += os.path.getsize(os.path.join(path, f))
+    except OSError:
+        return 0
+    return total
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

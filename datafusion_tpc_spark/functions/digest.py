@@ -24,3 +24,15 @@ def h60(col):
 
 def _h60_duck(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns — sequential
+    left-fold on both engines, bit-stable across Spark and DuckDB.
+    (Moved from operators/dedup.py in round 7 so similarity/retrieval
+    can import it without dragging dedup's query registrations into
+    the driver window.)"""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

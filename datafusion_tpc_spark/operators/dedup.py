@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import h60, _h60_duck  # noqa: F401
+from datafusion_tpc_spark.functions.digest import h60, _h60_duck, cosine  # noqa: F401
 from datafusion_tpc_spark.registry import query
 
 # ---- shared deterministic hashing ------------------------------------
@@ -365,13 +365,9 @@ def q_dedup_simhash(spark, sf_dir):
 # ---- 5. embedding cosine near-dup ----------------------------------------
 
 
-def cosine(a, b):
-    """Cosine similarity of two array<double> columns — sequential
-    left-fold on both engines, bit-stable across Spark and DuckDB."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+# cosine moved to functions/digest.py (r7: registration-free home so
+# similarity/retrieval can window without dragging dedup in); re-exported
+# via the import above for existing callers.
 
 
 @query(

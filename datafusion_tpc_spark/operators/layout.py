@@ -55,6 +55,30 @@ def _source_tag(sf_dir: str, table: str = "lineitem") -> str:
     ).hexdigest()[:12]
     return f"{tag}-{fp}"
 
+
+def _prune_stale_tags(root: str, tag: str) -> None:
+    """Reclaim superseded fingerprint dirs for the same sf tag
+    (ADVICE r6: every testdata drop that touches lineitem leaked a
+    full derived copy here forever). Age-gated: dirs younger than 10
+    minutes may be a concurrent process's in-flight build."""
+    import shutil
+    import time
+
+    prefix = tag.split("-", 1)[0] + "-"
+    cutoff = time.time() - 600
+    try:
+        sibs = os.listdir(root)
+    except OSError:
+        return
+    for sib in sibs:
+        if sib.startswith(prefix) and sib != tag:
+            p = os.path.join(root, sib)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
 _CELLS_BITS = 4  # 16 cells per dimension → 256 z-buckets
 _CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "zorder"
@@ -118,6 +142,7 @@ def _zorder_copy(spark, sf_dir: str) -> tuple[str, int, int]:
         )
         with open(meta, "w") as f:
             json.dump({"max_p": mx.p, "max_s": mx.s, "cells_bits": _CELLS_BITS}, f)
+        _prune_stale_tags(_CACHE_ROOT, _source_tag(sf_dir))
     with open(meta) as f:
         m = json.load(f)
     return path, m["max_p"], m["max_s"]
@@ -220,6 +245,7 @@ def _compact_dirs(spark, sf_dir):
         spark.read.parquet(frag).repartition(_TARGET_FILES).write.mode(
             "overwrite"
         ).parquet(comp)
+        _prune_stale_tags(_COMPACT_ROOT, tag)
     return frag, comp
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.operators.dedup import cosine
+from datafusion_tpc_spark.functions.digest import cosine
 from datafusion_tpc_spark.registry import query
 
 _RRF_K = 60  # the standard reciprocal-rank-fusion constant

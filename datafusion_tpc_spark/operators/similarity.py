@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.operators.dedup import cosine
+from datafusion_tpc_spark.functions.digest import cosine
 from datafusion_tpc_spark.registry import query
 
 _QUERY_VEC_ID = 0
@@ -93,7 +93,7 @@ def _sign_bucket(emb_col, n_planes: int = _N_PLANES, dim: int | None = None):
     zip_with/aggregate fold, so buckets are bit-identical; dim=None
     falls back to the expression form (works without knowing the
     dimension, e.g. ragged test data)."""
-    from datafusion_tpc_spark.operators.dedup import h60
+    from datafusion_tpc_spark.functions.digest import h60
 
     if dim is not None:
         cols = []

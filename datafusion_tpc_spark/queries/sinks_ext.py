@@ -62,10 +62,23 @@ def q_sink_json(spark, sf_dir):
     docs = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
+    # Stale-run cleanup must be cross-process safe (ADVICE r6): a
+    # concurrent process's in-flight run dir is not in THIS process's
+    # _LIVE_RUNS, so membership alone would rmtree it mid-write. Gate
+    # deletion on age too — only dirs older than 10 minutes (far past
+    # any single execution) are reclaimed.
     if os.path.isdir(_JSON_SINK_CACHE):
+        import time
+
+        cutoff = time.time() - 600
         for stale in os.listdir(_JSON_SINK_CACHE):
-            if stale not in _LIVE_RUNS:
-                shutil.rmtree(os.path.join(_JSON_SINK_CACHE, stale), ignore_errors=True)
+            p = os.path.join(_JSON_SINK_CACHE, stale)
+            try:
+                old_enough = os.path.getmtime(p) < cutoff
+            except OSError:
+                continue
+            if stale not in _LIVE_RUNS and old_enough:
+                shutil.rmtree(p, ignore_errors=True)
     run = uuid.uuid4().hex[:12]
     _LIVE_RUNS.add(run)
     path = os.path.join(_JSON_SINK_CACHE, run)

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import (
     derived_partsupp,
+    derived_partsupp_bytes,
     load_table,
     register_tables,
 )
@@ -175,10 +176,13 @@ def q_tpch_q9(spark, sf_dir):
     survive the inner part join) but it shrinks the ps build side
     ~10×, which cut the 12-concurrent supplement 15.8 s → 1.7 s at
     sf0.1 (the manual form of the dynamic filter Spark's DPP applies
-    only to partitioned scans). At 100 TB the filtered ps stops being
-    broadcastable and the same semi join instead feeds a
-    co-partitioned (partkey, suppkey) shuffle join — the filter
-    propagation is the scale-relevant part, not the broadcast. Part's
+    only to partitioned scans). The broadcast hint is gated on the
+    materialized partsupp's on-disk size (< 256 MB parquet): at
+    100 TB the filtered ps stops being broadcastable, the hint is
+    dropped, and the same semi join feeds a co-partitioned
+    (partkey, suppkey) shuffle join (AQE may still re-pick broadcast
+    from runtime sizes) — the filter propagation is the
+    scale-relevant part, not the broadcast. Part's
     LIKE prunes before its join; nation broadcasts; final agg is
     |nations|×|years| rows."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -194,6 +198,15 @@ def q_tpch_q9(spark, sf_dir):
         F.col("ps_partkey") == red_keys.p_partkey,
         "left_semi",
     )
+    # Broadcast the red-filtered ps only while the FULL materialized
+    # partsupp is small on disk (< 256 MB parquet → filtered ps well
+    # under broadcast limits). Beyond that, no hint: the unconditional
+    # F.broadcast overrode autoBroadcastJoinThreshold and would OOM
+    # instead of falling back (ADVICE r6); un-hinted, AQE still
+    # converts to broadcast at runtime when the actual size fits,
+    # else keeps the co-partitioned composite-key shuffle join.
+    if derived_partsupp_bytes(sf_dir) < 256 * 1024 * 1024:
+        ps = F.broadcast(ps)
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -203,7 +216,7 @@ def q_tpch_q9(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
         .join(o, li.l_orderkey == o.o_orderkey)

@@ -44,36 +44,100 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-5), so the window is re-pointed each round at (a) every query
+    1-6), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 6 order (VERDICT r5 item 1 — burn down
-    the 81-query never-verified backlog, 50 at a time): every module
-    whose queries are ALL never-verified, exactly filling 50 —
-    aggregates_ext (3: the r6-FIXED q_agg_decimal, VERDICT r5 item 2,
-    plus its 2 r5 greens ride along — module granularity), tpch_full
-    (6: q2/q9/q11/q12/q16/q20) + tpch_more (6: q8/q13/q15/q17/q19/
-    q22) completing TPC-H driver evidence for all 22 shapes,
-    sql_shapes (8: recursive CTE, lateral, null-safe/fuzzy/overlap
-    joins, unpivot, schema-evo union), typefns (4: interval/binary/
-    variant/profile), sinks (4: avro sink, corrupt/meta/evolve
-    scans), sketches (8: Misra-Gries freq, BPE, classifier, Zipf,
-    KMV, KL, compress†, TTR), audit (3: DQ checks, SCD2, PIT join),
-    sampling (4: weighted/mixture/IPF/DP), layout (2: z-order,
-    compact), bloom (1), bucketing (1) = 50. Remaining ~31
-    never-verified (events batch, windows trio, aggregates sextet,
-    streaming quartet incl. the q_stream_enrich exact-oracle
-    re-verify, graph/kmeans/skyline/geo/pipeline singles) rotate in
-    round 7 — test_window_staleness enforces that promise.
+    stalest green rows. Round 7 order (VERDICT r5 item 5 + ADVICE r6
+    item 1): the remaining pre-r6 never-verified backlog, the four
+    r2-stale q_mm_* greens (staleness budget exhausted this round),
+    and the q_stream_enrich exact-oracle re-verify — events_behavior
+    (10), aggregates_more (6), windows_ext (4), scalar_ext (1: url),
+    udfs_ext (1: arrow), pipeline_ext (3: lm/index/diff),
+    stream_enrich (2: the exact re-verify + join_outer†), py_source /
+    py_sink / merge / stream_quantile† (4), geo (1), similarity (4:
+    centroid + 3 r3-green refreshes), multimodal (5: mm_dedup + the 4
+    r2-stale greens), graph (3: pagerank/triangles/bfs), skyline (1),
+    kmeans (1), retrieval (3: rrf/hardneg/pca), sinks_ext (1: json)
+    = exactly 50. Deferred to the round-8 rotation (all birth-r6,
+    staleness budget runs to round 10): stats_ext (7), curation (4),
+    events_ext (3), audit_ext (1), dedup_ext (1) = 16 — they import
+    FIRST in the queue below so r8 is again a pure reorder.
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
     module's registrations ahead of the window plan) — shared
-    helpers live in functions/digest.py and streaming/
-    events_source.py for exactly this reason.
+    helpers live in functions/digest.py (h60, cosine) and streaming/
+    events_source.py (drain, _events_streaming) for exactly this
+    reason.
 
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events_behavior,
+        aggregates_more,
+        windows_ext,
+        scalar_ext,
+        udfs_ext,
+    )
+    from datafusion_tpc_spark.operators import pipeline_ext  # noqa: F401
+    from datafusion_tpc_spark.streaming import (  # noqa: F401
+        stream_enrich,
+        py_source,
+        py_sink,
+        merge,
+        stream_quantile,
+    )
+    from datafusion_tpc_spark.queries import geo  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        similarity,
+        multimodal,
+        graph,
+        skyline,
+        kmeans,
+        retrieval,
+    )
+    from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
+    # Round-8 rotation candidates first (the 16 deferred birth-r6 ids):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        stats_ext,
+        events_ext,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        curation,
+        audit_ext,
+        dedup_ext,
+    )
+    # Green inventory (r1-r6 driver-verified), freshest last:
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        tpch,
+        udfs,
+        scalar_functions,
+        events,
+        joins,
+        windows,
+        aggregates,
+        logs_queries,
+        sorts,
+        setops,
+        arrays,
+        tpch_extra,
+        scans,
+        predicates,
+        subqueries,
+    )
+    from datafusion_tpc_spark.streaming import (  # noqa: F401
+        stream_queries,
+        stream_sink,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        asof,
+        chunking,
+        text,
+        dedup,
+        pipeline,
+    )
     from datafusion_tpc_spark.queries import (  # noqa: F401
         aggregates_ext,
         tpch_full,
@@ -89,68 +153,4 @@ def load_all() -> None:
         layout,
         bloom,
         bucketing,
-    )
-
-    # --- window boundary (50) — everything below queues behind ---
-    # r6 pre-splits for the round-7 rotation (see the round6-window
-    # plan memory): every module whose never-verified ids were locked
-    # behind big already-green modules now registers them separately —
-    # events_behavior (10), aggregates_more (6), pipeline_ext (3),
-    # windows_ext (3), scalar_ext (1), udfs_ext (1), stream_enrich (2
-    # incl. the q_stream_enrich exact-oracle re-verify).
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        tpch,
-        udfs,
-        udfs_ext,
-        scalar_functions,
-        scalar_ext,
-        events,
-        events_behavior,
-        aggregates_more,
-        windows_ext,
-    )
-    from datafusion_tpc_spark.streaming import (  # noqa: F401
-        stream_queries,
-        stream_enrich,
-        stream_quantile,
-        py_source,
-        py_sink,
-        merge,
-        stream_sink,
-    )
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        joins,
-        windows,
-        aggregates,
-        logs_queries,
-        sorts,
-        setops,
-        arrays,
-        tpch_extra,
-        scans,
-        predicates,
-        subqueries,
-        geo,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        asof,
-        chunking,
-        text,
-        dedup,
-        pipeline,
-        pipeline_ext,
-        similarity,
-        multimodal,
-        graph,
-        skyline,
-        kmeans,
-        retrieval,
-        curation,
-        audit_ext,
-        dedup_ext,
-    )
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        events_ext,
-        stats_ext,
-        sinks_ext,
     )

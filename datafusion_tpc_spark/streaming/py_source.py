@@ -113,7 +113,7 @@ def _register(spark) -> None:
 from pyspark.sql import functions as F  # noqa: E402
 
 from datafusion_tpc_spark.registry import query  # noqa: E402
-from datafusion_tpc_spark.streaming.stream_queries import _drain  # noqa: E402
+from datafusion_tpc_spark.streaming.events_source import drain as _drain  # noqa: E402
 
 
 @query(

@@ -28,64 +28,67 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-6 driver window (VERDICT r5 items 1+2): 47 of the 81
-# never-driver-verified ids — whole modules whose queries are all
-# never-verified (tpch_full, tpch_more, sql_shapes, typefns, sinks,
-# sketches, audit, sampling, layout, bloom, bucketing) — plus
-# aggregates_ext for the r6-fixed q_agg_decimal (its 2 r5 greens ride
-# along at module granularity) = exactly 50. The remaining ~31
-# never-verified rotate in round 7 (test_window_staleness enforces).
+# The round-7 driver window (VERDICT r5 item 5 + ADVICE r6 item 1):
+# the remaining pre-r6 never-verified backlog (events_behavior,
+# aggregates_more, windows_ext, scalar/udfs_ext, pipeline_ext,
+# streaming quartet, geo, centroid/mm_dedup/graph/skyline/kmeans),
+# the q_stream_enrich exact-oracle re-verify, the four r2-stale
+# q_mm_* greens (their staleness budget expires this round), the
+# three r3-green similarity refreshes, and the r6-born retrieval
+# trio + q_sink_json = exactly 50. Deferred to round 8 (all
+# birth-r6): stats_ext(7)+curation(4)+events_ext(3)+audit_ext(1)+
+# dedup_ext(1) = 16 (test_window_staleness budget runs to round 10).
 EXPECTED_WINDOW_50 = [
-    "q_agg_mode",
-    "q_agg_hist",
-    "q_agg_decimal",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_cte_recursive",
-    "q_join_lateral",
-    "q_join_nullsafe",
-    "q_union_evo",
-    "q_unpivot",
-    "q_join_fuzzy",
-    "q_join_overlap",
-    "q_join_overlap_banded",
-    "q_fn_interval",
-    "q_fn_binary",
-    "q_profile",
-    "q_fn_variant",
-    "q_sink_avro",
-    "q_scan_corrupt",
-    "q_scan_meta",
-    "q_scan_evolve",
-    "q_agg_freq",
-    "q_pipe_bpe",
-    "q_pipe_classify",
-    "q_text_zipf",
-    "q_agg_kmv",
-    "q_text_kl",
-    "q_text_compress",
-    "q_text_ttr",
-    "q_dq_checks",
-    "q_scd2",
-    "q_join_pit",
-    "q_pipe_sample_weighted",
-    "q_pipe_mixture",
-    "q_pipe_ipf",
-    "q_agg_dp",
-    "q_layout_zorder",
-    "q_layout_compact",
-    "q_join_bloom",
-    "q_join_bucketed",
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_locf",
+    "q_evt_anomaly",
+    "q_evt_markov",
+    "q_evt_rollup",
+    "q_evt_paths",
+    "q_evt_attrib",
+    "q_evt_cusum",
+    "q_evt_seasonality",
+    "q_agg_bitwise",
+    "q_agg_condagg",
+    "q_agg_regr",
+    "q_agg_histeq",
+    "q_agg_abtest",
+    "q_agg_gini",
+    "q_win_sessionize",
+    "q_win_ema",
+    "q_win_rolling_distinct",
+    "q_win_ratio",
+    "q_fn_url",
+    "q_udf_arrow",
+    "q_pipe_lm",
+    "q_text_index",
+    "q_pipe_diff",
+    "q_stream_enrich",
+    "q_stream_join_outer",
+    "q_stream_pysource",
+    "q_stream_pysink",
+    "q_stream_merge",
+    "q_stream_quantile",
+    "q_geo_nearest",
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_sim_ann",
+    "q_sim_centroid",
+    "q_mm_meta",
+    "q_mm_decode",
+    "q_mm_resize",
+    "q_mm_frames",
+    "q_mm_dedup",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_bfs",
+    "q_skyline",
+    "q_sim_kmeans",
+    "q_sim_rrf",
+    "q_sim_hardneg",
+    "q_sim_pca",
+    "q_sink_json",
 ]
 
 
