@@ -46,32 +46,19 @@ from datafusion_tpc_spark.registry import query
 
 # ---- shared deterministic hashing ------------------------------------
 
-# word 3-shingles from single-space fixture text; arrays are 0-based in
-# Spark / 1-based in DuckDB, out-of-range access is NULL in both and
-# concat_ws skips NULLs — the expressions below line up exactly.
-_SHINGLES = (
-    "transform(sequence(1, greatest(size(w) - 2, 1)),"
-    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+# Shingle expressions + shingle_table moved to functions/shingles.py in
+# round 7 (registration-free home so prefix_join can window without
+# dragging this module in); re-bound here for existing callers.
+from datafusion_tpc_spark.functions.shingles import (  # noqa: E402
+    SHINGLES as _SHINGLES,
+    SHINGLES_DUCK as _SHINGLES_DUCK,
+    shingle_table,
 )
-_SHINGLES_DUCK = """
-    SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok,
-         LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) g
-"""
 
 
 # h60/_h60_duck live in functions/digest.py (r5: so chunking/text can
 # import them without triggering this module's query registrations);
 # re-exported here for the operator modules that already import them.
-
-
-def shingle_table(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.withColumn("w", F.split("text", " "))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s"))
-    )
 
 
 # ---- 1. exact dedup ---------------------------------------------------

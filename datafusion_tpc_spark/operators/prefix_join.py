@@ -1,0 +1,151 @@
+"""Prefix-filtered exact set-similarity join (round 7) — the
+non-quadratic EXACT scale path for n-gram Jaccard near-dup detection
+(AllPairs/PPJoin prefix-filtering principle, Bayardo et al. WWW'07;
+Chaudhuri et al. SSJoin, ICDE'06).
+
+Relation to the near-dup family in operators/dedup.py:
+- q_dedup_ngram is the labeled quadratic exact baseline (candidate =
+  any shared shingle; on boilerplate-heavy corpora the hottest shingle
+  makes that join quadratic — it is bench-excluded by contract);
+- q_dedup_minhash is the approximate scale path (banded LSH);
+- q_dedup_prefix (here) is the EXACT scale path: identical output to
+  q_dedup_ngram — same oracle SQL — but candidates only form when two
+  docs share a shingle inside both docs' rarest-first PREFIX, which
+  bounds the inverted index to the rare end of the df distribution.
+
+Prefix-filtering principle: order every doc's shingles by a single
+global total order (df ascending, shingle ascending — rarest first).
+For Jaccard ≥ t, |A∩B| ≥ ⌈t·|A∪B|⌉ ≥ max(⌈t·|A|⌉, ⌈t·|B|⌉) =: α, and
+if two sets intersect in ≥ α elements their length-(|X|−α+1) prefixes
+must share an element — so indexing only each doc's first
+|X| − ⌈t·|X|⌉ + 1 shingles misses no qualifying pair. For t = 0.5 the
+prefix length is floor(n/2)+1 (integer-exact, no float ceil). A
+length filter (max(|A|,|B|) ≤ |min|/t, integer form 2·least for
+t=0.5) prunes candidates whose sizes alone already cap Jaccard < t.
+
+100 TB design: df is a |vocab|-bounded agg; the prefix self-join's
+bucket sizes are df-bounded on the RARE side of the vocabulary
+(boilerplate mega-shingles fall outside every prefix unless a doc is
+mostly boilerplate, in which case the dedup-cap guard pattern of
+dedup.py applies); verification touches candidate pairs only — never
+all pairs. Shuffles: shingle-keyed df agg, doc-keyed prefix ranking
+window, shingle-keyed candidate join, pair-keyed verify — all
+map-side-combinable or key-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK, shingle_table
+from datafusion_tpc_spark.registry import query
+
+_T = 0.5  # Jaccard threshold — same contract as q_dedup_ngram
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_DUCK}),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= {_T}
+    """,
+)
+def q_dedup_prefix(spark, sf_dir):
+    """Exact Jaccard ≥ 0.5 near-dup pairs via prefix filtering — the
+    same result set as q_dedup_ngram (the oracle IS q_dedup_ngram's
+    quadratic formulation), produced without ever joining on common
+    shingles: only each doc's floor(n/2)+1 rarest shingles are
+    indexed, then candidates are verified exactly."""
+    sh = shingle_table(spark, sf_dir)
+
+    # Dictionary-encode shingles to dense int ids, carrying df in the
+    # same vocabulary pass. Exact (no hash-collision hazard — an id IS
+    # its shingle) and it shrinks every downstream shuffle and the
+    # verification arrays from ~20-byte strings to 4-byte ints
+    # (profiled 5.9 s → sub-second verify at sf0.1). The dense-rank
+    # window runs on the VOCABULARY (27 k rows here) — vocabulary-
+    # bound, not corpus-bound; at shingle vocabs beyond one partition,
+    # dictionary assignment becomes the standard two-pass
+    # range-partitioned rank, changing nothing downstream. sid order =
+    # shingle order, so (df, sid) is the same rarest-first total order
+    # as (df, s).
+    vocab = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("sid", F.row_number().over(Window.orderBy("s")))
+    )
+    sh_ids = sh.join(vocab, "s").select("doc_id", "sid", "df").cache()
+    counts = sh_ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sh_ids.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("sid").asc()
+                )
+            ),
+        )
+        .join(counts, "doc_id")
+        # t=0.5 prefix: n - ceil(n/2) + 1 = floor(n/2) + 1, integer-exact
+        .filter(F.col("rn") <= F.expr("n DIV 2") + 1)
+        .select("doc_id", "sid", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: max(na, nb) <= min/t  (t=0.5 → 2*least)
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n"))
+                <= 2 * F.least(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        # Explicit width, which AQE honors: candidate rows are tiny in
+        # BYTES (2 ints) but dense in verification CPU (one hash-set
+        # intersection each) — AQE's byte-based coalescing would fold
+        # them into ONE task and serialize the verify stage (profiled:
+        # 3.8 s single-task → sub-second at 32). Sized by cores.
+        .repartition(32, "doc_a")
+    )
+    # exact verification on candidates only — per-doc id ARRAYS, not a
+    # (pair, shingle)-level join: two doc-keyed joins attach the sets,
+    # array_intersect computes |A∩B| vectorized in the JVM. The set
+    # table is |docs| rows of ~|doc| ints; at scale both attach joins
+    # co-partition on doc id.
+    sets = sh_ids.groupBy("doc_id").agg(F.collect_list("sid").alias("ss"))
+    sets_a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.size("ss").alias("na"),
+    )
+    sets_b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.size("ss").alias("nb"),
+    )
+    n_common = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(jac >= _T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,180 @@
+"""Distribution diagnostics (round 7) — the two health checks a
+pipeline runs before/after every large shuffle or ingest: key-skew
+profiling (will this join/groupBy hot-spot?) and population-stability
+drift between data vintages (did the distribution move?).
+
+Companions to queries/sql_shapes.py's q_join_salted (the FIX for skew
+— this is the detector that decides when to apply it) and
+operators/audit_ext.py's q_dq_reconcile (row-level reconciliation —
+this is the distribution-level complement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
+from datafusion_tpc_spark.registry import query
+
+_BUCKETS = 32  # mirrors a shuffle-partition count
+
+
+@query(
+    "q_dq_skew",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    per_bucket AS (
+      SELECT {_h60_duck("CAST(o_custkey AS VARCHAR)")} % {_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    key_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM per_key
+    ),
+    bucket_stats AS (
+      SELECT CAST(MAX(cnt) AS BIGINT) AS max_bucket_cnt,
+             SUM(cnt * 1.0) / {_BUCKETS} AS mean_bucket,
+             SUM(cnt * cnt * 1.0) / {_BUCKETS} AS mean_sq
+      FROM per_bucket
+    )
+    SELECT k.n_keys, k.max_key_cnt,
+           ROUND(k.max_key_cnt * 1.0 / k.total, 6) AS max_key_share,
+           ROUND(b.max_bucket_cnt / b.mean_bucket, 6) AS bucket_peak_ratio,
+           ROUND(sqrt(b.mean_sq - b.mean_bucket * b.mean_bucket)
+                 / b.mean_bucket, 6) AS bucket_cv
+    FROM key_stats k, bucket_stats b
+    """,
+)
+def q_dq_skew(spark, sf_dir):
+    """Key-skew profile of orders.o_custkey — the decision input for
+    salting/AQE-skew-join: distinct key count, the hottest key's row
+    count and share, and what a {_BUCKETS}-way hash shuffle of this key
+    would look like (peak-over-mean bucket ratio and coefficient of
+    variation across h60 buckets — a direct simulation of partition
+    imbalance at the configured shuffle width).
+
+    Determinism: bucket moments are SUM/SUM-of-squares over exactly
+    {_BUCKETS} bucket counts (integer sums — exact), divided and
+    sqrt-ed once, ROUND 6dp. 100 TB: two map-side-combinable aggs
+    (key-keyed, bucket-keyed) and O(keys)+O({_BUCKETS}) state — this
+    profile is exactly as expensive as one groupBy on the key, which
+    is what you are about to run anyway."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    per_bucket = o.groupBy(
+        (h60(F.col("o_custkey").cast("string")) % _BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    key_stats = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_cnt"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    bucket_stats = per_bucket.agg(
+        F.max("cnt").cast("bigint").alias("max_bucket_cnt"),
+        (F.sum(F.col("cnt") * 1.0) / _BUCKETS).alias("mean_bucket"),
+        (F.sum(F.col("cnt") * F.col("cnt") * 1.0) / _BUCKETS).alias("mean_sq"),
+    )
+    return key_stats.crossJoin(bucket_stats).select(
+        "n_keys",
+        "max_key_cnt",
+        F.round(F.col("max_key_cnt") * 1.0 / F.col("total"), 6).alias(
+            "max_key_share"
+        ),
+        F.round(F.col("max_bucket_cnt") / F.col("mean_bucket"), 6).alias(
+            "bucket_peak_ratio"
+        ),
+        F.round(
+            F.sqrt(F.col("mean_sq") - F.col("mean_bucket") * F.col("mean_bucket"))
+            / F.col("mean_bucket"),
+            6,
+        ).alias("bucket_cv"),
+    )
+
+
+_BIN_W = 25_000.0  # o_totalprice bin width
+_NBINS = 10
+
+
+@query(
+    "q_dq_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / {_BIN_W}), {_NBINS - 1}) AS INT)
+               AS bin,
+             o_orderkey % 2 = 0 AS is_ref
+      FROM orders
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+      FROM binned
+    ),
+    per_bin AS (
+      SELECT b.bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM binned b GROUP BY b.bin
+    )
+    SELECT p.bin, p.n_ref, p.n_cur,
+           ROUND(((p.n_ref + 1.0) / (t.nr + {_NBINS})
+                  - (p.n_cur + 1.0) / (t.nc + {_NBINS}))
+                 * ln(((p.n_ref + 1.0) / (t.nr + {_NBINS}))
+                      / ((p.n_cur + 1.0) / (t.nc + {_NBINS}))), 6)
+             AS psi_contrib
+    FROM per_bin p, tot t
+    ORDER BY p.bin ASC NULLS LAST
+    """,
+)
+def q_dq_drift(spark, sf_dir):
+    """Population-stability-index drift report between two order
+    vintages (even vs odd orderkey standing in for last-month vs
+    this-month): o_totalprice is binned into {_NBINS} fixed-width
+    bins and each bin reports its PSI contribution
+    (p_ref − p_cur)·ln(p_ref/p_cur) under add-one smoothing (no
+    empty-bin ln(0)). Σ|psi| < 0.1 is the conventional "stable"
+    gate a pipeline asserts before reusing hyperparameters.
+
+    Fixed-width bins, not quantile bins: quantile edges recomputed
+    per vintage would chase the drift they are meant to measure (and
+    cross-engine percentile interpolation differs — the gotcha list).
+    ln is transcendental so each contribution is ROUND 6dp after one
+    application. 100 TB: one scan, {_NBINS}-key agg."""
+    binned = load_table(spark, sf_dir, "orders").select(
+        F.least(F.floor(F.col("o_totalprice") / _BIN_W), F.lit(_NBINS - 1))
+        .cast("int")
+        .alias("bin"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_ref"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = binned.agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("nr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("nc"),
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("nr") + _NBINS)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("nc") + _NBINS)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias(
+                "psi_contrib"
+            ),
+        )
+        .orderBy(F.col("bin").asc_nulls_last())
+    )

@@ -30,6 +30,15 @@ def query(name: str, oracle: str | None = None):
     ids in SURVEY.md §2)."""
 
     def deco(fn):
+        # Silent overwrite would run the EARLIER-registered query under
+        # the later one's oracle expectations (or vice versa) — the
+        # r7 q_pipe_split near-miss: a new module reused an existing
+        # name and every check "passed" by exercising the old query.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -99,7 +108,9 @@ def load_all() -> None:
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
 
     # --- window boundary (50) — everything below queues behind ---
-    # Round-8 rotation candidates first (the 16 deferred birth-r6 ids):
+    # Round-8 rotation candidates first: the 16 deferred birth-r6 ids,
+    # then the birth-r7 additions (prefix-filtered exact Jaccard join,
+    # split/budget, PQ, skew/drift diagnostics).
     from datafusion_tpc_spark.queries import (  # noqa: F401
         stats_ext,
         events_ext,
@@ -108,7 +119,11 @@ def load_all() -> None:
         curation,
         audit_ext,
         dedup_ext,
+        prefix_join,
+        splits,
+        pq,
     )
+    from datafusion_tpc_spark.queries import diagnostics  # noqa: F401
     # Green inventory (r1-r6 driver-verified), freshest last:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         tpch,

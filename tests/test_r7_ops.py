@@ -1,0 +1,119 @@
+"""Round-7 operator properties — the invariants that make each new op
+what it claims to be, beyond the oracle hash (which
+test_queries_oracle.py already enforces for all six).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_prefix_join_matches_quadratic_baseline(spark):
+    """q_dedup_prefix must return the EXACT pair set of q_dedup_ngram
+    (same threshold, same shingles) — the whole point is identical
+    output from a prefix-bounded candidate set."""
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["q_dedup_prefix"](spark, SF_DIR).collect()
+    }
+    ngram = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["q_dedup_ngram"](spark, SF_DIR).collect()
+    }
+    assert prefix == ngram
+    assert prefix  # fixture plants near-dups; empty would be vacuous
+
+
+def test_prefix_index_is_smaller_than_full_index(spark):
+    """The indexed prefix table must be materially smaller than the
+    full inverted index — floor(n/2)+1 of n shingles per doc."""
+    from datafusion_tpc_spark.functions.shingles import shingle_table
+
+    sh = shingle_table(spark, SF_DIR)
+    full = sh.count()
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_budget = per_doc.agg(
+        F.sum(F.expr("n DIV 2") + 1).alias("p")
+    ).first().p
+    assert prefix_budget < 0.6 * full
+
+
+def test_split_content_is_exhaustive_and_leak_free(spark):
+    """Splits partition the corpus (doc counts sum to |documents|) and
+    byte-identical texts never straddle splits."""
+    res = {
+        r.split: r.n_docs
+        for r in registry.QUERIES["q_pipe_split_content"](spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(res.values()) == docs.count()
+    assert set(res) == {"train", "val", "test"}
+    from datafusion_tpc_spark.functions.digest import h60
+
+    leak = (
+        docs.withColumn("bucket", h60(F.col("text")) % 100)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy(F.md5("text"))
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leak == 0
+
+
+def test_budget_allocation_sums_exactly(spark):
+    """Largest-remainder apportionment: Σ alloc == budget, every
+    source allocated within 1 unit of floor(B·share)."""
+    rows = registry.QUERIES["q_pipe_budget"](spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == 100_000
+    total = sum(r.n_chars for r in rows)
+    for r in rows:
+        base = int(100_000 * (r.n_chars / total))
+        assert base <= r.alloc <= base + 1
+
+
+def test_pq_codes_cover_all_vectors(spark):
+    """Every vector gets a code in every subspace: per-subspace
+    membership sums to |embeddings|; codes are within 1..K."""
+    rows = registry.QUERIES["q_sim_pq"](spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    by_sub = {}
+    for r in rows:
+        assert 1 <= r.cid <= 4
+        assert r.avg_d2 >= 0
+        by_sub[r.sub] = by_sub.get(r.sub, 0) + r.n
+    assert by_sub == {0: n_vecs, 1: n_vecs}
+
+
+def test_dq_skew_fields_are_consistent(spark):
+    row = registry.QUERIES["q_dq_skew"](spark, SF_DIR).first()
+    assert row.bucket_peak_ratio >= 1.0
+    assert 0 < row.max_key_share < 1
+    assert row.bucket_cv >= 0
+
+
+def test_dq_drift_is_near_zero_on_random_halves(spark):
+    """Even/odd orderkey halves of one distribution: total PSI must
+    sit far under the 0.1 'stable' convention."""
+    rows = registry.QUERIES["q_dq_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    psi = sum(abs(r.psi_contrib) for r in rows)
+    assert psi < 0.05
+
+
+def test_duplicate_registration_raises():
+    from datafusion_tpc_spark.registry import query
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        query("q_dedup_prefix")(lambda spark, sf_dir: None)

@@ -238,6 +238,12 @@ _BIRTH_ROUND = {
     "q_dedup_incr": 6,
     "q_win_ratio": 6,
     "q_evt_interarrival": 6,
+    "q_dedup_prefix": 7,
+    "q_pipe_split_content": 7,
+    "q_pipe_budget": 7,
+    "q_sim_pq": 7,
+    "q_dq_skew": 7,
+    "q_dq_drift": 7,
 }
 
 
