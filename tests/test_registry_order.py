@@ -244,6 +244,7 @@ _BIRTH_ROUND = {
     "q_sim_pq": 7,
     "q_dq_skew": 7,
     "q_dq_drift": 7,
+    "q_stream_late": 7,
 }
 
 
