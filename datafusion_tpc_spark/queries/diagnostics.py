@@ -98,6 +98,57 @@ def q_dq_skew(spark, sf_dir):
     )
 
 
+_K_ANON = 10  # k-anonymity threshold
+
+
+@query(
+    "q_dq_kanon",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group,
+           ROUND(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) * 1.0
+                 / SUM(n), 6) AS risk_share
+    FROM g
+    """,
+)
+def q_dq_kanon(spark, sf_dir):
+    """k-anonymity audit over the (lang, source) quasi-identifier
+    pair: how many equivalence classes fall below k={_K_ANON}, how
+    many rows they expose, and the re-identification risk share — the
+    gate a release pipeline checks before publishing per-group stats
+    (the aggregate complement of q_pipe_pii's row-level redaction and
+    q_agg_dp's noised release).
+
+    100 TB: one map-side-combinable groupBy at quasi-identifier
+    cardinality, then a second constant-size rollup — exactly the
+    cost of the release aggregation being audited. Generalization
+    ladders (coarsen lang → lang-family etc.) re-run this same query
+    per rung."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    below = F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_k"),
+        F.sum(below).cast("bigint").alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group"),
+        F.round(F.sum(below) * 1.0 / F.sum("n"), 6).alias("risk_share"),
+    )
+
+
 _BIN_W = 25_000.0  # o_totalprice bin width
 _NBINS = 10
 

@@ -112,6 +112,31 @@ def test_dq_drift_is_near_zero_on_random_halves(spark):
     assert psi < 0.05
 
 
+def test_hll_estimate_within_error_bound(spark):
+    """HLL p=8 standard error is 1.04/sqrt(256) ≈ 6.5%; pin <10%."""
+    row = registry.QUERIES["q_agg_hll"](spark, SF_DIR).first()
+    assert row.n_exact > 0
+    assert abs(row.hll_est - row.n_exact) / row.n_exact < 0.10
+
+
+def test_cms_overcounts_only(spark):
+    """Count-Min error is one-sided: est >= exact for every probe."""
+    rows = registry.QUERIES["q_agg_cms"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_est >= r.exact_cnt
+
+
+def test_kanon_fields_consistent(spark):
+    row = registry.QUERIES["q_dq_kanon"](spark, SF_DIR).first()
+    assert 0 <= row.n_below_k <= row.n_groups
+    assert 0 <= row.risk_share <= 1
+    assert row.rows_at_risk >= row.n_below_k * 0 and (
+        row.n_below_k == 0 or row.rows_at_risk >= row.n_below_k
+    )
+
+
 def test_duplicate_registration_raises():
     from datafusion_tpc_spark.registry import query
 

@@ -245,6 +245,9 @@ _BIRTH_ROUND = {
     "q_dq_skew": 7,
     "q_dq_drift": 7,
     "q_stream_late": 7,
+    "q_agg_hll": 7,
+    "q_agg_cms": 7,
+    "q_dq_kanon": 7,
 }
 
 
