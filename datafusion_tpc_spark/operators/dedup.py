@@ -569,3 +569,100 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     raise RuntimeError(
         f"min_label_propagation did not converge in {max_rounds} rounds"
     )
+
+
+# ---- 7. cluster-keyed train/val/test split ----------------------------
+
+
+@query(
+    "q_pipe_near_split",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id, {_MIN_EXPRS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                AND a.doc_id <> b.doc_id
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    keyed AS (
+      SELECT l.doc_id, l.n_chars, l.cluster_id,
+             {_h60_duck("r.text")} % 100 AS bucket
+      FROM labeled l JOIN documents r ON r.doc_id = l.cluster_id
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM keyed
+    GROUP BY 1
+    ORDER BY split ASC NULLS LAST
+    """,
+)
+def q_pipe_near_split(spark, sf_dir):
+    """NEAR-dup-safe train/val/test split (80/10/10) — the strongest
+    of the three split keys (q_pipe_split: doc id; q_pipe_split_content:
+    content hash, co-assigns byte-identical copies; this: MinHash-LSH
+    CLUSTER representative's content hash, co-assigns near-duplicate
+    families too, so a paraphrased eval document cannot leak a variant
+    into train). Singleton docs are their own cluster. Reported as
+    per-split doc count, cluster count, and char volume; the
+    no-pair-straddles-splits property is pytest-pinned against the
+    candidate graph itself.
+
+    Scale: clusters come from the bounded LSH component pass
+    (q_dedup_clusters — banded self-join, never all-pairs; label
+    propagation to observed fixpoint); the split itself adds one
+    cluster-keyed representative join + a stateless hash — at 100 TB
+    the cluster map is a persisted table maintained incrementally
+    (q_dedup_incr), and this query is one join against it."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    rep = d.select(F.col("doc_id").alias("cluster_id"), F.col("text").alias("rep_text"))
+    keyed = labeled.join(rep, "cluster_id").withColumn(
+        "bucket", h60(F.col("rep_text")) % 100
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        keyed.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy(F.col("split").asc_nulls_last())
+    )

@@ -142,3 +142,57 @@ def test_duplicate_registration_raises():
 
     with pytest.raises(ValueError, match="duplicate query registration"):
         query("q_dedup_prefix")(lambda spark, sf_dir: None)
+
+
+def test_near_split_no_candidate_pair_straddles(spark):
+    """No MinHash-LSH candidate pair may straddle splits — the
+    leakage property q_pipe_near_split exists to guarantee."""
+    from datafusion_tpc_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_minhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clusters = q_dedup_clusters(spark, SF_DIR)
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    from datafusion_tpc_spark.functions.digest import h60
+
+    rep = docs.select(
+        F.col("doc_id").alias("cluster_id"), (h60("text") % 100).alias("bucket")
+    )
+    split_of = labeled.join(rep, "cluster_id").select(
+        "doc_id",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = q_dedup_minhash(spark, SF_DIR)
+    sa = split_of.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = split_of.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    straddling = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # totals still partition the corpus
+    res = {
+        r.split: r.n_docs
+        for r in __import__("datafusion_tpc_spark.registry", fromlist=["registry"])
+        .QUERIES["q_pipe_near_split"](spark, SF_DIR)
+        .collect()
+    }
+    assert sum(res.values()) == docs.count()

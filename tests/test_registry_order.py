@@ -248,6 +248,7 @@ _BIRTH_ROUND = {
     "q_agg_hll": 7,
     "q_agg_cms": 7,
     "q_dq_kanon": 7,
+    "q_pipe_near_split": 7,
 }
 
 
