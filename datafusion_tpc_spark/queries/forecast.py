@@ -1,0 +1,140 @@
+"""Time-series smoothing/forecast (round 7) — Holt's linear-trend
+double exponential smoothing over the daily event-count series: the
+classic capacity-planning recurrence with two COUPLED state variables
+(level, trend), which no window frame can express (running-frame
+folds carry one associative state; l_t and b_t feed each other).
+
+Cross-engine exactness choreography (the kmeans/IPF/CUSUM discipline
+applied to a genuine recurrence): Spark folds the sorted series with
+one sequential `aggregate()` lambda; DuckDB runs the identical
+recurrence as a recursive CTE stepping one row per iteration. Both
+re-ROUND(…,6) BOTH state variables at every step, so the engines
+enter each step with identical doubles and errors cannot compound —
+the whole smoothed trajectory is hash-exact, not just the endpoint.
+
+100 TB design: the recurrence runs on the AGGREGATED series
+(|days| rows — a per-key series at scale: groupBy(key) →
+sort_array(collect_list) → one aggregate() fold per key, O(series
+length) state, map-side-combinable count agg underneath). The corpus
+touches only the first daily rollup; the sequential part is
+vocabulary-of-days-sized. The same shape powers per-key EMA/SLO
+forecasting in the metrics tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.registry import query
+
+_A = 0.5  # level smoothing (exact binary double)
+_B = 0.3  # trend smoothing
+
+
+@query(
+    "q_evt_holt",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS INT) AS rn, day, v
+      FROM daily
+    ),
+    rec(rn, l, b) AS (
+      SELECT 1,
+             CAST(s1.v AS DOUBLE),
+             CAST(s2.v - s1.v AS DOUBLE)
+      FROM series s1, series s2 WHERE s1.rn = 1 AND s2.rn = 2
+      UNION ALL
+      SELECT r.rn + 1,
+             ROUND(CAST({_A!r} AS DOUBLE) * s.v
+                   + (1.0 - CAST({_A!r} AS DOUBLE)) * (r.l + r.b), 6),
+             ROUND(CAST({_B!r} AS DOUBLE)
+                   * (ROUND(CAST({_A!r} AS DOUBLE) * s.v
+                            + (1.0 - CAST({_A!r} AS DOUBLE)) * (r.l + r.b), 6)
+                      - r.l)
+                   + (1.0 - CAST({_B!r} AS DOUBLE)) * r.b, 6)
+      FROM rec r JOIN series s ON s.rn = r.rn + 1
+    )
+    SELECT s.rn, s.day, s.v,
+           ROUND(r.l, 6) AS level,
+           ROUND(r.b, 6) AS trend,
+           ROUND(r.l + r.b, 6) AS forecast_next
+    FROM rec r JOIN series s ON s.rn = r.rn
+    ORDER BY s.rn ASC NULLS LAST
+    """,
+)
+def q_evt_holt(spark, sf_dir):
+    """Holt's linear trend (α=0.5, β=0.3) over daily event counts:
+    l_t = ROUND(α·v_t + (1−α)(l+b), 6), b_t = ROUND(β(l_t−l) +
+    (1−β)b, 6), initialized l₁=v₁, b₁=v₂−v₁. Emits the full smoothed
+    trajectory plus the one-step-ahead forecast l+b per day. The
+    DuckDB oracle steps the identical recurrence recursively; the
+    Spark side folds the sorted series in ONE sequential aggregate()
+    over a struct accumulator that appends each step's state to an
+    array — then explodes it back to rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    # Fold over elements 2..n (slice is 1-based): the recurrence
+    # applies from rn=2; hist[0] is the rn=1 init state, so hist ends
+    # at length n and zips 1:1 with the full series.
+    step_l = f"ROUND({_A!r}D * x.v + (1.0D - {_A!r}D) * (acc.l + acc.b), 6)"
+    step_b = (
+        f"ROUND({_B!r}D * ({step_l} - acc.l) + (1.0D - {_B!r}D) * acc.b, 6)"
+    )
+    folded = series.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              struct(
+                CAST(s[0].v AS DOUBLE) AS l,
+                CAST(s[1].v - s[0].v AS DOUBLE) AS b,
+                array(struct(CAST(s[0].v AS DOUBLE) AS l,
+                             CAST(s[1].v - s[0].v AS DOUBLE) AS b)) AS hist
+              ),
+              (acc, x) -> struct(
+                {step_l} AS l,
+                {step_b} AS b,
+                array_append(acc.hist, struct({step_l} AS l, {step_b} AS b)) AS hist
+              ),
+              acc -> acc.hist
+            )
+            """
+        ).alias("hist"),
+        "s",
+    )
+    return (
+        folded.select(
+            F.posexplode(
+                F.expr(
+                    "zip_with(hist, slice(s, 1, size(hist)), (h, e) -> "
+                    "struct(e.day AS day, e.v AS v, h.l AS l, h.b AS b))"
+                )
+            ).alias("pos0", "row")
+        )
+        .select(
+            (F.col("pos0") + 1).cast("int").alias("rn"),
+            F.col("row.day").alias("day"),
+            F.col("row.v").alias("v"),
+            F.round("row.l", 6).alias("level"),
+            F.round("row.b", 6).alias("trend"),
+            F.round(F.col("row.l") + F.col("row.b"), 6).alias("forecast_next"),
+        )
+        .orderBy(F.col("rn").asc_nulls_last())
+    )

@@ -249,6 +249,7 @@ _BIRTH_ROUND = {
     "q_agg_cms": 7,
     "q_dq_kanon": 7,
     "q_pipe_near_split": 7,
+    "q_evt_holt": 7,
 }
 
 
