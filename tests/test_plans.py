@@ -422,3 +422,28 @@ def test_weighted_sample_take_ordered(spark):
     Sort."""
     plan = _plan(spark, "q_pipe_sample_weighted")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r7_prefix_join_verify_width_is_pinned(spark):
+    """q_dedup_prefix: the CPU-dense verify stage must keep its
+    explicit 32-way repartition (AQE's byte-based coalescing would
+    fold the tiny-bytes candidate set into one task and serialize
+    the hash-set intersections — measured 3.8 s -> sub-second)."""
+    plan = _plan(spark, "q_dedup_prefix")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r7_hll_register_agg_is_two_phase(spark):
+    """q_agg_hll: the 256-register MAX agg must partial-combine
+    map-side — the property that makes the sketch mergeable at scale."""
+    plan = _plan(spark, "q_agg_hll")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_r7_pq_codebooks_broadcast(spark):
+    """q_sim_pq: centroid codebooks (K·dim doubles) must broadcast —
+    the corpus side never shuffles for assignment."""
+    plan = _plan(spark, "q_sim_pq")
+    assert "BroadcastHashJoin" in plan

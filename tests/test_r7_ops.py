@@ -196,3 +196,22 @@ def test_near_split_no_candidate_pair_straddles(spark):
         .collect()
     }
     assert sum(res.values()) == docs.count()
+
+
+def test_dpo_preserves_untouched_partitions(spark):
+    """The core dynamic-overwrite property: after the 'F'-only
+    restatement, non-F partitions still hold their ORIGINAL rows
+    (static overwrite would have deleted them) and F holds exactly
+    the adjusted batch."""
+    res = {
+        r.o_orderstatus: (r.n, r.total)
+        for r in registry.QUERIES["q_sink_dpo"](spark, SF_DIR).collect()
+    }
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    expected_n = {
+        r.o_orderstatus: r.n
+        for r in src.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(res) == set(expected_n)
+    for status, n in expected_n.items():
+        assert res[status][0] == n, status
