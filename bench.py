@@ -71,6 +71,12 @@ HEADLINE = [
     # item 6 discipline)
     "q_sim_rrf",
     "q_pipe_forget",
+    # round-7 families promoted: the prefix-filtered EXACT near-dup
+    # join (the scale path whose regression matters most) and the
+    # integer-register HLL sketch; solo-idle rows at birth in
+    # BASELINE.md
+    "q_dedup_prefix",
+    "q_agg_hll",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",
