@@ -215,3 +215,38 @@ def test_dpo_preserves_untouched_partitions(spark):
     assert set(res) == set(expected_n)
     for status, n in expected_n.items():
         assert res[status][0] == n, status
+
+
+def test_hll_registers_merge_associatively(spark):
+    """The property that makes HLL a DISTRIBUTED sketch: building
+    per-source register sets and MAX-merging them must yield exactly
+    the registers (hence exactly the estimate) of a direct global
+    build — partial aggregation IS sketch merge."""
+    from datafusion_tpc_spark.functions.digest import h60
+    from datafusion_tpc_spark.operators.sketches_ext import _WBITS
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    hv = o.select(
+        "o_orderstatus",
+        h60(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))).alias("hv"),
+    ).distinct()
+    w = F.col("hv") % F.lit(1 << _WBITS).cast("long")
+    regs = hv.select(
+        "o_orderstatus",
+        F.shiftright("hv", _WBITS).alias("bucket"),
+        F.when(w == 0, F.lit(_WBITS + 1))
+        .otherwise(F.lit(_WBITS + 1) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    per_source = regs.groupBy("o_orderstatus", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    merged = {
+        (r.bucket, r.m)
+        for r in per_source.groupBy("bucket").agg(F.max("m").alias("m")).collect()
+    }
+    direct = {
+        (r.bucket, r.m)
+        for r in regs.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    assert merged == direct
