@@ -155,3 +155,101 @@ def q_pipe_budget(spark, sf_dir):
         .cast("bigint")
         .alias("alloc"),
     ).orderBy(F.col("source").asc_nulls_last())
+
+
+_TAU = 0.7        # temperature exponent
+_WSCALE = 10**9   # weight quantization (integerize after the one pow)
+
+
+@query(
+    "q_pipe_temperature",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_chars) AS total FROM src),
+    wq AS (
+      SELECT source, n_chars,
+             CAST(ROUND(pow(n_chars * 1.0 / total, CAST({_TAU!r} AS DOUBLE))
+                        * {_WSCALE}, 0) AS BIGINT) AS w
+      FROM src, tot
+    ),
+    wt AS (SELECT SUM(w) AS wsum FROM wq),
+    alloc AS (
+      SELECT source, n_chars, w,
+             CAST(({_BUDGET} * w) // wsum AS BIGINT) AS base,
+             CAST(({_BUDGET} * w) % wsum AS BIGINT) AS rem
+      FROM wq, wt
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             {_BUDGET} - SUM(base) OVER () AS leftover
+      FROM alloc
+    )
+    SELECT source, n_chars,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY source ASC NULLS LAST
+    """,
+)
+def q_pipe_temperature(spark, sf_dir):
+    """Temperature-scaled mixture allocation (τ=0.7): budget share
+    ∝ (source share)^τ — the standard flattening every multilingual /
+    multi-source training mix applies so small sources are not
+    swamped (τ=1 is q_pipe_budget's proportional split, τ=0 uniform).
+
+    Determinism: pow() is the ONE libm call; its result is quantized
+    to an integer weight (×1e9, ROUND 0dp) immediately, and the whole
+    apportionment from there is integer arithmetic — B·w // Σw plus
+    largest-remainder on the integer remainders (rem DESC, source
+    tie-break), so no float sum order can flip an allocation. Σ alloc
+    == B exactly, pytest-pinned alongside the monotone-flattening
+    property (temperature allocations sit between proportional and
+    uniform). 100 TB: identical shape to q_pipe_budget — the window
+    runs on the |sources|-row aggregate."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("n_chars"))
+    )
+    tot = src.agg(F.sum("n_chars").alias("total"))
+    wq = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_chars",
+        F.round(
+            F.pow(F.col("n_chars") * 1.0 / F.col("total"), F.lit(_TAU)) * _WSCALE,
+            0,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    wt = wq.agg(F.sum("w").alias("wsum"))
+    alloc = wq.crossJoin(F.broadcast(wt)).select(
+        "source",
+        "n_chars",
+        F.expr(f"CAST(({_BUDGET} * w) DIV wsum AS BIGINT)").alias("base"),
+        F.expr(f"CAST(({_BUDGET} * w) % wsum AS BIGINT)").alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    ranked = alloc.select(
+        "source",
+        "n_chars",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source").asc()))
+        .alias("rk"),
+        (F.lit(_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_chars",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy(F.col("source").asc_nulls_last())

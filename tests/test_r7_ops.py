@@ -250,3 +250,27 @@ def test_hll_registers_merge_associatively(spark):
         for r in regs.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
     }
     assert merged == direct
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    """τ=0.7 allocations must (a) sum exactly to the budget and
+    (b) sit between proportional (τ=1) and uniform: every
+    below-average source gains vs its proportional share, every
+    above-average source loses."""
+    temp = {
+        r.source: (r.n_chars, r.alloc)
+        for r in registry.QUERIES["q_pipe_temperature"](spark, SF_DIR).collect()
+    }
+    prop = {
+        r.source: r.alloc
+        for r in registry.QUERIES["q_pipe_budget"](spark, SF_DIR).collect()
+    }
+    assert sum(a for _, a in temp.values()) == 100_000
+    total_chars = sum(n for n, _ in temp.values())
+    mean_share = 1.0 / len(temp)
+    for src, (n, alloc) in temp.items():
+        share = n / total_chars
+        if share < mean_share:
+            assert alloc >= prop[src], src
+        elif share > mean_share:
+            assert alloc <= prop[src], src

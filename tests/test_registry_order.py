@@ -251,6 +251,7 @@ _BIRTH_ROUND = {
     "q_pipe_near_split": 7,
     "q_evt_holt": 7,
     "q_sink_dpo": 7,
+    "q_pipe_temperature": 7,
 }
 
 
