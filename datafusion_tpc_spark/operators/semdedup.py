@@ -1,0 +1,148 @@
+"""Semantic (cluster-scoped) embedding deduplication — SemDeDup
+(Abbas et al. 2023, arXiv:2303.09540): partition the corpus by a
+cluster assignment, compare embeddings PAIRWISE ONLY WITHIN a
+cluster, and among each near-duplicate pair keep the member farther
+from the cluster centroid (low centroid-similarity examples carry
+more marginal information; the near-centroid copy is redundant).
+
+Beyond-reference surface (the reference engine — thinkharderdev/
+datafusion-tpc, a scheduling harness around DataFusion — has no
+embedding layer at all); completes the near-dup family in
+operators/dedup.py: q_dedup_embed is the all-pairs exact baseline,
+q_dedup_embed_lsh the bucketed approximation, and THIS is the
+cluster-bounded exact middle path that production curation actually
+runs (cluster first, dedup within cluster).
+
+The fixture's `label` column plays the cluster-assignment role; at
+scale the assignment comes from q_sim_kmeans / q_sim_ivf — the
+operator is agnostic to where the cluster id came from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import cosine
+from datafusion_tpc_spark.registry import query
+
+_TAU = 0.3  # near-dup cosine threshold (fixture pair dist tops ≈0.47)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, ROUND(AVG(v), 6) AS c FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings)
+      GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+               AS c2c
+      FROM embeddings e JOIN carr c USING (label)
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM scored a JOIN scored b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+              >= {_TAU}
+        AND (b.c2c < a.c2c OR (b.c2c = a.c2c AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.label, s.c2c,
+           (s.vec_id IN (SELECT vec_id FROM dup)) AS dropped
+    FROM scored s
+    ORDER BY s.vec_id ASC NULLS LAST
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: per-cluster centroid build → centroid-similarity
+    score → within-cluster pairwise near-dup test → drop the member
+    of each dup pair that sits CLOSER to the centroid (tie-break:
+    higher vec_id drops). Output is one decision row per vector:
+    (vec_id, label, c2c, dropped).
+
+    Determinism: the centroid is ROUND(6)-quantized per dimension
+    BEFORE any similarity is taken (the kmeans re-round pattern), so
+    c2c is a fold over identical inputs on both engines; pair
+    cosines and c2c are compared only after ROUND(6), with vec_id as
+    the integer tie-break, and the fixture's closest pair sits
+    1.9e-4 from τ — 5 orders above cross-engine cosine wiggle.
+
+    Scale (the entire point of SemDeDup): the quadratic is bounded
+    per cluster — |cluster|² pairs, never corpus². Plan: (1) centroid
+    build is a map-side-combined |labels|·dim aggregate (the
+    q_sim_centroid shape); (2) centroid join is a broadcast (|labels|
+    rows); (3) the pairwise stage ships each cluster to one Arrow
+    batch and runs a normalized GEMM (numpy SIMD) — ~100× per-pair
+    expression evaluation (q_dedup_embed precedent). The explicit
+    repartition(label) pins cluster-parallelism against AQE's
+    bytes-based coalescing (tiny-bytes/CPU-dense stage gotcha —
+    q_dedup_prefix precedent). Clusters too large for one task get
+    sub-sharded by an LSH band within the cluster (q_dedup_embed_lsh
+    composition) — the fixture's 10×50 needs none of that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    scored = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        "emb",
+        F.round(cosine(F.col("emb"), F.col("cvec")), 6).alias("c2c"),
+    )
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.asarray(list(pdf["emb"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        np.fill_diagonal(sims, -1.0)
+        near = sims >= _TAU
+        c2c = pdf["c2c"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        # j beats i ⇔ (c2c_j, vec_id_j) < (c2c_i, vec_id_i)
+        beats = (c2c[None, :] < c2c[:, None]) | (
+            (c2c[None, :] == c2c[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        dropped = (near & beats).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy(),
+                "c2c": c2c,
+                "dropped": dropped,
+            }
+        )
+
+    out = (
+        scored.repartition(32, "label")
+        .groupBy("label")
+        .applyInPandas(
+            dedup_group, schema="vec_id long, label int, c2c double, dropped boolean"
+        )
+    )
+    return out.orderBy(F.col("vec_id").asc_nulls_last())

@@ -274,3 +274,48 @@ def test_temperature_flattens_toward_uniform(spark):
             assert alloc >= prop[src], src
         elif share > mean_share:
             assert alloc <= prop[src], src
+
+
+def test_semdedup_kept_set_is_tau_independent(spark):
+    """SemDeDup invariants: (a) the kept set contains no within-label
+    pair at/above the τ=0.3 near-dup threshold (every dup pair lost
+    its near-centroid member), and (b) every dropped vector has a
+    KEPT-or-dropped beating neighbor above τ — no orphan drops."""
+    import numpy as np
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    res = registry.QUERIES["q_dedup_semantic"](spark, SF_DIR).collect()
+    assert any(r.dropped for r in res)  # fixture has 111 dup edges
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    by_label = {}
+    by_id = {}
+    for r in res:
+        by_label.setdefault(r.label, []).append(r)
+        by_id[r.vec_id] = r
+    for rows in by_label.values():
+        kept = [r for r in rows if not r.dropped]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert cos(emb[a.vec_id], emb[b.vec_id]) < 0.3, (
+                    a.vec_id,
+                    b.vec_id,
+                )
+        for a in rows:
+            if not a.dropped:
+                continue
+            assert any(
+                b.vec_id != a.vec_id
+                and cos(emb[a.vec_id], emb[b.vec_id]) >= 0.3
+                and (b.c2c, b.vec_id) < (a.c2c, a.vec_id)
+                for b in rows
+            ), a.vec_id

@@ -252,6 +252,7 @@ _BIRTH_ROUND = {
     "q_evt_holt": 7,
     "q_sink_dpo": 7,
     "q_pipe_temperature": 7,
+    "q_dedup_semantic": 7,
 }
 
 
