@@ -253,3 +253,83 @@ def q_pipe_temperature(spark, sf_dir):
         .cast("bigint")
         .alias("alloc"),
     ).orderBy(F.col("source").asc_nulls_last())
+
+
+_CAP = 15  # max docs kept per source
+
+
+@query(
+    "q_pipe_domain_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rk > {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= {_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source
+    ORDER BY source ASC NULLS LAST
+    """,
+)
+def q_pipe_domain_cap(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb/C4-style): keep at most
+    _CAP documents per source (the fixture's domain key), ranked
+    longest-first with doc_id as the integer tie-break — the
+    anti-boilerplate measure that stops one mega-domain from
+    dominating the training mix. Reported as a per-source rollup
+    (total / kept / dropped / kept char volume).
+
+    Determinism: ranking is pure integers (n_chars DESC, doc_id ASC)
+    — no float anywhere. 100 TB: the plan is deliberately TWO
+    branches, not one corpus-wide window. The totals branch is a
+    map-side-combined groupBy (per-source counters, never row
+    shuffle). The kept branch filters rank ≤ K immediately after the
+    window, which Spark 3.5+ rewrites to WindowGroupLimit — each map
+    task keeps a local top-K heap per source BEFORE the shuffle, so
+    the window exchange carries ≤ K rows per (task, source), not the
+    corpus (a single unfiltered window that computes the rollup via
+    CASE WHEN rk<=K would shuffle EVERY row of a hot domain into one
+    reducer — the shape this op exists to avoid). Both branches are
+    |sources|-row aggregates at the join (plan-gated in
+    tests/test_plans.py)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    kept = (
+        d.withColumn("rk", rk)
+        .filter(F.col("rk") <= _CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+            "kept_chars",
+        )
+        .orderBy(F.col("source").asc_nulls_last())
+    )

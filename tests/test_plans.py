@@ -447,3 +447,21 @@ def test_r7_pq_codebooks_broadcast(spark):
     the corpus side never shuffles for assignment."""
     plan = _plan(spark, "q_sim_pq")
     assert "BroadcastHashJoin" in plan
+
+
+def test_r7_domain_cap_window_group_limit(spark):
+    """q_pipe_domain_cap: the rank<=K filter must rewrite to
+    WindowGroupLimit (map-side per-source top-K heap before the
+    window exchange) — the shape that keeps a hot domain from
+    shuffling its full row set into one reducer."""
+    plan = _plan(spark, "q_pipe_domain_cap")
+    assert "WindowGroupLimit" in plan
+
+
+def test_r7_semdedup_centroids_broadcast(spark):
+    """q_dedup_semantic: the |labels|-row centroid table must
+    broadcast onto the corpus; the only row shuffle is the explicit
+    32-way repartition(label) feeding the per-cluster GEMM."""
+    plan = _plan(spark, "q_dedup_semantic")
+    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan

@@ -253,6 +253,7 @@ _BIRTH_ROUND = {
     "q_sink_dpo": 7,
     "q_pipe_temperature": 7,
     "q_dedup_semantic": 7,
+    "q_pipe_domain_cap": 7,
 }
 
 
