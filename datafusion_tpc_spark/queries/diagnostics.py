@@ -11,7 +11,7 @@ this is the distribution-level complement).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import _h60_duck, h60
@@ -229,3 +229,91 @@ def q_dq_drift(spark, sf_dir):
         )
         .orderBy(F.col("bin").asc_nulls_last())
     )
+
+
+@query(
+    "q_dq_prcurve",
+    oracle="""
+    WITH sc AS (
+      SELECT CAST(FLOOR(100.0 * len(list_distinct(string_split(text, ' ')))
+                        / len(string_split(text, ' '))) AS INT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    g AS (
+      SELECT s, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+      FROM sc GROUP BY s
+    ),
+    c AS (
+      SELECT s,
+             SUM(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS fp,
+             SUM(p) OVER () AS pos_total
+      FROM g
+    )
+    SELECT s AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS prec,
+           ROUND(tp * 1.0 / pos_total, 6) AS recall,
+           ROUND(2.0 * tp / (2 * tp + fp + (pos_total - tp)), 6) AS f1
+    FROM c ORDER BY threshold DESC NULLS LAST
+    """,
+)
+def q_dq_prcurve(spark, sf_dir):
+    """Precision-recall curve for a quality-filter threshold sweep —
+    the calibration every score-gated filter (q_pipe_quality_filter,
+    q_pipe_classify) needs before its cutoff is chosen: sweep every
+    distinct score, report cumulative TP/FP plus precision / recall /
+    F1 at each threshold. Score is the integer lexical-diversity
+    centile floor(100·unique/total words); the swept "positive" class
+    is lang='en' (does the cheap lexical score separate the dominant
+    language?).
+
+    Determinism: the score is FLOOR of one IEEE division (floor
+    sidesteps the cross-engine ROUND-half tie hazard entirely);
+    TP/FP/FN are integer cumulative sums; precision/recall/F1 are
+    each ONE division of integers, ROUND(6)-ed for hashing only —
+    nothing accumulates in float. 100 TB: per-score partial aggregate
+    (≤101 groups, map-side combined), then the running sums windows
+    run on the ≤101-row aggregate — corpus size touches only the
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    s = F.floor(100.0 * F.size(F.array_distinct(words)) / F.size(words)).cast(
+        "int"
+    )
+    g = (
+        d.select(
+            s.alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("bigint").alias("p"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n"),
+        )
+    )
+    run = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "s",
+        F.sum("p").over(run).alias("tp"),
+        F.sum("n").over(run).alias("fp"),
+        F.sum("p").over(Window.partitionBy()).alias("pos_total"),
+    )
+    return c.select(
+        F.col("s").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias("prec"),
+        F.round(F.col("tp") * 1.0 / F.col("pos_total"), 6).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + (F.col("pos_total") - F.col("tp"))),
+            6,
+        ).alias("f1"),
+    ).orderBy(F.col("threshold").desc_nulls_last())

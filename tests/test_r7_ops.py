@@ -319,3 +319,22 @@ def test_semdedup_kept_set_is_tau_independent(spark):
                 and (b.c2c, b.vec_id) < (a.c2c, a.vec_id)
                 for b in rows
             ), a.vec_id
+
+
+def test_prcurve_cumulative_invariants(spark):
+    """PR-curve sanity: as the threshold sweeps down, TP and FP are
+    non-decreasing, recall is non-decreasing and ends at 1.0, and
+    every precision sits in (0, 1]."""
+    rows = (
+        registry.QUERIES["q_dq_prcurve"](spark, SF_DIR)
+        .orderBy(F.col("threshold").desc())
+        .collect()
+    )
+    assert len(rows) > 10
+    last_tp = last_fp = last_rec = 0
+    for r in rows:
+        assert r.tp >= last_tp and r.fp >= last_fp
+        assert r.recall >= last_rec
+        assert 0 < r.prec <= 1
+        last_tp, last_fp, last_rec = r.tp, r.fp, r.recall
+    assert rows[-1].recall == 1.0

@@ -254,6 +254,7 @@ _BIRTH_ROUND = {
     "q_pipe_temperature": 7,
     "q_dedup_semantic": 7,
     "q_pipe_domain_cap": 7,
+    "q_dq_prcurve": 7,
 }
 
 
