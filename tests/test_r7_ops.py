@@ -338,3 +338,65 @@ def test_prcurve_cumulative_invariants(spark):
         assert 0 < r.prec <= 1
         last_tp, last_fp, last_rec = r.tp, r.fp, r.recall
     assert rows[-1].recall == 1.0
+
+
+def test_lenbucket_powers_of_two_and_fill(spark):
+    """Bucket caps must be powers of two; every doc lands in the
+    SMALLEST holding cap, so each cap>1 bucket fills past 50%; token
+    totals reconcile with a direct count."""
+    rows = registry.QUERIES["q_pipe_lenbucket"](spark, SF_DIR).collect()
+    from datafusion_tpc_spark.catalog import load_table
+
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.sum_tokens for r in rows) == total
+    for r in rows:
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0
+        if r.bucket_cap > 1:
+            assert r.fill_ratio > 0.5, r
+
+
+def test_cdc_boundaries_resync_after_insertion(spark):
+    """The defining CDC property: prepending bytes to a document
+    shifts every fixed-window chunk, but content-defined boundaries
+    re-synchronize — all chunks after the first boundary are
+    identical. Reimplements the 8-gram h60 splitter in Python on one
+    fixture doc and asserts the chunk-hash tail survives a 13-char
+    prepend. Also reconciles sum_len with total text volume."""
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.operators.cdc import _POLY_M, _POLY_W
+
+    rows = registry.QUERIES["q_pipe_cdc"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    total_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
+    assert sum(r.sum_len for r in rows) == total_chars
+    assert any(r.dedup_ratio < 1.0 for r in rows)  # planted dups share chunks
+
+    def chunks(text):
+        def gram_hash(s):
+            return sum(ord(c) * w for c, w in zip(s, _POLY_W)) % _POLY_M
+
+        ends = sorted(
+            {
+                i + 8 - 1
+                for i in range(1, len(text) - 8 + 2)
+                if gram_hash(text[i - 1 : i + 7]) % 64 == 0
+            }
+            | {len(text)}
+        )
+        prev, out = 0, []
+        for e in ends:
+            out.append(text[prev:e])
+            prev = e
+        return out
+
+    text = docs.orderBy("doc_id").limit(50).collect()[0].text
+    base = chunks(text)
+    shifted = chunks("INSERTED_PREFIX"[:13] + text)
+    assert len(base) > 2, "doc too short for the property to bite"
+    # every base chunk after the first boundary reappears verbatim
+    assert set(base[1:]) <= set(shifted)

@@ -255,6 +255,8 @@ _BIRTH_ROUND = {
     "q_dedup_semantic": 7,
     "q_pipe_domain_cap": 7,
     "q_dq_prcurve": 7,
+    "q_pipe_lenbucket": 7,
+    "q_pipe_cdc": 7,
 }
 
 
