@@ -317,3 +317,62 @@ def q_dq_prcurve(spark, sf_dir):
             6,
         ).alias("f1"),
     ).orderBy(F.col("threshold").desc_nulls_last())
+
+
+_L_DIV = 5       # minimum distinct sensitive values per QI class
+_BAL_W = 1000.0  # sensitive-attribute bucket width
+
+
+@query(
+    "q_dq_ldiv",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_BAL_W}) AS INT))
+                  AS BIGINT) AS l_distinct
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n, l_distinct,
+           (l_distinct < {_L_DIV}) AS at_risk
+    FROM g
+    ORDER BY c_nationkey ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+    """,
+)
+def q_dq_ldiv(spark, sf_dir):
+    """l-diversity audit — the companion gate to q_dq_kanon: a QI
+    equivalence class can satisfy k-anonymity yet still leak its
+    sensitive attribute if (nearly) every member shares one value.
+    Per (c_nationkey, c_mktsegment) class: row count, the number of
+    DISTINCT sensitive buckets (account balance, {_BAL_W:.0f}-wide),
+    and the at-risk flag (distinct-l < {_L_DIV}) — the homogeneity-
+    attack check a release pipeline runs after the k check passes.
+
+    Determinism: the sensitive bucket is FLOOR of one IEEE division
+    (integer-exact cross-engine); everything else is integer counts.
+    100 TB: a distinct-count aggregate at (|QI classes| ×
+    |sensitive buckets|) key cardinality with partial aggregation —
+    the same shape and cost as the release aggregation being
+    audited; no row-level shuffle."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / _BAL_W).cast("int")
+            )
+            .cast("bigint")
+            .alias("l_distinct"),
+        )
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "l_distinct",
+        (F.col("l_distinct") < _L_DIV).alias("at_risk"),
+    ).orderBy(
+        F.col("c_nationkey").asc_nulls_last(),
+        F.col("c_mktsegment").asc_nulls_last(),
+    )

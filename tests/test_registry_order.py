@@ -257,6 +257,7 @@ _BIRTH_ROUND = {
     "q_dq_prcurve": 7,
     "q_pipe_lenbucket": 7,
     "q_pipe_cdc": 7,
+    "q_dq_ldiv": 7,
 }
 
 
