@@ -465,3 +465,36 @@ def test_r7_semdedup_centroids_broadcast(spark):
     plan = _plan(spark, "q_dedup_semantic")
     assert "BroadcastHashJoin" in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_r7_lenbucket_agg_is_two_phase(spark):
+    """q_pipe_lenbucket: the bucket rollup must partial-aggregate
+    map-side — shuffle carries ≤~20 cap groups, never rows."""
+    plan = _plan(spark, "q_pipe_lenbucket")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_r7_ldiv_distinct_is_partial(spark):
+    """q_dq_ldiv: the distinct-count must expand to a two-phase
+    aggregate keyed at (QI class × sensitive bucket) cardinality —
+    no row-level shuffle."""
+    plan = _plan(spark, "q_dq_ldiv")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_temperature_no_row_shuffle_joins(spark):
+    """q_pipe_temperature: the two scalar totals must broadcast onto
+    the |sources|-row aggregate (BroadcastNestedLoopJoin); a
+    SortMergeJoin would mean the allocator shuffles rows."""
+    plan = _plan(spark, "q_pipe_temperature")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_cdc_chunking_width_is_pinned(spark):
+    """q_pipe_cdc: the CPU-dense chunking stage must keep its
+    explicit 32-way repartition off the unsplittable single-row-group
+    scan (AQE would coalesce the tiny-bytes exchange to one task)."""
+    plan = _plan(spark, "q_pipe_cdc")
+    assert "REPARTITION_BY_NUM" in plan
