@@ -1,0 +1,176 @@
+"""Maximal Marginal Relevance (MMR) re-ranking — Carbonell &
+Goldstein 1998, the diversity-aware top-k every RAG / search stack
+runs after retrieval: greedily pick the candidate maximizing
+λ·relevance − (1−λ)·max-similarity-to-already-picked, so the final
+k results are relevant AND non-redundant.
+
+Beyond-reference surface (the reference engine — thinkharderdev/
+datafusion-tpc — has no retrieval layer); the re-rank stage downstream
+of q_sim_topk / q_sim_ann (candidate generation) and beside q_sim_rrf
+(rank fusion) and q_sim_hardneg (training-pair mining) in
+operators/retrieval.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import cosine
+from datafusion_tpc_spark.registry import query
+
+_QID = 0      # query vector (q_sim_topk convention)
+_POOL = 50    # candidate pool = retrieval top-N
+_K = 10       # re-ranked results
+_LAM = 0.7    # relevance weight
+# NOT computed as 1 - _LAM: Python's 1 - 0.7 is 0.30000000000000004,
+# while the SQL literal 0.3 is the nearest double to 0.3 — the greedy
+# argmax must use bit-identical coefficients on all three evaluators
+# (Spark column expr, DuckDB CTE, the driver-side greedy loop).
+_LAM_C = 0.3  # diversity weight
+
+
+@query(
+    "q_sim_mmr",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {_QID}),
+    pool AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+               AS rel,
+             e.embedding::DOUBLE[] AS emb
+      FROM embeddings e, q WHERE e.vec_id <> {_QID}
+      ORDER BY rel DESC NULLS LAST, e.vec_id ASC
+      LIMIT {_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT 1 AS rk,
+             [(SELECT vec_id FROM pool
+               ORDER BY rel DESC, vec_id ASC LIMIT 1)] AS picked
+      UNION ALL
+      SELECT sel.rk + 1, list_append(sel.picked, nxt.vec_id)
+      FROM sel, LATERAL (
+        SELECT c.vec_id
+        FROM pool c
+        WHERE NOT list_contains(sel.picked, c.vec_id)
+        ORDER BY CAST({_LAM} AS DOUBLE) * c.rel
+                 - CAST({_LAM_C} AS DOUBLE)
+                   * (SELECT MAX(s.sim) FROM sims s
+                      WHERE s.a = c.vec_id
+                        AND list_contains(sel.picked, s.b)) DESC,
+                 c.vec_id ASC
+        LIMIT 1
+      ) nxt
+      WHERE sel.rk < {_K}
+    ),
+    final AS (SELECT picked FROM sel WHERE rk = {_K}),
+    ranked AS (
+      SELECT CAST(k AS BIGINT) AS rank, picked[k] AS vec_id, picked
+      FROM final, LATERAL (SELECT unnest(generate_series(1, {_K})) AS k)
+    )
+    SELECT r.rank, r.vec_id, p.rel,
+           COALESCE((SELECT MAX(s.sim) FROM sims s
+                     WHERE s.a = r.vec_id
+                       AND list_contains(r.picked[1:CAST(r.rank - 1 AS INT)],
+                                         s.b)),
+                    CAST(0 AS DOUBLE)) AS maxsim,
+           ROUND(CAST({_LAM} AS DOUBLE) * p.rel
+                 - CAST({_LAM_C} AS DOUBLE)
+                   * COALESCE((SELECT MAX(s.sim) FROM sims s
+                               WHERE s.a = r.vec_id
+                                 AND list_contains(
+                                       r.picked[1:CAST(r.rank - 1 AS INT)],
+                                       s.b)),
+                              CAST(0 AS DOUBLE)), 6) AS score
+    FROM ranked r JOIN pool p ON p.vec_id = r.vec_id
+    ORDER BY r.rank ASC NULLS LAST
+    """,
+)
+def q_sim_mmr(spark, sf_dir):
+    """MMR re-rank of the retrieval pool: top-{_POOL} candidates by
+    rounded cosine relevance to the query vector, then {_K} greedy
+    picks maximizing λ·rel − (1−λ)·max-sim-to-picked (λ={_LAM},
+    vec_id tie-break; the first pick's maxsim is defined 0). Output:
+    (rank, vec_id, rel, maxsim-at-pick-time, score).
+
+    Determinism: rel and every pairwise sim are ROUND(6) BEFORE any
+    comparison; each greedy score is the identical IEEE expression
+    λ·rel − (1−λ)·maxsim over those rounded inputs on both engines
+    (bit-identical, vec_id breaks ties); the displayed score is
+    ROUNDed by each engine's SQL ROUND, never Python's banker
+    rounding. The oracle replays the greedy recursion as a recursive
+    CTE with a LATERAL argmax (the Holt/kmeans unrolled-iteration
+    pattern).
+
+    Scale: the candidate-generation stages are distributed — one
+    broadcast-query scan for rel (the q_sim_topk plan),
+    TakeOrdered({_POOL}) per-partition heaps, and a {_POOL}²
+    broadcast pairwise-sim join. The greedy selection itself runs on
+    the COLLECTED pool — {_POOL} ids + a {_POOL}² rounded sim matrix
+    — which is the production shape for every re-ranker: MMR is
+    O(K·N) on a retrieval pool whose size is fixed by contract
+    (q_sim_ivf's bounded-driver-sample precedent), independent of
+    corpus size; only candidate generation touches the 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == _QID).select(F.col("emb").alias("qe"))
+    rel = (
+        e.filter(F.col("vec_id") != _QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("rel"),
+            "emb",
+        )
+    )
+    pool = rel.orderBy(
+        F.col("rel").desc_nulls_last(), F.col("vec_id").asc()
+    ).limit(_POOL)
+    a, b = pool.alias("a"), pool.alias("b")
+    sims = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("sa"),
+            F.col("b.vec_id").alias("sb"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("sim"),
+        )
+    )
+    cand = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
+    sim = {(r.sa, r.sb): r.sim for r in sims.collect()}
+
+    picked: list[int] = []
+    rows = []
+    while len(picked) < _K and len(picked) < len(cand):
+        best = None
+        for v, r in cand.items():
+            if v in picked:
+                continue
+            ms = max((sim[(v, s)] for s in picked), default=0.0)
+            score = _LAM * r - _LAM_C * ms
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, r, ms)
+        _, v, r, ms = best
+        picked.append(v)
+        rows.append((len(picked), v, r, ms))
+
+    out = spark.createDataFrame(
+        rows, schema="rank long, vec_id long, rel double, maxsim double"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        "rel",
+        "maxsim",
+        F.round(
+            F.lit(_LAM) * F.col("rel") - F.lit(_LAM_C) * F.col("maxsim"), 6
+        ).alias("score"),
+    ).orderBy(F.col("rank").asc_nulls_last())

@@ -400,3 +400,34 @@ def test_cdc_boundaries_resync_after_insertion(spark):
     assert len(base) > 2, "doc too short for the property to bite"
     # every base chunk after the first boundary reappears verbatim
     assert set(base[1:]) <= set(shifted)
+
+
+def test_mmr_diversifies_relevance_ranking(spark):
+    """MMR invariants: the first pick is the pure-relevance argmax
+    (maxsim=0 by definition), ranks are 1..K, and the picked set
+    DIFFERS from relevance top-K — the diversity term must actually
+    change the ranking on the fixture, else the op is vacuous."""
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.functions.digest import cosine
+    from datafusion_tpc_spark.operators.mmr import _K, _QID
+
+    mmr = registry.QUERIES["q_sim_mmr"](spark, SF_DIR).collect()
+    assert [r.rank for r in mmr] == list(range(1, _K + 1))
+    assert mmr[0].maxsim == 0.0
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == _QID).select(F.col("emb").alias("qe"))
+    top = (
+        e.filter(F.col("vec_id") != _QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_K)
+        .collect()
+    )
+    assert mmr[0].vec_id == top[0].vec_id
+    assert {r.vec_id for r in mmr} != {r.vec_id for r in top}

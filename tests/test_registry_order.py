@@ -258,6 +258,7 @@ _BIRTH_ROUND = {
     "q_pipe_lenbucket": 7,
     "q_pipe_cdc": 7,
     "q_dq_ldiv": 7,
+    "q_sim_mmr": 7,
 }
 
 
