@@ -376,3 +376,89 @@ def q_dq_ldiv(spark, sf_dir):
         F.col("c_nationkey").asc_nulls_last(),
         F.col("c_mktsegment").asc_nulls_last(),
     )
+
+
+# log10(1 + 1/d), d = 1..9 — full-precision literals so both engines
+# parse the identical double (never recomputed via log10 at runtime)
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN CAST({v} AS DOUBLE)" for d, v in _BENFORD.items())
+    + " END"
+)
+
+
+@query(
+    "q_dq_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.digit, g.n,
+           ROUND(g.n * 1.0 / t.total, 6) AS share,
+           ROUND({_BENFORD_CASE}, 6) AS expected,
+           ROUND(POW(g.n * 1.0 / t.total - {_BENFORD_CASE}, 2)
+                 / {_BENFORD_CASE}, 6) AS chi_contrib
+    FROM g, t
+    ORDER BY g.digit ASC NULLS LAST
+    """,
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the
+    synthetic-data / fraud screen: observed first-digit shares vs the
+    log10(1+1/d) law plus per-digit chi-square contributions (the
+    fixture's uniform synthetic prices VIOLATE the law loudly on
+    digits 1-4 — exactly the signal the check exists to raise).
+
+    Determinism: the first digit comes from the STRING form of
+    floor(value) (no log10 at runtime anywhere — the expected shares
+    are full-precision literals both engines parse to the identical
+    double); share and chi_contrib are single-expression IEEE
+    arithmetic over integer counts, ROUND(6)-ed for display. POW(x,2)
+    is x·x on both engines — exempt from the transcendental-pow
+    hazard. 100 TB: a 9-group map-side-combined aggregate; corpus
+    size touches only the scan."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = g.agg(F.sum("n").alias("total"))
+    expected = F.expr(_BENFORD_CASE)
+    share_raw = F.col("n") * 1.0 / F.col("total")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(share_raw, 6).alias("share"),
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(share_raw - expected, 2) / expected, 6
+            ).alias("chi_contrib"),
+        )
+        .orderBy(F.col("digit").asc_nulls_last())
+    )

@@ -431,3 +431,17 @@ def test_mmr_diversifies_relevance_ranking(spark):
     )
     assert mmr[0].vec_id == top[0].vec_id
     assert {r.vec_id for r in mmr} != {r.vec_id for r in top}
+
+
+def test_benford_flags_synthetic_prices(spark):
+    """Shares must sum to 1 (±rounding), expected shares are the
+    Benford constants, and the synthetic uniform price fixture MUST
+    violate the law (total chi-square ≫ the 15.5 α=0.05 critical
+    value for 8 df) — a passing fixture would make the audit vacuous."""
+    rows = registry.QUERIES["q_dq_benford"](spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == [str(d) for d in range(1, 10)]
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(rows[0].expected - 0.30103) < 1e-5
+    total = sum(r.n for r in rows)
+    chi = total * sum(r.chi_contrib for r in rows)
+    assert chi > 15.5

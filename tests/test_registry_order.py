@@ -259,6 +259,7 @@ _BIRTH_ROUND = {
     "q_pipe_cdc": 7,
     "q_dq_ldiv": 7,
     "q_sim_mmr": 7,
+    "q_dq_benford": 7,
 }
 
 
