@@ -121,9 +121,18 @@ def _correctness_history():
     return max_round + 1, last_seen
 
 
-# Full-inventory cycle length: ceil(|registry| / 50) rounds — 3 at the
-# current 148 — plus one round of slack for window-planning freedom.
-_MAX_STALE_ROUNDS = 4
+# The driver verifies 50 queries per round, and a query outside the
+# window may go at most _MAX_STALE_ROUNDS rounds since its anchor
+# (last CORRECTNESS row, or birth) — i.e. each query consumes one
+# window slot at least every _MAX_STALE_ROUNDS+1 rounds, so the
+# schedulable inventory capacity is 50 * (_MAX_STALE_ROUNDS + 1).
+# Keep the cap at the MINIMAL value whose capacity covers the
+# registry: tighter is unschedulable (a greedy earliest-deadline
+# simulation of rounds 8-17 at the r7 inventory of 268 shows cap 4
+# forcing 68 ids into round 12's 50-slot window), looser weakens the
+# rotation discipline for no reason. At ≤250 queries this evaluates
+# to the historical cap of 4; at 268 it is 5.
+_MAX_STALE_ROUNDS = max(4, -(-(len(registry.QUERIES) - 50) // 50))
 
 # Round each query was ADDED, for queries never yet driver-verified
 # (their staleness counts from birth, not from a CORRECTNESS row —
