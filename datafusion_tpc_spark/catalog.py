@@ -72,6 +72,46 @@ _PARTSUPP_CACHE = os.path.join(
 _PARTSUPP_LOCK = threading.Lock()
 
 
+def prune_stale_cache_dirs(
+    root: str, live_key: str, *, prune_legacy: bool = False, max_age_s: int = 21600
+) -> None:
+    """Reclaim superseded fingerprint dirs for live_key's sf-tag
+    prefix (ADVICE r6: every testdata drop that replaces a source
+    parquet would otherwise leak a full derived copy forever). The
+    ONE pruning implementation for every `<sf_tag>-<fingerprint>`
+    cache in the repo (partsupp, zorder/compact layouts, the
+    late-replay fixture) — review r7 found the age-gate logic
+    duplicated and drifting.
+
+    Age-gated at 6 hours, not the old 10 minutes: the short gate only
+    protected a concurrent process's in-flight BUILD, but a long-lived
+    process may still be READING a superseded dir it opened before the
+    source was replaced (review r7) — reads never touch the dir mtime,
+    so the gate must outlast any realistic run (the driver flags a
+    stall at 1 h; full pytest+bench is <30 min). A reader that
+    outlives 6 h across a testdata swap is unsupported.
+    """
+    import shutil
+    import time
+
+    prefix = live_key.split("-", 1)[0] + "-"
+    cutoff = time.time() - max_age_s
+    try:
+        sibs = os.listdir(root)
+    except OSError:
+        return
+    for sib in sibs:
+        if sib == live_key:
+            continue
+        if sib.startswith(prefix) or (prune_legacy and "-" not in sib):
+            p = os.path.join(root, sib)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived partsupp table (tpch_full.py module docstring),
     MATERIALIZED once per (sf_dir, lineitem fingerprint) instead of
@@ -124,31 +164,10 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     import shutil
 
                     shutil.rmtree(tmp, ignore_errors=True)
-                # Prune superseded fingerprints (ADVICE r6): every
-                # testdata drop that touches lineitem would otherwise
-                # leak a full materialized copy forever. Any sibling
-                # cache dir for the same sf_dir whose key differs from
-                # the current fingerprint is dead — same sf_dir can
-                # only have one live lineitem. Age-gate like the JSON
-                # sink: never touch dirs younger than 10 minutes (a
-                # concurrent process may be mid-build on a fresher
-                # fingerprint than ours).
-                import shutil
-                import time
-
-                cutoff = time.time() - 600
-                for sib in os.listdir(_PARTSUPP_CACHE):
-                    if sib == key:
-                        continue
-                    # same-sf_dir superseded fingerprints, plus legacy
-                    # un-prefixed keys from before this format
-                    if sib.startswith(f"{sf_tag}-") or "-" not in sib:
-                        p = os.path.join(_PARTSUPP_CACHE, sib)
-                        try:
-                            if os.path.getmtime(p) < cutoff:
-                                shutil.rmtree(p, ignore_errors=True)
-                        except OSError:
-                            pass
+                # Superseded fingerprints of the same sf_dir are dead
+                # (one live lineitem per sf_dir); legacy un-prefixed
+                # keys predate this key format.
+                prune_stale_cache_dirs(_PARTSUPP_CACHE, key, prune_legacy=True)
     return spark.read.parquet(path)
 
 

@@ -18,23 +18,34 @@ beyond it.
 The bucketed copies are built once per session into .cache/bucketed
 (external tables — data survives, catalog entries are per-session and
 rebuilt lazily). A foreign session (the external driver's) rebuilds
-on first call; subsequent calls in the same session reuse the
-catalog entry.
+on first call; subsequent calls in the same session reuse the catalog
+entry. Both the table NAME and the data dir carry the source's
+(mtime, size) fingerprint — a testdata drop mid-session rebuilds
+instead of serving stale buckets — and the dir is additionally
+per-PID: two processes building concurrently land in disjoint dirs
+instead of interleaving writes under one path (review r7 — a
+pytest+mirror overlap flaked exactly this way); in-process threads
+serialize on a lock around the exists-check+build (the 12-concurrent
+bench would otherwise double-build one table name). Superseded dirs
+are reclaimed by catalog.prune_stale_cache_dirs.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import threading
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
 from datafusion_tpc_spark.registry import query
 
 _N_BUCKETS = 8
 _CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "bucketed"
 )
+_BKT_LOCK = threading.Lock()
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -43,18 +54,26 @@ def _sf_tag(sf_dir: str) -> str:
 
 def _bucketed_table(spark, sf_dir: str, table: str, key: str) -> str:
     """Ensure a bucketed copy of `table` exists as a catalog table;
-    return its name. Write cost is paid once per (session, sf)."""
-    name = f"{table}_bkt_{_sf_tag(sf_dir)}"
-    if not spark.catalog.tableExists(name):
-        path = os.path.join(_CACHE_ROOT, _sf_tag(sf_dir), table)
-        (
-            load_table(spark, sf_dir, table)
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(_N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+    return its name. Write cost is paid once per (session, sf,
+    source fingerprint); see module docstring for the race and
+    staleness story."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    tag = _sf_tag(sf_dir)
+    name = f"{table}_bkt_{tag}_{fp}"
+    with _BKT_LOCK:
+        if not spark.catalog.tableExists(name):
+            dir_key = f"{tag}-{fp}-{os.getpid()}"
+            path = os.path.join(_CACHE_ROOT, dir_key, table)
+            (
+                load_table(spark, sf_dir, table)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+            prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name
 
 

@@ -32,6 +32,8 @@ dedup.py:559).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
@@ -225,12 +227,26 @@ def q_graph_triangles(spark, sf_dir):
     # wedge stream (|wedges| ≈ 41·|edges| here — 49M rows at sf0.1);
     # with the edge set broadcast (1.2M int pairs ≈ 10 MB) the wedge
     # join pipelines straight into a broadcast semi probe + explode +
-    # partial agg in ONE stage. Past broadcastable |edges|, drop the
-    # hint and AQE falls back to the shuffled semi join.
+    # partial agg in ONE stage. The hint is SIZE-GATED on the
+    # lineitem source bytes (the q_tpch_q9 derived_partsupp_bytes
+    # pattern — review r7: the unconditional hint overrode
+    # autoBroadcastJoinThreshold and would OOM past broadcastable
+    # |edges| instead of falling back): < 1 GB of lineitem parquet
+    # keeps the distinct (u,v) int-pair set well under broadcast
+    # limits; beyond that, no hint — AQE still converts at runtime
+    # when the actual built size fits, else keeps the shuffled joins.
+    try:
+        li_small = (
+            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet")) < 1 << 30
+        )
+    except OSError:
+        li_small = False
+    if li_small:
+        e2, e3 = F.broadcast(e2), F.broadcast(e3)
     tri = (
-        e1.join(F.broadcast(e2), F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(
-            F.broadcast(e3),
+            e3,
             (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
             "left_semi",
         )

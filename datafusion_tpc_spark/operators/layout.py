@@ -37,7 +37,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
 from datafusion_tpc_spark.registry import query
 
 
@@ -56,28 +56,10 @@ def _source_tag(sf_dir: str, table: str = "lineitem") -> str:
     return f"{tag}-{fp}"
 
 
-def _prune_stale_tags(root: str, tag: str) -> None:
-    """Reclaim superseded fingerprint dirs for the same sf tag
-    (ADVICE r6: every testdata drop that touches lineitem leaked a
-    full derived copy here forever). Age-gated: dirs younger than 10
-    minutes may be a concurrent process's in-flight build."""
-    import shutil
-    import time
-
-    prefix = tag.split("-", 1)[0] + "-"
-    cutoff = time.time() - 600
-    try:
-        sibs = os.listdir(root)
-    except OSError:
-        return
-    for sib in sibs:
-        if sib.startswith(prefix) and sib != tag:
-            p = os.path.join(root, sib)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+# Superseded-fingerprint reclamation lives in catalog (one pruning
+# implementation repo-wide; review r7 found this copy drifting from
+# catalog's — notably the age gate that must cover in-flight reads).
+_prune_stale_tags = prune_stale_cache_dirs
 
 _CELLS_BITS = 4  # 16 cells per dimension → 256 z-buckets
 _CACHE_ROOT = os.path.join(

@@ -94,9 +94,9 @@ _LAM_C = 0.3  # diversity weight
     """,
 )
 def q_sim_mmr(spark, sf_dir):
-    """MMR re-rank of the retrieval pool: top-{_POOL} candidates by
-    rounded cosine relevance to the query vector, then {_K} greedy
-    picks maximizing λ·rel − (1−λ)·max-sim-to-picked (λ={_LAM},
+    """MMR re-rank of the retrieval pool: top-50 candidates (_POOL)
+    by rounded cosine relevance to the query vector, then 10 greedy
+    picks (_K) maximizing λ·rel − (1−λ)·max-sim-to-picked (λ = 0.7,
     vec_id tie-break; the first pick's maxsim is defined 0). Output:
     (rank, vec_id, rel, maxsim-at-pick-time, score).
 
@@ -111,13 +111,17 @@ def q_sim_mmr(spark, sf_dir):
 
     Scale: the candidate-generation stages are distributed — one
     broadcast-query scan for rel (the q_sim_topk plan),
-    TakeOrdered({_POOL}) per-partition heaps, and a {_POOL}²
-    broadcast pairwise-sim join. The greedy selection itself runs on
-    the COLLECTED pool — {_POOL} ids + a {_POOL}² rounded sim matrix
-    — which is the production shape for every re-ranker: MMR is
-    O(K·N) on a retrieval pool whose size is fixed by contract
-    (q_sim_ivf's bounded-driver-sample precedent), independent of
-    corpus size; only candidate generation touches the 100 TB."""
+    TakeOrdered(50) per-partition heaps, and a 50² broadcast
+    pairwise-sim join. The pool is cache()d so the expensive
+    TakeOrdered subplan runs ONCE (review r7: uncached, it was
+    re-executed for the pool collect and both sides of the sims
+    self-join — 3× the dominant distributed stage). The greedy
+    selection itself runs on the COLLECTED pool — 50 ids + a 50²
+    rounded sim matrix — which is the production shape for every
+    re-ranker: MMR is O(K·N) on a retrieval pool whose size is fixed
+    by contract (q_sim_ivf's bounded-driver-sample precedent),
+    independent of corpus size; only candidate generation touches
+    the 100 TB."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -131,20 +135,25 @@ def q_sim_mmr(spark, sf_dir):
             "emb",
         )
     )
-    pool = rel.orderBy(
-        F.col("rel").desc_nulls_last(), F.col("vec_id").asc()
-    ).limit(_POOL)
-    a, b = pool.alias("a"), pool.alias("b")
-    sims = (
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("sa"),
-            F.col("b.vec_id").alias("sb"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("sim"),
-        )
+    pool = (
+        rel.orderBy(F.col("rel").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(_POOL)
+        .cache()
     )
-    cand = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
-    sim = {(r.sa, r.sb): r.sim for r in sims.collect()}
+    try:
+        a, b = pool.alias("a"), pool.alias("b")
+        sims = (
+            a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("sa"),
+                F.col("b.vec_id").alias("sb"),
+                F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("sim"),
+            )
+        )
+        cand = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
+        sim = {(r.sa, r.sb): r.sim for r in sims.collect()}
+    finally:
+        pool.unpersist()
 
     picked: list[int] = []
     rows = []

@@ -62,8 +62,12 @@ _ORDERS_SCHEMA = (
 )
 def q_sink_dpo(spark, sf_dir):
     """Partitioned write + dynamic-partition-overwrite restatement +
-    read-back audit (module docstring). The conf flip is scoped and
-    restored — the driver's session must not keep the dynamic mode."""
+    read-back audit (module docstring). The dynamic mode is a
+    PER-WRITE DataFrameWriter option, not a session conf flip — the
+    first cut save/restored the session-global conf, which races on a
+    shared session (review r7: thread A's finally-restore of 'static'
+    lands between thread B's set and B's write, so B's overwrite runs
+    static and truncates every other partition)."""
     # cross-process-safe stale cleanup (q_sink_json pattern)
     if os.path.isdir(_DPO_CACHE):
         import time
@@ -90,14 +94,12 @@ def q_sink_dpo(spark, sf_dir):
         o.filter(F.col("o_orderstatus") == "F")
         .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        restatement.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
-            path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        restatement.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
 
     back = spark.read.schema(_ORDERS_SCHEMA).parquet(path)
     return (

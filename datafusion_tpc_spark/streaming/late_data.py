@@ -49,10 +49,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
 from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 from datafusion_tpc_spark.session import configure_runtime
@@ -63,6 +64,7 @@ _CACHE_ROOT = os.path.join(
     ".cache",
     "late_events",
 )
+_FIXTURE_LOCK = threading.Lock()
 
 
 def _fixture_dir(spark, sf_dir: str) -> str:
@@ -70,16 +72,34 @@ def _fixture_dir(spark, sf_dir: str) -> str:
     path. File j = fresh rows of slice j + the late subset of slice
     j−3 (h60 % 10 == 0). Keyed by the source file's fingerprint (the
     _evolve_dirs pattern); mtimes ascend so listing order is batch
-    order."""
+    order. Build-race safety is the derived_partsupp recipe (review
+    r7 — the first cut built into a FIXED `path + ".build"` dir, so
+    two concurrent cold-start executions interleaved writes and could
+    publish a _READY dir missing slice files): in-process threads
+    serialize on a lock, and each build goes to a uuid temp dir
+    atomically renamed into place, so a cross-process race loses
+    cleanly (its spare dir is discarded)."""
     import hashlib
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
-    path = os.path.join(_CACHE_ROOT, f"{sf_tag}-{fp}")
+    key = f"{sf_tag}-{fp}"
+    path = os.path.join(_CACHE_ROOT, key)
     done = os.path.join(path, "_READY")
     if os.path.exists(done):
         return path
+    with _FIXTURE_LOCK:
+        if os.path.exists(done):
+            return path
+        _build_fixture(spark, sf_dir, st, path)
+        prune_stale_cache_dirs(_CACHE_ROOT, key)
+    return path
+
+
+def _build_fixture(spark, sf_dir: str, st, path: str) -> None:
+    import uuid
+
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         # this drop ships ts as TIMESTAMP_NTZ; normalize to TIMESTAMP
@@ -108,11 +128,9 @@ def _fixture_dir(spark, sf_dir: str) -> str:
         (h60(F.concat(F.lit("late:"), F.col("event_id").cast("string"))) % 10 == 0)
         .alias("late"),
     )
-    tmp = path + ".build"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = path + "." + uuid.uuid4().hex[:8]
     os.makedirs(tmp)
     import glob as _glob
-    import time
 
     for j in range(_SLICES):
         part = tagged.filter(
@@ -130,9 +148,8 @@ def _fixture_dir(spark, sf_dir: str) -> str:
         f.write(f"lo={lo} hi={hi} ws={ws}\n")
     try:
         os.replace(tmp, path)
-    except OSError:
+    except OSError:  # lost a cross-process race; ours is spare
         shutil.rmtree(tmp, ignore_errors=True)
-    return path
 
 
 def run_late_stream(spark, sf_dir: str):

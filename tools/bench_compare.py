@@ -2,7 +2,7 @@
 
 Usage: python tools/bench_compare.py <bench_json_file> [ratio_flag]
 
-Parses every `| q_name | <seconds> |` row of BASELINE.md (first
+Parses every `| q_name | <seconds> |` row of BASELINE.md (LAST
 occurrence wins — the tables are append-newest-last, and per-query
 re-records replace the old row in place), joins against the bench
 JSON's `queries` (median) and `queries_min` channels, and prints the
@@ -31,13 +31,22 @@ def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
         if len(cells) < 4 or not cells[1].startswith("q_"):
             continue
         name = cells[1]
+        # Master-table detection by SHAPE (median + integer runs
+        # columns), not by cells[2] == "0.1" — a per-query row whose
+        # median is exactly 0.1 s would otherwise be misparsed and
+        # silently dropped (review r7).
         try:
-            if cells[2] == "0.1":
-                rows[name] = float(cells[3])
-            else:
-                rows[name] = float(cells[2])
+            median = float(cells[2])
         except ValueError:
             continue
+        if len(cells) >= 6:
+            try:
+                master_median = float(cells[3])
+                int(cells[4])
+                median = master_median
+            except ValueError:
+                pass
+        rows[name] = median
     return rows
 
 
