@@ -55,15 +55,15 @@ _BUCKETS = 32  # mirrors a shuffle-partition count
 def q_dq_skew(spark, sf_dir):
     """Key-skew profile of orders.o_custkey — the decision input for
     salting/AQE-skew-join: distinct key count, the hottest key's row
-    count and share, and what a {_BUCKETS}-way hash shuffle of this key
+    count and share, and what a 32-way (_BUCKETS) hash shuffle of this key
     would look like (peak-over-mean bucket ratio and coefficient of
     variation across h60 buckets — a direct simulation of partition
     imbalance at the configured shuffle width).
 
     Determinism: bucket moments are SUM/SUM-of-squares over exactly
-    {_BUCKETS} bucket counts (integer sums — exact), divided and
+    32 bucket counts (integer sums — exact), divided and
     sqrt-ed once, ROUND 6dp. 100 TB: two map-side-combinable aggs
-    (key-keyed, bucket-keyed) and O(keys)+O({_BUCKETS}) state — this
+    (key-keyed, bucket-keyed) and O(keys)+O(32) state — this
     profile is exactly as expensive as one groupBy on the key, which
     is what you are about to run anyway."""
     o = load_table(spark, sf_dir, "orders")
@@ -121,7 +121,7 @@ _K_ANON = 10  # k-anonymity threshold
 )
 def q_dq_kanon(spark, sf_dir):
     """k-anonymity audit over the (lang, source) quasi-identifier
-    pair: how many equivalence classes fall below k={_K_ANON}, how
+    pair: how many equivalence classes fall below k=10 (_K_ANON), how
     many rows they expose, and the re-identification risk share — the
     gate a release pipeline checks before publishing per-group stats
     (the aggregate complement of q_pipe_pii's row-level redaction and
@@ -186,7 +186,7 @@ _NBINS = 10
 def q_dq_drift(spark, sf_dir):
     """Population-stability-index drift report between two order
     vintages (even vs odd orderkey standing in for last-month vs
-    this-month): o_totalprice is binned into {_NBINS} fixed-width
+    this-month): o_totalprice is binned into 10 (_NBINS) fixed-width
     bins and each bin reports its PSI contribution
     (p_ref − p_cur)·ln(p_ref/p_cur) under add-one smoothing (no
     empty-bin ln(0)). Σ|psi| < 0.1 is the conventional "stable"
@@ -196,7 +196,7 @@ def q_dq_drift(spark, sf_dir):
     per vintage would chase the drift they are meant to measure (and
     cross-engine percentile interpolation differs — the gotcha list).
     ln is transcendental so each contribution is ROUND 6dp after one
-    application. 100 TB: one scan, {_NBINS}-key agg."""
+    application. 100 TB: one scan, 10-key agg."""
     binned = load_table(spark, sf_dir, "orders").select(
         F.least(F.floor(F.col("o_totalprice") / _BIN_W), F.lit(_NBINS - 1))
         .cast("int")
@@ -344,8 +344,8 @@ def q_dq_ldiv(spark, sf_dir):
     equivalence class can satisfy k-anonymity yet still leak its
     sensitive attribute if (nearly) every member shares one value.
     Per (c_nationkey, c_mktsegment) class: row count, the number of
-    DISTINCT sensitive buckets (account balance, {_BAL_W:.0f}-wide),
-    and the at-risk flag (distinct-l < {_L_DIV}) — the homogeneity-
+    DISTINCT sensitive buckets (account balance, 1000-wide — _BAL_W),
+    and the at-risk flag (distinct-l < 5, _L_DIV) — the homogeneity-
     attack check a release pipeline runs after the k check passes.
 
     Determinism: the sensitive bucket is FLOOR of one IEEE division
@@ -461,4 +461,122 @@ def q_dq_benford(spark, sf_dir):
             ).alias("chi_contrib"),
         )
         .orderBy(F.col("digit").asc_nulls_last())
+    )
+
+
+# ---- calibration (ECE / Brier) ---------------------------------------
+
+_CAL_BINS = 10  # reliability-diagram bins over [0, 1)
+
+
+@query(
+    "q_dq_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_h60_duck("concat('cal:', CAST(doc_id AS VARCHAR))")} % 1000
+               AS sm,
+             {_h60_duck("concat('lab:', CAST(doc_id AS VARCHAR))")} % 1000
+               AS draw
+      FROM documents
+    ),
+    labeled AS (
+      SELECT sm,
+             CAST(draw < 100 + (800 * sm) // 1000 AS INT) AS label
+      FROM scored
+    ),
+    bins AS (
+      SELECT sm // 100 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(sm) AS BIGINT) AS sum_s,
+             CAST(SUM(label) AS BIGINT) AS sum_l,
+             CAST(SUM((sm - 1000 * label) * (sm - 1000 * label)) AS BIGINT)
+               AS sq
+      FROM labeled GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+             CAST(SUM(ABS(sum_s - 1000 * sum_l)) AS BIGINT) AS ece_num,
+             CAST(SUM(sq) AS BIGINT) AS brier_num
+      FROM bins
+    )
+    SELECT CAST(bin AS INT) AS bin, n,
+           ROUND(sum_s / (1000.0 * n), 6) AS conf,
+           ROUND(sum_l * 1.0 / n, 6) AS acc,
+           ROUND(ABS(sum_s - 1000 * sum_l) / (1000.0 * n), 6) AS gap,
+           ROUND(ABS(sum_s - 1000 * sum_l) / (1000.0 * big_n), 6)
+             AS ece_contrib,
+           ROUND(ece_num / (1000.0 * big_n), 6) AS ece,
+           ROUND(brier_num / (1000000.0 * big_n), 6) AS brier
+    FROM bins, tot
+    ORDER BY bin ASC NULLS LAST
+    """,
+)
+def q_dq_calibration(spark, sf_dir):
+    """Classifier-calibration audit — the reliability diagram, ECE
+    (expected calibration error) and Brier score of a deterministic
+    pseudo-classifier over documents: confidence sm/1000 with
+    sm = h60('cal:'||doc_id) % 1000, label drawn by a second h60
+    channel with true rate (100 + 800·sm/1000)/1000 — i.e. the
+    classifier is miscalibrated by construction (slope 0.8, offset
+    0.1), so every bin shows a non-trivial gap. Per 0.1-wide bin:
+    n, mean confidence, empirical accuracy, |gap|, the bin's ECE
+    contribution n/N·|gap|, plus the global ECE and Brier repeated on
+    every row. The quality-score calibration check a curation
+    pipeline runs before trusting q_pipe_classify/q_pipe_quality
+    thresholds; companion to q_dq_prcurve (threshold sweep) — this is
+    the probability-truthfulness axis PR curves cannot see.
+
+    Exactness: every aggregate is an INTEGER sum — confidences are
+    milli-units, so Σscore, Σlabel, the ECE numerator Σ|Σs − 1000·Σl|
+    and the Brier numerator Σ(s − 1000·l)² are all exact BIGINTs on
+    both engines regardless of partitioning/order; each output metric
+    is ONE division of two exact integers, then ROUND 6 (no float
+    accumulation anywhere — tighter than the usual ROUND-after-
+    transcendental discipline, there is nothing transcendental here).
+
+    100 TB: one scan, 10-key map-side-combinable agg with integer
+    state; the bins×tot join is a 10-row broadcast."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (h60(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))) % 1000)
+        .alias("sm"),
+        (h60(F.concat(F.lit("lab:"), F.col("doc_id").cast("string"))) % 1000)
+        .alias("draw"),
+    )
+    labeled = d.select(
+        "sm",
+        (F.col("draw") < F.lit(100) + F.expr("(800 * sm) DIV 1000"))
+        .cast("int")
+        .alias("label"),
+    )
+    bins = labeled.groupBy(F.expr("sm DIV 100").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sm").cast("bigint").alias("sum_s"),
+        F.sum("label").cast("bigint").alias("sum_l"),
+        F.sum(F.expr("(sm - 1000 * label) * (sm - 1000 * label)"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum(F.abs(F.col("sum_s") - 1000 * F.col("sum_l")))
+        .cast("bigint")
+        .alias("ece_num"),
+        F.sum("sq").cast("bigint").alias("brier_num"),
+    )
+    gap_num = F.abs(F.col("sum_s") - 1000 * F.col("sum_l"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            F.round(F.col("sum_s") / (1000.0 * F.col("n")), 6).alias("conf"),
+            F.round(F.col("sum_l") * 1.0 / F.col("n"), 6).alias("acc"),
+            F.round(gap_num / (1000.0 * F.col("n")), 6).alias("gap"),
+            F.round(gap_num / (1000.0 * F.col("big_n")), 6).alias("ece_contrib"),
+            F.round(F.col("ece_num") / (1000.0 * F.col("big_n")), 6).alias("ece"),
+            F.round(
+                F.col("brier_num") / (1000000.0 * F.col("big_n")), 6
+            ).alias("brier"),
+        )
+        .orderBy(F.col("bin").asc_nulls_last())
     )

@@ -138,3 +138,122 @@ def q_evt_holt(spark, sf_dir):
         )
         .orderBy(F.col("rn").asc_nulls_last())
     )
+
+
+# ---- autocorrelation (lag-k ACF) -------------------------------------
+
+_MAX_LAG = 7  # weekly-cycle sweep
+
+
+@query(
+    "q_evt_autocorr",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+    daily AS (
+      SELECT g.d, CAST(COUNT(e.d) AS BIGINT) AS x
+      FROM grid g LEFT JOIN e ON e.d = g.d
+      GROUP BY g.d
+    ),
+    lags AS (SELECT unnest(range(1, {_MAX_LAG} + 1)) AS lag),
+    sums AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.x) AS BIGINT) AS sx,
+             CAST(SUM(c.x) AS BIGINT) AS sy,
+             CAST(SUM(a.x * c.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(SUM(c.x * c.x) AS BIGINT) AS syy
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily c ON c.d = a.d + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx = 0
+                  OR n_pairs * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(
+                  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM sums
+    ORDER BY lag ASC NULLS LAST
+    """,
+)
+def q_evt_autocorr(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    "is there a weekly cycle, and how sticky is load day-over-day"
+    diagnostic feeding capacity models; the correlation-structure
+    companion to q_evt_holt (level/trend) and q_evt_seasonality
+    (hour-of-day chi-square). Days are zero-filled over the full
+    min..max grid so gap days count as 0 instead of silently pairing
+    non-adjacent days. acf(k) is the Pearson correlation of the
+    series against its k-shift.
+
+    Exactness: counts are integers, so every moment (Σx, Σy, Σxy,
+    Σx², Σy² over each lag's pair set) is an exact BIGINT on both
+    engines — no float accumulation order to diverge; the correlation
+    is formed from those integers with one cast-to-double per factor,
+    sqrt of each variance factor SEPARATELY (their product can exceed
+    BIGINT and the doubles are identical either way), one division,
+    ROUND 6. Constant series (zero variance) yield NULL. Note the
+    integer moments fit BIGINT while n·Σx² < 2⁶³ — at extreme scale
+    the daily counts would be aggregated per shard and the moments
+    combined, or cast to double earlier with the usual ROUND
+    discipline.
+
+    100 TB: the only corpus-sized stage is the day-keyed count
+    (map-side combined); the series itself is O(days) rows, and the
+    lag sweep is a |lags|×|days| in-memory join — the aggregate-then-
+    analyze shape shared by the whole forecast family."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+        ).alias("d")
+    )
+    grid = e.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    counts = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    daily = (
+        grid.join(counts, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"))
+    )
+    lags = spark.range(1, _MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a, c = daily.alias("a"), daily.alias("c")
+    pairs = (
+        lags.crossJoin(a)
+        .join(c, F.col("c.d") == F.col("a.d") + F.col("lag"))
+        .select("lag", F.col("a.x").alias("xa"), F.col("c.x").alias("xc"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum("xc").cast("bigint").alias("sy"),
+        F.sum(F.col("xa") * F.col("xc")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("syy"),
+    )
+    var_x = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.when(
+            (var_x == 0) | (var_y == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+                6,
+            )
+        )
+        .alias("acf"),
+    ).orderBy(F.col("lag").asc_nulls_last())

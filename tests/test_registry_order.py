@@ -269,6 +269,9 @@ _BIRTH_ROUND = {
     "q_dq_ldiv": 7,
     "q_sim_mmr": 7,
     "q_dq_benford": 7,
+    "q_sim_ndcg": 7,
+    "q_dq_calibration": 7,
+    "q_evt_autocorr": 7,
 }
 
 
