@@ -35,14 +35,40 @@ def optimized_dir(sf_dir: str) -> str:
 
 def ensure_optimized(sf_dir: str, table: str) -> str:
     """Rewrite one table with bounded row groups (idempotent); returns
-    the optimized file path."""
+    the optimized file path. The file name carries the SOURCE's
+    (mtime, size) fingerprint — the repo-wide derived-cache rule: a
+    testdata drop replaces files at the same path, and a path-only
+    key would keep serving the bench stale bytes. The write goes to a
+    uuid temp file atomically renamed into place (two processes
+    racing a fixed '.tmp' would interleave into one corrupt file);
+    superseded fingerprints of the same table are reclaimed."""
+    import uuid
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    out = os.path.join(optimized_dir(sf_dir), f"{table}.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    d = optimized_dir(sf_dir)
+    out = os.path.join(d, f"{table}-{fp}.parquet")
     if os.path.exists(out):
         return out
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(d, exist_ok=True)
     tbl = pq.read_table(src)
-    tmp = out + ".tmp"
+    tmp = os.path.join(d, f".{table}-{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(tbl, tmp, row_group_size=_ROW_GROUP_ROWS)
     os.replace(tmp, out)
+    import time
+
+    cutoff = time.time() - 21600  # the 6 h in-flight-reader gate
+    for stale in os.listdir(d):
+        if (
+            stale.startswith(f"{table}-")
+            and stale.endswith(".parquet")
+            and stale != os.path.basename(out)
+        ) or (stale == f"{table}.parquet"):  # legacy un-fingerprinted name
+            p = os.path.join(d, stale)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass
     return out
