@@ -498,3 +498,33 @@ def test_r7_cdc_chunking_width_is_pinned(spark):
     scan (AQE would coalesce the tiny-bytes exchange to one task)."""
     plan = _plan(spark, "q_pipe_cdc")
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_r7_ndcg_corpus_never_shuffles(spark):
+    """q_sim_ndcg: candidate generation must be the q_sim_topk shape —
+    broadcast 1-row query vector onto the corpus scan + TakeOrdered
+    per-partition heaps; the corpus itself must not shuffle or
+    sort-merge. The window stages run on the 10-row top-k only."""
+    plan = _plan(spark, "q_sim_ndcg")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_calibration_agg_is_two_phase(spark):
+    """q_dq_calibration: the 10-bin integer-moment rollup must
+    partial-aggregate map-side (shuffle carries 10 groups of BIGINT
+    sums, never rows), and the grand-total join onto the bins must be
+    a broadcast, not a row shuffle."""
+    plan = _plan(spark, "q_dq_calibration")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_autocorr_count_is_two_phase(spark):
+    """q_evt_autocorr: the only corpus-sized stage is the day-keyed
+    count, which must partial-combine map-side; the lag sweep joins
+    run on the O(days) series (broadcast, no sort-merge)."""
+    plan = _plan(spark, "q_evt_autocorr")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
