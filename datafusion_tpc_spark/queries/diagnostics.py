@@ -580,3 +580,171 @@ def q_dq_calibration(spark, sf_dir):
         )
         .orderBy(F.col("bin").asc_nulls_last())
     )
+
+
+# ---- t-closeness (ordered EMD) ---------------------------------------
+
+# at-risk threshold t = 1/5: the flag compares 5·emd_num against the
+# integer denominator, so the decision never touches a float.
+_T_CLOSE_INV = 5
+
+
+@query(
+    "q_dq_tclose",
+    oracle=f"""
+    WITH lab AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {_BAL_W}) AS INT) AS b
+      FROM customer
+    ),
+    gb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM lab GROUP BY b),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(nb) AS BIGINT) AS big_n
+           FROM gb),
+    gcum AS (
+      SELECT b,
+             CAST(SUM(nb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_b
+      FROM gb
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM lab GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT c_nationkey, c_mktsegment, b, CAST(COUNT(*) AS BIGINT) AS ncb
+      FROM lab GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, g.b,
+             COALESCE(cb.ncb, 0) AS ncb
+      FROM cls
+      CROSS JOIN (SELECT b FROM gb) g
+      LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+                  AND cb.c_mktsegment = cls.c_mktsegment
+                  AND cb.b = g.b
+    ),
+    ccum AS (
+      SELECT c_nationkey, c_mktsegment, n_c, b,
+             CAST(SUM(ncb) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cb
+      FROM grid
+    ),
+    emd AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_c,
+             CAST(SUM(ABS(c.cum_cb * mm.big_n - g.cum_b * c.n_c))
+                  AS BIGINT) AS emd_num
+      FROM ccum c JOIN gcum g ON g.b = c.b, mm
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, n_c AS n,
+           ROUND(emd_num
+                 / (CAST(n_c AS DOUBLE) * big_n * (mm.m - 1)), 6) AS emd,
+           ({_T_CLOSE_INV} * emd_num > n_c * big_n * (mm.m - 1)) AS at_risk
+    FROM emd, mm
+    ORDER BY c_nationkey ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+    """,
+)
+def q_dq_tclose(spark, sf_dir):
+    """t-closeness audit — the third gate of the release-privacy
+    triple (q_dq_kanon counts small classes, q_dq_ldiv counts
+    sensitive-value variety, THIS measures how far each class's
+    sensitive DISTRIBUTION sits from the global one): a class can be
+    k-anonymous and l-diverse yet still leak ("this class skews
+    rich"). Distance is the 1-D ordered Earth Mover's Distance over
+    the 1000-wide account-balance buckets (q_dq_ldiv's bucketing),
+    normalized by (m−1); at_risk flags EMD > t = 0.2.
+
+    Exactness (the q_dq_calibration integer discipline): cumulative
+    class and global histograms are BIGINT window sums over the
+    zero-filled bucket grid; each |ΔCDF| term is the INTEGER
+    |cum_cb·N − cum_b·N_c| over the common denominator N_c·N, so the
+    EMD numerator is an exact BIGINT sum — one division + ROUND(6)
+    for display, and the at-risk decision is the pure-integer
+    comparison 5·emd_num > N_c·N·(m−1), immune to rounding at the
+    threshold boundary.
+
+    100 TB: two map-side-combinable aggs over one customer scan
+    (class×bucket and bucket cardinalities); everything downstream
+    runs on the |classes|×|buckets| grid (here 125×11) — broadcast
+    joins, no row-level shuffle after the first rollup."""
+    lab = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _BAL_W).cast("int").alias("b"),
+    )
+    gb = lab.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    mm = gb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("nb").cast("bigint").alias("big_n"),
+    )
+    w_g = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gb.select("b", F.sum("nb").over(w_g).cast("bigint").alias("cum_b"))
+    cls = lab.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    cb = lab.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncb")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gb.select("b")))
+        .join(cb, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "b",
+            F.coalesce(F.col("ncb"), F.lit(0).cast("bigint")).alias("ncb"),
+        )
+    )
+    w_c = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ccum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        "b",
+        F.sum("ncb").over(w_c).cast("bigint").alias("cum_cb"),
+    )
+    emd = (
+        ccum.join(F.broadcast(gcum), "b")
+        .crossJoin(F.broadcast(mm))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c", "big_n", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_cb") * F.col("big_n")
+                    - F.col("cum_b") * F.col("n_c")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_num")
+        )
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_c").alias("n"),
+        F.round(
+            F.col("emd_num")
+            / (
+                F.col("n_c").cast("double")
+                * F.col("big_n")
+                * (F.col("m") - 1)
+            ),
+            6,
+        ).alias("emd"),
+        (
+            _T_CLOSE_INV * F.col("emd_num")
+            > F.col("n_c") * F.col("big_n") * (F.col("m") - 1)
+        ).alias("at_risk"),
+    ).orderBy(
+        F.col("c_nationkey").asc_nulls_last(),
+        F.col("c_mktsegment").asc_nulls_last(),
+    )

@@ -272,6 +272,7 @@ _BIRTH_ROUND = {
     "q_sim_ndcg": 7,
     "q_dq_calibration": 7,
     "q_evt_autocorr": 7,
+    "q_dq_tclose": 7,
 }
 
 
