@@ -73,23 +73,38 @@ _PARTSUPP_LOCK = threading.Lock()
 
 
 def prune_stale_cache_dirs(
-    root: str, live_key: str, *, prune_legacy: bool = False, max_age_s: int = 21600
+    root: str,
+    live_key: str,
+    *,
+    prune_legacy: bool = False,
+    max_age_s: int = 21600,
+    extra: tuple[str, ...] = (),
 ) -> None:
-    """Reclaim superseded fingerprint dirs for live_key's sf-tag
-    prefix (ADVICE r6: every testdata drop that replaces a source
-    parquet would otherwise leak a full derived copy forever). The
-    ONE pruning implementation for every `<sf_tag>-<fingerprint>`
-    cache in the repo (partsupp, zorder/compact layouts, the
-    late-replay fixture) — review r7 found the age-gate logic
-    duplicated and drifting.
+    """Reclaim superseded fingerprint cache entries (dirs OR files)
+    for live_key's sf-tag prefix (ADVICE r6: every testdata drop that
+    replaces a source parquet would otherwise leak a full derived
+    copy forever). The ONE pruning implementation for every
+    `<tag>-<fingerprint>` cache in the repo (partsupp, zorder/compact
+    layouts, the late-replay fixture, bucketed tables, the
+    layout-optimized bench copies) — review r7 found the age-gate
+    logic duplicated and drifting.
 
-    Age-gated at 6 hours, not the old 10 minutes: the short gate only
-    protected a concurrent process's in-flight BUILD, but a long-lived
-    process may still be READING a superseded dir it opened before the
-    source was replaced (review r7) — reads never touch the dir mtime,
-    so the gate must outlast any realistic run (the driver flags a
-    stall at 1 h; full pytest+bench is <30 min). A reader that
-    outlives 6 h across a testdata swap is unsupported.
+    Two-phase supersession marking (review r7 #2): an entry's own
+    mtime is its BUILD time, so age-gating on it would delete a
+    just-superseded-but-old entry out from under a concurrent reader.
+    Instead, the first prune call after supersession drops a 0-byte
+    `<name>.superseded` marker; the entry is removed only once the
+    MARKER is older than max_age_s (6 h — longer than any realistic
+    run: the driver flags a stall at 1 h, full pytest+bench is
+    <30 min). Callers invoke this right after building a new
+    fingerprint, so each stale entry survives until the second
+    build event ≥ 6 h later — the leak is bounded at ~2 superseded
+    copies per cache, and a reader that outlives 6 h across a
+    testdata swap is unsupported.
+
+    `extra` names additional exact entries to treat as superseded
+    (e.g. a legacy un-fingerprinted file name); `prune_legacy`
+    sweeps any dash-less sibling (the partsupp pre-tag key format).
     """
     import shutil
     import time
@@ -100,16 +115,40 @@ def prune_stale_cache_dirs(
         sibs = os.listdir(root)
     except OSError:
         return
+    live = {live_key}
     for sib in sibs:
-        if sib == live_key:
+        p = os.path.join(root, sib)
+        if sib.endswith(".superseded"):
+            # orphaned marker (its target already reclaimed or renamed
+            # away, e.g. a writer's tmp that got published)
+            if sib[: -len(".superseded")] not in sibs:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
             continue
-        if sib.startswith(prefix) or (prune_legacy and "-" not in sib):
-            p = os.path.join(root, sib)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        if sib in live:
+            continue
+        if not (
+            sib.startswith(prefix)
+            or (prune_legacy and "-" not in sib)
+            or sib in extra
+        ):
+            continue
+        marker = p + ".superseded"
+        try:
+            if os.path.exists(marker):
+                if os.path.getmtime(marker) < cutoff:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
+                    os.remove(marker)
+            else:
+                with open(marker, "w"):
+                    pass
+        except OSError:
+            pass
 
 
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:

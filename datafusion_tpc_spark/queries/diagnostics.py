@@ -667,27 +667,35 @@ def q_dq_tclose(spark, sf_dir):
     comparison 5·emd_num > N_c·N·(m−1), immune to rounding at the
     threshold boundary.
 
-    100 TB: two map-side-combinable aggs over one customer scan
-    (class×bucket and bucket cardinalities); everything downstream
-    runs on the |classes|×|buckets| grid (here 125×11) — broadcast
-    joins, no row-level shuffle after the first rollup."""
+    100 TB: ONE map-side-combinable customer scan (the class×bucket
+    rollup, eagerly materialized at grid size); the bucket histogram
+    and class totals are rollups of that grid, and everything
+    downstream runs on |classes|×|buckets| rows (here 125×11) —
+    broadcast joins, no row-level shuffle after the first rollup."""
     lab = load_table(spark, sf_dir, "customer").select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / _BAL_W).cast("int").alias("b"),
     )
-    gb = lab.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    # ONE corpus scan: the finest rollup (class × bucket) materializes
+    # eagerly at grid size, and the bucket histogram and class totals
+    # are O(grid) rollups OF IT — uncheckpointed, gb/cls/grid each
+    # re-executed the customer scan (review r7, the q_evt_autocorr
+    # twin of the q_sim_mmr pool-cache finding).
+    cb = (
+        lab.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ncb"))
+        .localCheckpoint(eager=True)
+    )
+    gb = cb.groupBy("b").agg(F.sum("ncb").cast("bigint").alias("nb"))
     mm = gb.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("nb").cast("bigint").alias("big_n"),
     )
     w_g = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     gcum = gb.select("b", F.sum("nb").over(w_g).cast("bigint").alias("cum_b"))
-    cls = lab.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c")
-    )
-    cb = lab.groupBy("c_nationkey", "c_mktsegment", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ncb")
+    cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ncb").cast("bigint").alias("n_c")
     )
     grid = (
         cls.crossJoin(F.broadcast(gb.select("b")))

@@ -216,10 +216,20 @@ def q_evt_autocorr(spark, sf_dir):
             "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
         ).alias("d")
     )
-    grid = e.agg(
+    # ONE corpus scan: the day-keyed count materializes eagerly
+    # (O(days) rows), and the grid bounds, both self-join sides, and
+    # the lag sweep all read the checkpoint — uncheckpointed, the
+    # daily subplan re-executed for the min/max agg and each side of
+    # the a/c self-join, 4 events scans per run (review r7; the
+    # q_sim_mmr pool-cache precedent).
+    counts = (
+        e.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    grid = counts.agg(
         F.min("d").alias("lo"), F.max("d").alias("hi")
     ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    counts = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     daily = (
         grid.join(counts, "d", "left")
         .select("d", F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"))

@@ -40,9 +40,13 @@ def ensure_optimized(sf_dir: str, table: str) -> str:
     testdata drop replaces files at the same path, and a path-only
     key would keep serving the bench stale bytes. The write goes to a
     uuid temp file atomically renamed into place (two processes
-    racing a fixed '.tmp' would interleave into one corrupt file);
-    superseded fingerprints of the same table are reclaimed."""
+    racing a fixed '.tmp' would interleave into one corrupt file).
+    Superseded fingerprints, the legacy un-fingerprinted name, and
+    crashed writers' orphan tmp files are reclaimed by the shared
+    two-phase-marked prune (catalog.prune_stale_cache_dirs)."""
     import uuid
+
+    from datafusion_tpc_spark.catalog import prune_stale_cache_dirs
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
@@ -53,22 +57,13 @@ def ensure_optimized(sf_dir: str, table: str) -> str:
         return out
     os.makedirs(d, exist_ok=True)
     tbl = pq.read_table(src)
-    tmp = os.path.join(d, f".{table}-{uuid.uuid4().hex[:8]}.tmp")
+    tmp = os.path.join(d, f"{table}-{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(tbl, tmp, row_group_size=_ROW_GROUP_ROWS)
     os.replace(tmp, out)
-    import time
-
-    cutoff = time.time() - 21600  # the 6 h in-flight-reader gate
-    for stale in os.listdir(d):
-        if (
-            stale.startswith(f"{table}-")
-            and stale.endswith(".parquet")
-            and stale != os.path.basename(out)
-        ) or (stale == f"{table}.parquet"):  # legacy un-fingerprinted name
-            p = os.path.join(d, stale)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    os.remove(p)
-            except OSError:
-                pass
+    # stale `{table}-*` siblings (old fingerprints, orphan tmps) plus
+    # the legacy un-fingerprinted name; other tables' entries in the
+    # same dir don't match this prefix and are left alone
+    prune_stale_cache_dirs(
+        d, os.path.basename(out), extra=(f"{table}.parquet",)
+    )
     return out

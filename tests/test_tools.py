@@ -36,3 +36,80 @@ def test_baseline_rows_real_file():
     # every registered headline-able query with a row parses to a float
     assert len(rows) > 200
     assert all(isinstance(v, float) and v > 0 for v in rows.values())
+
+
+def test_prune_two_phase_supersession(tmp_path):
+    """prune_stale_cache_dirs must NOT delete a just-superseded entry
+    on first sight (its own mtime is build time — review r7: an old
+    build would vanish out from under a concurrent reader); it marks
+    it, and deletes only once the MARKER outlives the age gate."""
+    import os
+
+    from datafusion_tpc_spark.catalog import prune_stale_cache_dirs
+
+    root = str(tmp_path)
+    old = tmp_path / "tag-oldfp"
+    old.mkdir()
+    (old / "part.parquet").write_text("x")
+    os.utime(old, (1, 1))  # built "long ago"
+    legacy = tmp_path / "legacykey"
+    legacy.mkdir()
+    os.utime(legacy, (1, 1))
+    (tmp_path / "tag-livefp").mkdir()
+
+    # first call: mark, don't delete — despite ancient dir mtimes
+    prune_stale_cache_dirs(root, "tag-livefp", prune_legacy=True)
+    assert old.exists() and legacy.exists()
+    assert (tmp_path / "tag-oldfp.superseded").exists()
+    assert (tmp_path / "legacykey.superseded").exists()
+
+    # age the markers past the gate: second call reclaims
+    for m in ("tag-oldfp.superseded", "legacykey.superseded"):
+        os.utime(tmp_path / m, (1, 1))
+    prune_stale_cache_dirs(root, "tag-livefp", prune_legacy=True)
+    assert not old.exists() and not legacy.exists()
+    assert not (tmp_path / "tag-oldfp.superseded").exists()
+    assert (tmp_path / "tag-livefp").exists()
+
+    # orphaned marker (target already gone) is swept
+    (tmp_path / "tag-ghost.superseded").write_text("")
+    prune_stale_cache_dirs(root, "tag-livefp")
+    assert not (tmp_path / "tag-ghost.superseded").exists()
+
+
+def test_prune_file_entries_and_extra(tmp_path):
+    """File-based caches (fixtures/optimize.py): fingerprinted
+    siblings and the `extra` legacy name follow the same two-phase
+    cycle; other tables' files are untouched."""
+    import os
+
+    from datafusion_tpc_spark.catalog import prune_stale_cache_dirs
+
+    root = str(tmp_path)
+    for name in (
+        "nation-livefp.parquet",
+        "nation-oldfp.parquet",
+        "nation-dead.tmp",
+        "nation.parquet",
+        "orders.parquet",
+        "orders-otherfp.parquet",
+    ):
+        (tmp_path / name).write_text("x")
+        os.utime(tmp_path / name, (1, 1))
+    prune_stale_cache_dirs(
+        root, "nation-livefp.parquet", extra=("nation.parquet",)
+    )
+    # marked, not deleted
+    assert (tmp_path / "nation-oldfp.parquet").exists()
+    for m in os.listdir(root):
+        if m.endswith(".superseded"):
+            os.utime(tmp_path / m, (1, 1))
+    prune_stale_cache_dirs(
+        root, "nation-livefp.parquet", extra=("nation.parquet",)
+    )
+    left = sorted(p for p in os.listdir(root) if not p.endswith(".superseded"))
+    assert left == [
+        "nation-livefp.parquet",
+        "orders-otherfp.parquet",
+        "orders.parquet",
+    ]
