@@ -756,3 +756,100 @@ def q_dq_tclose(spark, sf_dir):
         F.col("c_nationkey").asc_nulls_last(),
         F.col("c_mktsegment").asc_nulls_last(),
     )
+
+
+# ---- chi-square independence (contingency grid) ----------------------
+
+
+@query(
+    "q_dq_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM o),
+    grid AS (
+      SELECT r.lang, c.source, r.rn, c.cn, COALESCE(o.n, 0) AS n
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    ),
+    cell AS (
+      SELECT g.lang, g.source, g.n,
+             ROUND(g.rn * g.cn / (1.0 * t.big_n), 6) AS expected,
+             (g.n * t.big_n - g.rn * g.cn) * (g.n * t.big_n - g.rn * g.cn)
+               / (1.0 * t.big_n * g.rn * g.cn) AS chi_raw
+      FROM grid g, t
+    )
+    SELECT lang, source, n, expected,
+           ROUND(chi_raw, 6) AS chi_contrib,
+           ROUND(SUM(chi_raw) OVER (ORDER BY lang, source
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 6) AS chi_cum
+    FROM cell
+    ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST
+    """,
+)
+def q_dq_chi2(spark, sf_dir):
+    """Chi-square independence test over the (lang × source)
+    contingency grid — "does source composition differ by language",
+    the mix-shift alarm a multilingual corpus pipeline runs per
+    ingest; the two-categorical companion to q_evt_seasonality's
+    one-dimensional goodness-of-fit and q_dq_drift's one-variable
+    PSI. Per zero-filled cell: observed n, expected rn·cn/N, the cell
+    contribution (O·N − rn·cn)²/(N·rn·cn), and the running total
+    whose last row is the χ² statistic.
+
+    Exactness: observed/row/column/grand totals are exact BIGINT sums;
+    each cell's numerator (O·N − rn·cn)² stays INTEGER, so the
+    contribution is one integer-by-double division — identical IEEE
+    doubles on both engines — and the running total is a sequential
+    frame fold over the uniquely-ordered 100-row grid (CUSUM-exact),
+    ROUND 6 applied only at display.
+
+    100 TB: one scan into a |langs|×|sources|-key map-side agg; the
+    marginals, grid, and fold all run on ≤100 rows."""
+    o = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)
+    r = o.groupBy("lang").agg(F.sum("n").cast("bigint").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("n").cast("bigint").alias("cn"))
+    t = o.agg(F.sum("n").cast("bigint").alias("big_n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(o, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "rn",
+            "cn",
+            "big_n",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        )
+    )
+    num = F.col("n") * F.col("big_n") - F.col("rn") * F.col("cn")
+    chi_raw = (num * num) / (
+        F.lit(1.0) * F.col("big_n") * F.col("rn") * F.col("cn")
+    )
+    cell = grid.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.col("rn") * F.col("cn") / (F.lit(1.0) * F.col("big_n")), 6)
+        .alias("expected"),
+        chi_raw.alias("chi_raw"),
+    )
+    w = Window.orderBy("lang", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cell.select(
+        "lang",
+        "source",
+        "n",
+        "expected",
+        F.round(F.col("chi_raw"), 6).alias("chi_contrib"),
+        F.round(F.sum("chi_raw").over(w), 6).alias("chi_cum"),
+    ).orderBy(F.col("lang").asc_nulls_last(), F.col("source").asc_nulls_last())

@@ -129,6 +129,7 @@ def load_all() -> None:
     from datafusion_tpc_spark.queries import forecast, sinks_dpo  # noqa: F401
     from datafusion_tpc_spark.operators import semdedup, batching, cdc, mmr  # noqa: F401
     from datafusion_tpc_spark.operators import raneval  # noqa: F401
+    from datafusion_tpc_spark.queries import readability  # noqa: F401
     # Green inventory (r1-r6 driver-verified), freshest last:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         tpch,

@@ -273,6 +273,8 @@ _BIRTH_ROUND = {
     "q_dq_calibration": 7,
     "q_evt_autocorr": 7,
     "q_dq_tclose": 7,
+    "q_dq_chi2": 7,
+    "q_text_readability": 7,
 }
 
 
