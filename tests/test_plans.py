@@ -528,3 +528,28 @@ def test_r7_autocorr_count_is_two_phase(spark):
     plan = _plan(spark, "q_evt_autocorr")
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_r7_tclose_single_scan_then_grid(spark):
+    """q_dq_tclose: one corpus rollup (map-side partial agg) feeding
+    grid-sized broadcast joins — no sort-merge join anywhere."""
+    plan = _plan(spark, "q_dq_tclose")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_chi2_marginals_broadcast(spark):
+    """q_dq_chi2: the contingency rollup partial-aggregates map-side;
+    marginal/grid joins run broadcast on <=100 rows."""
+    plan = _plan(spark, "q_dq_chi2")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_r7_readability_agg_is_two_phase(spark):
+    """q_text_readability: the per-language rollup of the row-local
+    regex counts must partial-combine map-side — the shuffle carries
+    |languages| rows of integer sums, never documents."""
+    plan = _plan(spark, "q_text_readability")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
