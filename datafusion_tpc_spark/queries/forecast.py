@@ -23,7 +23,7 @@ forecasting in the metrics tier.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
@@ -32,9 +32,10 @@ _A = 0.5  # level smoothing (exact binary double)
 _B = 0.3  # trend smoothing
 
 
-@query(
-    "q_evt_holt",
-    oracle=f"""
+# Shared by q_evt_holt and q_evt_backtest: daily series + the Holt
+# recurrence stepped one row per iteration with per-step ROUND(6) on
+# both state variables.
+_HOLT_CTE = f"""
     WITH RECURSIVE daily AS (
       SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
              CAST(COUNT(*) AS BIGINT) AS v
@@ -60,6 +61,13 @@ _B = 0.3  # trend smoothing
                    + (1.0 - CAST({_B!r} AS DOUBLE)) * r.b, 6)
       FROM rec r JOIN series s ON s.rn = r.rn + 1
     )
+"""
+
+
+@query(
+    "q_evt_holt",
+    oracle=_HOLT_CTE
+    + """
     SELECT s.rn, s.day, s.v,
            ROUND(r.l, 6) AS level,
            ROUND(r.b, 6) AS trend,
@@ -267,3 +275,83 @@ def q_evt_autocorr(spark, sf_dir):
         )
         .alias("acf"),
     ).orderBy(F.col("lag").asc_nulls_last())
+
+
+# ---- forecast backtest (one-step-ahead errors) -----------------------
+
+
+@query(
+    "q_evt_backtest",
+    oracle=_HOLT_CTE
+    + """
+    , fc AS (
+      SELECT s.rn, s.day, ROUND(r.l + r.b, 6) AS f,
+             LEAD(s.v) OVER (ORDER BY s.rn) AS a
+      FROM rec r JOIN series s ON s.rn = r.rn
+    ),
+    err AS (
+      SELECT rn, day, a, f,
+             ABS(f - a) AS abs_err,
+             2.0 * ABS(f - a) / (ABS(f) + ABS(a)) AS smape_c
+      FROM fc WHERE a IS NOT NULL
+    )
+    SELECT rn, day, CAST(a AS BIGINT) AS actual_next,
+           f AS forecast_next,
+           ROUND(abs_err, 6) AS abs_err,
+           ROUND(smape_c, 6) AS smape_c,
+           ROUND(SUM(abs_err) OVER cum / rn, 6) AS mae_at,
+           ROUND(SUM(smape_c) OVER cum / rn, 6) AS smape_at
+    FROM err
+    WINDOW cum AS (ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY rn ASC NULLS LAST
+    """,
+)
+def q_evt_backtest(spark, sf_dir):
+    """One-step-ahead backtest of the Holt forecaster — the eval leg
+    of the forecast family (the q_sim_ndcg/q_dq_calibration pattern:
+    every model family ships with its measurement): each day's
+    forecast l+b is scored against the NEXT day's actual count,
+    emitting per-day absolute error and sMAPE contribution plus the
+    expanding-window MAE and sMAPE a capacity planner watches for
+    model decay.
+
+    Exactness: the forecast column is q_evt_holt's hash-exact
+    trajectory (per-step ROUND(6) on both engines); actual is an
+    integer; |f−a| and 2|f−a|/(|f|+|a|) are one deterministic IEEE
+    expression per row, and the expanding means are sequential-frame
+    window folds over identical inputs divided by the integer rn
+    (CUSUM-exact), ROUND 6 at display.
+
+    100 TB: inherits q_evt_holt's shape — the corpus touches only the
+    daily rollup; the backtest arithmetic runs on |days| rows."""
+    h = q_evt_holt(spark, sf_dir)
+    w_lead = Window.orderBy("rn")
+    fc = h.select(
+        "rn",
+        "day",
+        F.col("forecast_next").alias("f"),
+        F.lead("v").over(w_lead).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    err = fc.select(
+        "rn",
+        "day",
+        "a",
+        "f",
+        F.abs(F.col("f") - F.col("a")).alias("abs_err"),
+        (
+            2.0 * F.abs(F.col("f") - F.col("a"))
+            / (F.abs(F.col("f")) + F.abs(F.col("a")))
+        ).alias("smape_c"),
+    )
+    cum = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    return err.select(
+        "rn",
+        "day",
+        F.col("a").cast("bigint").alias("actual_next"),
+        F.col("f").alias("forecast_next"),
+        F.round("abs_err", 6).alias("abs_err"),
+        F.round("smape_c", 6).alias("smape_c"),
+        F.round(F.sum("abs_err").over(cum) / F.col("rn"), 6).alias("mae_at"),
+        F.round(F.sum("smape_c").over(cum) / F.col("rn"), 6).alias("smape_at"),
+    ).orderBy(F.col("rn").asc_nulls_last())

@@ -275,6 +275,7 @@ _BIRTH_ROUND = {
     "q_dq_tclose": 7,
     "q_dq_chi2": 7,
     "q_text_readability": 7,
+    "q_evt_backtest": 7,
 }
 
 
