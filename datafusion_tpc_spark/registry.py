@@ -108,9 +108,15 @@ def load_all() -> None:
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
 
     # --- window boundary (50) — everything below queues behind ---
-    # Round-8 rotation candidates first: the 16 deferred birth-r6 ids,
-    # then the birth-r7 additions (prefix-filtered exact Jaccard join,
-    # split/budget, PQ, skew/drift diagnostics).
+    # Round-8 rotation candidates first: the 16 deferred birth-r6 ids
+    # (stats_ext, curation, events_ext, audit_ext, dedup_ext), then
+    # the birth-r7 additions — prefix_join, splits, pq, diagnostics
+    # (skew/drift/prcurve/kanon/ldiv + late tclose/chi2/calibration),
+    # late_data, sketches_ext, forecast (holt + late autocorr/
+    # backtest), sinks_dpo, semdedup, batching, cdc, mmr, raneval,
+    # readability. Deadlines: birth-r6 by round 11, birth-r7 by round
+    # 12 (cap 5 — see tests/test_registry_order._MAX_STALE_ROUNDS and
+    # the window-plan memory).
     from datafusion_tpc_spark.queries import (  # noqa: F401
         stats_ext,
         events_ext,
