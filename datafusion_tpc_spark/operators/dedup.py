@@ -666,3 +666,85 @@ def q_pipe_near_split(spark, sf_dir):
         )
         .orderBy(F.col("split").asc_nulls_last())
     )
+
+
+# ---- 8. LSH quality eval (precision/recall vs exact) -----------------
+
+
+@query(
+    "q_dedup_eval",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN counts ca ON ca.doc_id = p.doc_a
+      JOIN counts cb ON cb.doc_id = p.doc_b
+      WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.5
+    ),
+    cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) mh),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM exact e JOIN cand c
+                ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS tp
+    )
+    SELECT n_exact, n_cand, tp,
+           CASE WHEN n_cand = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(tp * 1.0 / n_cand, 6) END AS precision,
+           CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(tp * 1.0 / n_exact, 6) END AS recall,
+           CASE WHEN n_cand + n_exact = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(2.0 * tp / (n_cand + n_exact), 6) END AS f1
+    FROM m
+    """,
+)
+def q_dedup_eval(spark, sf_dir):
+    """LSH banding quality eval — the measurement leg of the dedup
+    family (the q_sim_ndcg / q_dq_calibration / q_evt_backtest
+    pattern): precision, recall, and F1 of the k=8, 4×2-band MinHash
+    candidate set against the EXACT Jaccard-≥0.5 pair set, in one
+    row of integer counts plus three single-division rounded ratios.
+    This is the number that justifies (or re-tunes) the band/row
+    split before running the scheme over a corpus — run it on a
+    sample tier, not the full 100 TB (the exact side is the same
+    deliberate inverted-index quadratic as q_dedup_ngram, so the
+    query joins QUADRATIC_BASELINES in bench.py by contract).
+
+    Determinism: both pair sets are exact-oracled queries already
+    (q_dedup_ngram, q_dedup_minhash — md5-seeded hash family); the
+    eval is COUNT aggregates over them, NULL-guarded divisions, ROUND
+    6. Both sides are cache()d — each feeds its own count AND the
+    intersection join (the band_table precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    cand = lsh_candidate_pairs(band_table(docs), band_cap=None).cache()
+    ex_n = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    ca_n = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    tp_n = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tp")
+    )
+    m = ex_n.crossJoin(ca_n).crossJoin(tp_n)
+    return m.select(
+        "n_exact",
+        "n_cand",
+        "tp",
+        F.when(F.col("n_cand") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("tp") * 1.0 / F.col("n_cand"), 6))
+        .alias("precision"),
+        F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6))
+        .alias("recall"),
+        F.when(F.col("n_cand") + F.col("n_exact") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(2.0 * F.col("tp") / (F.col("n_cand") + F.col("n_exact")), 6))
+        .alias("f1"),
+    )

@@ -276,6 +276,7 @@ _BIRTH_ROUND = {
     "q_dq_chi2": 7,
     "q_text_readability": 7,
     "q_evt_backtest": 7,
+    "q_dedup_eval": 7,
 }
 
 
