@@ -92,9 +92,11 @@ def q_dedup_exact(spark, sf_dir):
 # ---- 2. n-gram Jaccard ------------------------------------------------
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# Shared by q_dedup_ngram and q_dedup_eval's "exact" leg — review r7:
+# the eval first shipped with an inlined copy of this SQL, which
+# would silently drift if the ngram contract (shingles, threshold,
+# join predicate) ever changed.
+_NGRAM_PAIRS_CTE = f"""
     WITH sh AS ({_SHINGLES_DUCK}),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
@@ -102,6 +104,13 @@ def q_dedup_exact(spark, sf_dir):
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=_NGRAM_PAIRS_CTE
+    + """
     SELECT p.doc_a, p.doc_b,
            ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 6) AS jaccard
     FROM pairs p
@@ -673,15 +682,9 @@ def q_pipe_near_split(spark, sf_dir):
 
 @query(
     "q_dedup_eval",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    exact AS (
+    oracle=_NGRAM_PAIRS_CTE
+    + f"""
+    , exact AS (
       SELECT p.doc_a, p.doc_b
       FROM pairs p
       JOIN counts ca ON ca.doc_id = p.doc_a

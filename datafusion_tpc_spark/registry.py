@@ -67,7 +67,8 @@ def load_all() -> None:
     r2-stale greens), graph (3: pagerank/triangles/bfs), skyline (1),
     kmeans (1), retrieval (3: rrf/hardneg/pca), sinks_ext (1: json)
     = exactly 50. Deferred to the round-8 rotation (all birth-r6,
-    staleness budget runs to round 10): stats_ext (7), curation (4),
+    staleness budget runs to round 11 under the inventory-derived
+    cap of 5): stats_ext (7), curation (4),
     events_ext (3), audit_ext (1), dedup_ext (1) = 16 — they import
     FIRST in the queue below so r8 is again a pure reorder.
 
