@@ -92,7 +92,9 @@ HEADLINE = [
 # design notes): oracled and tested at sf≤0.01, replaced by their
 # scale-path twins (minhash LSH / sign-LSH ANN) above that. Excluded
 # from timing runs unless explicitly requested.
-QUADRATIC_BASELINES = {"q_dedup_ngram", "q_dedup_eval"}
+QUADRATIC_BASELINES = {"q_dedup_ngram"}
+# (q_dedup_eval left the set in r8: its exact side is now the
+# non-quadratic q_dedup_prefix — VERDICT r7 item 7.)
 
 # Documented Python-speed fallback seams (pure-Python blake3 when the
 # wheel is absent) — correctness surface, not a throughput claim.

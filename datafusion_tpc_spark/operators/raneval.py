@@ -156,3 +156,147 @@ def q_sim_ndcg(spark, sf_dir):
             "rr_at"
         ),
     ).orderBy(F.col("rank").asc_nulls_last())
+
+
+# ---- ANN recall eval (round 8) ---------------------------------------
+
+_ANN_PLANES = 4  # must equal similarity._N_PLANES (asserted at call)
+_K_ANN = 10  # recall depth
+
+
+def _bucket_duck() -> str:
+    """DuckDB twin of similarity._sign_bucket for `embeddings` rows:
+    per plane p the weight list w(p,d) = (h60('p|d') % 2001 − 1000) /
+    1000.0 over d = 0..len−1, projected by a SEQUENTIAL left fold
+    (list_reduce over a 0.0-prepended product list ≡ Spark's
+    aggregate(zip_with(...), 0.0, +) — identical op sequence, so the
+    projection and its sign are bit-identical, the CUSUM argument).
+    Bit p set iff the projection is positive."""
+    from datafusion_tpc_spark.functions.digest import _h60_duck
+
+    bits = []
+    for p in range(_ANN_PLANES):
+        h = _h60_duck(f"concat('{p}|', CAST(d AS VARCHAR))")
+        w = (
+            f"list_transform(range(0, len(embedding)), "
+            f"d -> CAST(({h} % 2001 - 1000) AS DOUBLE) / 1000.0)"
+        )
+        proj = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(list_zip(embedding::DOUBLE[], {w}), "
+            f"s -> s[1] * s[2])), (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@query(
+    "q_sim_anneval",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {_bucket_duck()} AS bucket FROM embeddings
+    ),
+    qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {_QID}),
+    probes AS (
+      SELECT DISTINCT pb FROM (
+        SELECT unnest([qbucket,
+                       xor(qbucket, 1), xor(qbucket, 2),
+                       xor(qbucket, 4), xor(qbucket, 8)]) AS pb
+        FROM qb)
+    ),
+    cand AS (
+      SELECT b.vec_id FROM b JOIN probes ON b.bucket = probes.pb
+      WHERE b.vec_id <> {_QID}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {_QID}),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> {_QID}
+      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                 DESC NULLS LAST,
+               e.vec_id ASC NULLS LAST
+      LIMIT {_K_ANN}
+    ),
+    m AS (SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM exact e JOIN cand c ON e.vec_id = c.vec_id) AS tp,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE vec_id <> {_QID}) AS n_corpus)
+    SELECT n_exact, n_cand, tp,
+           ROUND(tp * 1.0 / n_exact, 6) AS recall_at_k,
+           ROUND(n_cand * 1.0 / n_corpus, 6) AS cand_frac
+    FROM m
+    """,
+)
+def q_sim_anneval(spark, sf_dir):
+    """Measured recall for the sign-LSH ANN probe (VERDICT r7 item 6
+    — the q_dedup_eval pattern applied to the last approximate family
+    without a measurement leg): exact side = the brute-force cosine
+    top-10 (q_sim_topk convention: ROUND-6 score, vec_id tie-break),
+    candidate side = q_sim_ann's bucket probe (query bucket + all
+    1-bit flips) BEFORE ranking/limit. One row: recall@10 of the
+    candidate set plus its size and corpus fraction — the
+    recall-vs-cost tradeoff number that justifies (or re-tunes)
+    n_planes before indexing a corpus.
+
+    EXACT-oracled, unlike q_sim_ann itself (†): both sides are
+    deterministic — the oracle recomputes the sign buckets with the
+    identical md5-derived weights and an identical-op-order
+    sequential fold (see _bucket_duck), so bucket ids match
+    bit-for-bit. Counts materialize eagerly under try/finally (the
+    q_dedup_eval discipline — no cached blocks outlive the call).
+
+    100 TB: bucket assignment is one narrow scan (literal weight
+    arrays, no shuffle); the candidate filter is `bucket IN (5
+    ints)`; the exact side is a TakeOrdered top-10. The eval is
+    corpus-linear and runs wherever the index build runs."""
+    from datafusion_tpc_spark.operators.similarity import (  # lazy:
+        _N_PLANES,  # keeps similarity's registrations out of this
+        _QUERY_VEC_ID,  # module's load_all position
+        _sign_bucket,
+        q_sim_topk,
+    )
+
+    assert _N_PLANES == _ANN_PLANES and _QUERY_VEC_ID == _QID
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = e.select(F.size("emb")).first()[0]
+    bucketed = e.withColumn("bucket", _sign_bucket(F.col("emb"), dim=dim)).cache()
+    try:
+        qbucket = (
+            bucketed.filter(F.col("vec_id") == _QID).select("bucket").first()
+        )["bucket"]
+        probes = sorted({qbucket} | {qbucket ^ (1 << p) for p in range(_ANN_PLANES)})
+        cand = bucketed.filter(F.col("vec_id") != _QID).filter(
+            F.col("bucket").isin(probes)
+        )
+        # bounded driver scalars: the exact side is 10 vec_ids (the
+        # MMR-pool precedent), so tp is a 10-element IN filter over
+        # the cached bucketed set — no second brute-force pass.
+        exact_ids = [
+            r["vec_id"]
+            for r in q_sim_topk(spark, sf_dir)
+            .limit(_K_ANN)
+            .select("vec_id")
+            .collect()
+        ]
+        n_exact = len(exact_ids)
+        n_cand = cand.count()
+        tp = cand.filter(F.col("vec_id").isin(exact_ids)).count()
+        n_corpus = bucketed.filter(F.col("vec_id") != _QID).count()
+    finally:
+        bucketed.unpersist()
+    m = spark.createDataFrame(
+        [(n_exact, n_cand, tp, n_corpus)],
+        "n_exact bigint, n_cand bigint, tp bigint, n_corpus bigint",
+    )
+    return m.select(
+        "n_exact",
+        "n_cand",
+        "tp",
+        F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6).alias("recall_at_k"),
+        F.round(F.col("n_cand") * 1.0 / F.col("n_corpus"), 6).alias("cand_frac"),
+    )

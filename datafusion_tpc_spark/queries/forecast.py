@@ -95,9 +95,13 @@ def q_evt_holt(spark, sf_dir):
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     )
+    # The recurrence needs two points to initialize (b₁ = v₂ − v₁).
+    # On a degenerate single-day series the oracle's recursive init
+    # (rn=1 ⋈ rn=2) emits zero rows; match that exactly instead of
+    # emitting NULL-trend rows from a missing s[1] (ADVICE r7).
     series = daily.agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
-    )
+    ).filter(F.size("s") >= 2)
     # Fold over elements 2..n (slice is 1-based): the recurrence
     # applies from rn=2; hist[0] is the rn=1 init state, so hist ends
     # at length n and zips 1:1 with the full series.

@@ -85,23 +85,33 @@ def q_sink_dpo(spark, sf_dir):
     _LIVE_RUNS.add(run)
     path = os.path.join(_DPO_CACHE, run)
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
-    )
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # Release the run id once the read-back plan is defined (ADVICE
+    # r7: _LIVE_RUNS only grew, so a long-lived process never
+    # reclaimed its own completed run dirs — two full partitioned
+    # copies of orders each per execution). The 600 s age gate above
+    # still protects the returned lazy read: a later execution can
+    # only sweep this dir once it is >10 min old, far past the
+    # driver's immediate collect.
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
 
-    restatement = (
-        o.filter(F.col("o_orderstatus") == "F")
-        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
-    )
-    (
-        restatement.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("o_orderstatus")
-        .parquet(path)
-    )
+        restatement = (
+            o.filter(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+        )
+        (
+            restatement.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
 
-    back = spark.read.schema(_ORDERS_SCHEMA).parquet(path)
+        back = spark.read.schema(_ORDERS_SCHEMA).parquet(path)
+    finally:
+        _LIVE_RUNS.discard(run)
     return (
         back.groupBy("o_orderstatus")
         .agg(

@@ -82,8 +82,15 @@ def q_sink_json(spark, sf_dir):
     run = uuid.uuid4().hex[:12]
     _LIVE_RUNS.add(run)
     path = os.path.join(_JSON_SINK_CACHE, run)
-    docs.write.mode("overwrite").json(path)
-    back = spark.read.schema(_CUSTOMER_SCHEMA).json(path)
+    # Release the run id once the read-back plan is defined (ADVICE
+    # r7, via q_sink_dpo): otherwise a long-lived process never
+    # reclaims its own completed run dirs. The 600 s age gate above
+    # still protects the returned lazy read.
+    try:
+        docs.write.mode("overwrite").json(path)
+        back = spark.read.schema(_CUSTOMER_SCHEMA).json(path)
+    finally:
+        _LIVE_RUNS.discard(run)
     return (
         back.groupBy("c_mktsegment")
         .agg(

@@ -53,24 +53,29 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-6), so the window is re-pointed each round at (a) every query
+    1-7), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 7 order (VERDICT r5 item 5 + ADVICE r6
-    item 1): the remaining pre-r6 never-verified backlog, the four
-    r2-stale q_mm_* greens (staleness budget exhausted this round),
-    and the q_stream_enrich exact-oracle re-verify — events_behavior
-    (10), aggregates_more (6), windows_ext (4), scalar_ext (1: url),
-    udfs_ext (1: arrow), pipeline_ext (3: lm/index/diff),
-    stream_enrich (2: the exact re-verify + join_outer†), py_source /
-    py_sink / merge / stream_quantile† (4), geo (1), similarity (4:
-    centroid + 3 r3-green refreshes), multimodal (5: mm_dedup + the 4
-    r2-stale greens), graph (3: pagerank/triangles/bfs), skyline (1),
-    kmeans (1), retrieval (3: rrf/hardneg/pca), sinks_ext (1: json)
-    = exactly 50. Deferred to the round-8 rotation (all birth-r6,
-    staleness budget runs to round 11 under the inventory-derived
-    cap of 5): stats_ext (7), curation (4),
-    events_ext (3), audit_ext (1), dedup_ext (1) = 16 — they import
-    FIRST in the queue below so r8 is again a pure reorder.
+    stalest green rows. Round 8 order (VERDICT r7 item 1, the plan
+    computed end-of-r7): the r3-anchored stale greens FIRST —
+    aggregates (14), logs_queries (3), dedup (10: the 8 r3/r4 greens
+    + birth-r7 q_pipe_near_split + q_dedup_eval riding along),
+    pipeline (10) = 37 — then the never-verified birth-r6 block —
+    stats_ext (6), curation (4), audit_ext (1), dedup_ext (1) = 12 —
+    and birth-r7 q_sink_dpo (1) = exactly 50.
+
+    ROUND-9 PLAN (computed this round by EDF simulation over the
+    post-r8 anchors; NOTE VERDICT r7 item 5's diagnostics+splits+
+    forecast-in-r9 suggestion is infeasible — 49 anchor-r4 greens
+    are forced into r10's window and 96 anchor-r5 greens into r11's,
+    so r9..r11 have only 150-145 = 5 spare slots): r9 = the 49
+    anchor-r4 greens — events (6), joins (13), scalar_functions
+    (10), stream_queries (6), tpch (5), udfs (4), windows (5) — + 1
+    never-verified (q_stream_late, streaming/late_data.py). r10 = 50
+    of the 96 anchor-r5 greens; r11 = the remaining 46 + events_ext
+    (3, birth-r6 deadline r12) + 1; r12 = the birth-r7/birth-r8
+    never-verified backlog (diagnostics, splits, forecast,
+    prefix_join, pq, sketches_ext, semdedup, batching, cdc, mmr,
+    raneval, readability + this round's births, deadline r13/r14).
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
@@ -82,6 +87,82 @@ def load_all() -> None:
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        aggregates,
+        logs_queries,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        dedup,  # NOTE: pipeline imports dedup — dedup must precede it
+        pipeline,
+    )
+    from datafusion_tpc_spark.queries import stats_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        curation,
+        audit_ext,
+        dedup_ext,
+    )
+    from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
+    # Round-9 block first (see the r9 plan in the docstring): the 49
+    # anchor-r4 greens + q_stream_late.
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events,
+        joins,
+        scalar_functions,
+    )
+    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        tpch,
+        udfs,
+        windows,
+    )
+    from datafusion_tpc_spark.streaming import late_data  # noqa: F401
+    # Round-10/11 anchor-r5 greens, then the r12-bound never-verified
+    # backlog (birth-r6 events_ext deadline r12; birth-r7 deadline
+    # r13 under cap 5):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        sorts,
+        setops,
+        arrays,
+        tpch_extra,
+        scans,
+        predicates,
+        subqueries,
+    )
+    from datafusion_tpc_spark.streaming import stream_sink  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        asof,
+        chunking,
+        text,
+    )
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        aggregates_ext,
+        tpch_full,
+        tpch_more,
+        sql_shapes,
+        typefns,
+        sinks,
+        events_ext,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        sketches,
+        audit,
+        sampling,
+        layout,
+        bloom,
+        bucketing,
+        prefix_join,
+        splits,
+        pq,
+    )
+    from datafusion_tpc_spark.queries import diagnostics  # noqa: F401
+    from datafusion_tpc_spark.operators import sketches_ext  # noqa: F401
+    from datafusion_tpc_spark.queries import forecast  # noqa: F401
+    from datafusion_tpc_spark.operators import semdedup, batching, cdc, mmr  # noqa: F401
+    from datafusion_tpc_spark.operators import raneval  # noqa: F401
+    from datafusion_tpc_spark.queries import readability  # noqa: F401
+    # Green inventory last verified r5-r7, freshest last:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         events_behavior,
         aggregates_more,
@@ -107,78 +188,3 @@ def load_all() -> None:
         retrieval,
     )
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
-
-    # --- window boundary (50) — everything below queues behind ---
-    # Round-8 rotation candidates first: the 16 deferred birth-r6 ids
-    # (stats_ext, curation, events_ext, audit_ext, dedup_ext), then
-    # the birth-r7 additions — prefix_join, splits, pq, diagnostics
-    # (skew/drift/prcurve/kanon/ldiv + late tclose/chi2/calibration),
-    # late_data, sketches_ext, forecast (holt + late autocorr/
-    # backtest), sinks_dpo, semdedup, batching, cdc, mmr, raneval,
-    # readability. Deadlines: birth-r6 by round 11, birth-r7 by round
-    # 12 (cap 5 — see tests/test_registry_order._MAX_STALE_ROUNDS and
-    # the window-plan memory).
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        stats_ext,
-        events_ext,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        curation,
-        audit_ext,
-        dedup_ext,
-        prefix_join,
-        splits,
-        pq,
-    )
-    from datafusion_tpc_spark.queries import diagnostics  # noqa: F401
-    from datafusion_tpc_spark.streaming import late_data  # noqa: F401
-    from datafusion_tpc_spark.operators import sketches_ext  # noqa: F401
-    from datafusion_tpc_spark.queries import forecast, sinks_dpo  # noqa: F401
-    from datafusion_tpc_spark.operators import semdedup, batching, cdc, mmr  # noqa: F401
-    from datafusion_tpc_spark.operators import raneval  # noqa: F401
-    from datafusion_tpc_spark.queries import readability  # noqa: F401
-    # Green inventory (r1-r6 driver-verified), freshest last:
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        tpch,
-        udfs,
-        scalar_functions,
-        events,
-        joins,
-        windows,
-        aggregates,
-        logs_queries,
-        sorts,
-        setops,
-        arrays,
-        tpch_extra,
-        scans,
-        predicates,
-        subqueries,
-    )
-    from datafusion_tpc_spark.streaming import (  # noqa: F401
-        stream_queries,
-        stream_sink,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        asof,
-        chunking,
-        text,
-        dedup,
-        pipeline,
-    )
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        aggregates_ext,
-        tpch_full,
-        tpch_more,
-        sql_shapes,
-        typefns,
-        sinks,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        sketches,
-        audit,
-        sampling,
-        layout,
-        bloom,
-        bucketing,
-    )

@@ -106,3 +106,59 @@ def test_weighted_sample_order_invariant(items, seed):
     shuffled = list(pairs)
     rng.shuffle(shuffled)
     assert select(pairs) == select(shuffled)
+
+
+# ---- Schank-Wagner degree orientation (r8, graph.py) -----------------
+#
+# q_graph_triangles orients each undirected edge from its (degree,
+# id)-smaller endpoint to the larger and enumerates wedges as directed
+# paths a→b→c. Engine-free invariants for ANY graph:
+#   1. exactness — the oriented path-wedge enumeration closed by the
+#      (a,c) edge finds every triangle exactly once;
+#   2. the Schank-Wagner bound — every out-degree d satisfies
+#      d·(d−1) ≤ 2m (each out-neighbor of v has (deg,id) ≥ v's, so v's
+#      degree-many edges are matched by ≥ d(v)−1 edges at each of its
+#      d(v) out-neighbors), the guarantee that kills hub-skew wedge
+#      blowup regardless of id assignment.
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_degree_orientation_triangles_exact_and_bounded(raw):
+    from collections import Counter
+    from itertools import combinations
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    m = len(edges)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    key = lambda n: (deg[n], n)  # noqa: E731 — strict total order
+    oriented = {(u, v) if key(u) < key(v) else (v, u) for u, v in edges}
+    out = Counter(s for s, _ in oriented)
+    # 2. Schank-Wagner out-degree bound
+    for n, d in out.items():
+        assert d * (d - 1) <= 2 * m, (n, d, m)
+    # 1. path wedges a→b→c closed by (a,c), each triangle once
+    found = Counter()
+    for a, b in oriented:
+        for b2, c in oriented:
+            if b2 == b and (a, c) in oriented:
+                found[frozenset((a, b, c))] += 1
+    nodes = {n for e in edges for n in e}
+    brute = {
+        frozenset(t)
+        for t in combinations(sorted(nodes), 3)
+        if all(
+            (min(x, y), max(x, y)) in edges for x, y in combinations(t, 2)
+        )
+    }
+    assert set(found) == brute
+    assert all(c == 1 for c in found.values()), found

@@ -553,3 +553,57 @@ def test_r7_readability_agg_is_two_phase(spark):
     plan = _plan(spark, "q_text_readability")
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_r8_vocab_rank_no_global_window(spark):
+    """q_dedup_prefix's dictionary encoding (VERDICT r7 item 4): the
+    vocabulary rank must be the two-pass range-partitioned form — a
+    range Exchange feeding a window PARTITIONED by spark_partition_id
+    — never a Window.orderBy with no partitionBy (a single-reducer
+    gather of the whole vocabulary at web-scale vocab). The pass-1
+    plan is inspected directly because the localCheckpoint inside
+    q_dedup_prefix truncates it out of the query's own plan."""
+    import contextlib
+    import io
+
+    from datafusion_tpc_spark.functions.shingles import shingle_table
+    from datafusion_tpc_spark.operators.prefix_join import _ranked_vocab_local
+
+    df = _ranked_vocab_local(shingle_table(spark, SF_DIR))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    # every window spec must carry a partition column (pid)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "pid#" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_r8_two_pass_rank_equals_global_rank(spark):
+    """The assembled sid (range-partition offsets + local rank) must
+    equal the global row_number over s — the boundary-independence
+    argument in prefix_join.py made executable."""
+    from pyspark.sql import Window, functions as F
+
+    from datafusion_tpc_spark.functions.shingles import shingle_table
+    from datafusion_tpc_spark.operators.prefix_join import _vocab_sids
+
+    sh = shingle_table(spark, SF_DIR)
+    two_pass = _vocab_sids(sh).select("s", "sid")
+    global_rank = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("s", F.row_number().over(Window.orderBy("s")).alias("sid"))
+    )
+    mismatch = (
+        two_pass.join(global_rank.withColumnRenamed("sid", "gsid"), "s")
+        .filter(F.col("sid") != F.col("gsid"))
+        .count()
+    )
+    n = two_pass.count()
+    assert n > 0 and mismatch == 0, (n, mismatch)

@@ -28,67 +28,65 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-7 driver window (VERDICT r5 item 5 + ADVICE r6 item 1):
-# the remaining pre-r6 never-verified backlog (events_behavior,
-# aggregates_more, windows_ext, scalar/udfs_ext, pipeline_ext,
-# streaming quartet, geo, centroid/mm_dedup/graph/skyline/kmeans),
-# the q_stream_enrich exact-oracle re-verify, the four r2-stale
-# q_mm_* greens (their staleness budget expires this round), the
-# three r3-green similarity refreshes, and the r6-born retrieval
-# trio + q_sink_json = exactly 50. Deferred to round 8 (all
-# birth-r6): stats_ext(7)+curation(4)+events_ext(3)+audit_ext(1)+
-# dedup_ext(1) = 16 (test_window_staleness budget runs to round 10).
+# The round-8 driver window (VERDICT r7 item 1 — the rotation plan
+# computed end-of-r7): the r3-anchored stale greens — aggregates(14),
+# logs_queries(3), dedup(10, incl. birth-r7 q_pipe_near_split +
+# q_dedup_eval riding along), pipeline(10) — then the never-verified
+# birth-r6 block stats_ext(6) + curation(4) + audit_ext(1) +
+# dedup_ext(1), and birth-r7 q_sink_dpo = exactly 50. The r9 plan
+# (49 anchor-r4 greens + q_stream_late; see registry.load_all's
+# docstring) is already queued immediately behind the boundary.
 EXPECTED_WINDOW_50 = [
-    "q_evt_funnel",
-    "q_evt_retention",
-    "q_evt_locf",
-    "q_evt_anomaly",
-    "q_evt_markov",
-    "q_evt_rollup",
-    "q_evt_paths",
-    "q_evt_attrib",
-    "q_evt_cusum",
-    "q_evt_seasonality",
-    "q_agg_bitwise",
-    "q_agg_condagg",
-    "q_agg_regr",
-    "q_agg_histeq",
-    "q_agg_abtest",
-    "q_agg_gini",
-    "q_win_sessionize",
-    "q_win_ema",
-    "q_win_rolling_distinct",
-    "q_win_ratio",
-    "q_fn_url",
-    "q_udf_arrow",
-    "q_pipe_lm",
-    "q_text_index",
-    "q_pipe_diff",
-    "q_stream_enrich",
-    "q_stream_join_outer",
-    "q_stream_pysource",
-    "q_stream_pysink",
-    "q_stream_merge",
-    "q_stream_quantile",
-    "q_geo_nearest",
-    "q_sim_topk",
-    "q_sim_ivf",
-    "q_sim_ann",
-    "q_sim_centroid",
-    "q_mm_meta",
-    "q_mm_decode",
-    "q_mm_resize",
-    "q_mm_frames",
-    "q_mm_dedup",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_graph_bfs",
-    "q_skyline",
-    "q_sim_kmeans",
-    "q_sim_rrf",
-    "q_sim_hardneg",
-    "q_sim_pca",
-    "q_sink_json",
+    "q_agg_arrayagg",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_pivot",
+    "q_agg_stats",
+    "q_agg_median",
+    "q_agg_pctl",
+    "q_agg_pctl_w",
+    "q_agg_approxd",
+    "q_agg_having",
+    "q_udaf",
+    "q_agg_salted",
+    "q_logs_scan",
+    "q_logs_filter",
+    "q_logs_agg",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_minhash",
+    "q_dedup_minhash_capped",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_dedup_clusters",
+    "q_pipe_near_split",
+    "q_dedup_eval",
+    "q_pipe_sample",
+    "q_pipe_split",
+    "q_pipe_sample_stratified",
+    "q_pipe_quality_filter",
+    "q_pipe_tfidf",
+    "q_pipe_bm25",
+    "q_pipe_pii_redact",
+    "q_pipe_contamination",
+    "q_pipe_canonical",
+    "q_pipe_kept",
+    "q_agg_corrmat",
+    "q_agg_entropy",
+    "q_agg_winsorize",
+    "q_agg_bootstrap",
+    "q_agg_tdigest",
+    "q_agg_theta",
+    "q_pipe_forget",
+    "q_pipe_curriculum",
+    "q_pipe_bpe_train",
+    "q_pipe_shard",
+    "q_dq_reconcile",
+    "q_dedup_incr",
+    "q_sink_dpo",
 ]
 
 
@@ -277,6 +275,7 @@ _BIRTH_ROUND = {
     "q_text_readability": 7,
     "q_evt_backtest": 7,
     "q_dedup_eval": 7,
+    "q_sim_anneval": 8,
 }
 
 
