@@ -74,3 +74,52 @@ def test_late_fixture_concurrent_cold(spark):
     leftovers = [d for d in os.listdir(late_data._CACHE_ROOT)
                  if d != os.path.basename(pa)]
     assert leftovers == []
+
+
+def test_eval_queries_concurrent_unpersist(spark):
+    """(r8) q_dedup_eval and q_sim_anneval materialize their counts
+    eagerly and unpersist their caches in try/finally. Two
+    overlapping executions share CacheManager entries (same analyzed
+    plan), so one thread's unpersist can drop blocks mid-use of the
+    other — correctness must survive via lineage recompute, and both
+    one-row summaries must be identical."""
+    for name in ("q_dedup_eval", "q_sim_anneval"):
+        fn = registry.QUERIES[name]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+        assert a == b and len(a) == 1, name
+
+
+def test_sink_run_ids_released(spark):
+    """(r8, ADVICE r7) the JSON and DPO sinks must release their run
+    ids once the read-back plan exists — a long-lived process
+    otherwise never reclaims its own completed run dirs — and the
+    returned DataFrame must still collect afterwards (the 600 s age
+    gate protects the pending read)."""
+    from datafusion_tpc_spark.queries import sinks_dpo, sinks_ext
+
+    df_json = registry.QUERIES["q_sink_json"](spark, SF_DIR)
+    df_dpo = registry.QUERIES["q_sink_dpo"](spark, SF_DIR)
+    assert sinks_ext._LIVE_RUNS == set()
+    assert sinks_dpo._LIVE_RUNS == set()
+    assert len(df_json.collect()) > 0
+    assert len(df_dpo.collect()) == 3
+
+
+def test_bucketed_sibling_tables_not_superseded(spark):
+    """(r8, ADVICE r7) building the second bucketed table (lineitem)
+    must NOT mark the first table's (orders) live dir superseded —
+    the prune prefix is namespaced per table. A cold double build
+    leaves zero .superseded markers."""
+    from datafusion_tpc_spark.operators import bucketing
+
+    for t in spark.catalog.listTables():
+        if "_bkt_" in t.name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    shutil.rmtree(bucketing._CACHE_ROOT, ignore_errors=True)
+    fn = registry.QUERIES["q_join_bucketed"]
+    assert len(_rows(fn(spark, SF_DIR))) > 0
+    markers = [
+        d for d in os.listdir(bucketing._CACHE_ROOT) if d.endswith(".superseded")
+    ]
+    assert markers == [], markers

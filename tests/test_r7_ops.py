@@ -445,3 +445,22 @@ def test_benford_flags_synthetic_prices(spark):
     total = sum(r.n for r in rows)
     chi = total * sum(r.chi_contrib for r in rows)
     assert chi > 15.5
+
+
+def test_holt_degenerate_single_day_is_empty(spark, tmp_path):
+    """(r8, ADVICE r7) q_evt_holt needs two daily points to
+    initialize the trend (b1 = v2 - v1). On a single-day series the
+    DuckDB recursive init (rn=1 x rn=2) emits zero rows; the Spark
+    fold must match instead of emitting NULL-trend rows from a
+    missing s[1]."""
+    import datetime as dt
+
+    rows = [
+        (i, "view", dt.datetime(2025, 1, 1, 8, i))  # one calendar day
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event string, ts timestamp")
+    sf_dir = str(tmp_path)
+    df.write.parquet(sf_dir + "/events.parquet")
+    out = registry.QUERIES["q_evt_holt"](spark, sf_dir)
+    assert out.count() == 0
