@@ -300,3 +300,59 @@ def q_sim_anneval(spark, sf_dir):
         F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6).alias("recall_at_k"),
         F.round(F.col("n_cand") * 1.0 / F.col("n_corpus"), 6).alias("cand_frac"),
     )
+
+
+@query("q_sim_ivfeval")  # † rows-only: the coarse quantizer is a
+# driver-side numpy k-means (deterministic, but not SQL-expressible —
+# unlike q_sim_anneval's md5 sign-buckets there is no DuckDB twin);
+# internal-consistency + recall-floor invariants are pytest-gated in
+# tests/test_r8_ops.py.
+def q_sim_ivfeval(spark, sf_dir):
+    """Measured recall for the IVF probe (r8 — completes the
+    measurement leg for the LAST approximate family: LSH banding has
+    q_dedup_eval, sign-LSH ANN has q_sim_anneval, IVF gets this):
+    exact side = brute-force cosine top-10 (q_sim_topk convention),
+    candidate side = the nprobe=2 cell stream from _ivf_candidates —
+    the same DataFrame q_sim_ivf ranks, so the number measures the
+    production probe, not a reimplementation. One row: recall@10,
+    candidate-set size, corpus fraction, cells probed.
+
+    100 TB: candidate generation is the broadcast-GEMM scan of
+    q_sim_ivf (no shuffle of the embedding table); the eval adds two
+    count aggregates and a 10-element IN filter."""
+    from datafusion_tpc_spark.operators.similarity import (  # lazy —
+        _QUERY_VEC_ID,  # keeps similarity's registrations out of this
+        _ivf_candidates,  # module's load_all position
+        q_sim_topk,
+    )
+
+    assert _QUERY_VEC_ID == _QID
+    cand = _ivf_candidates(spark, sf_dir).cache()
+    try:
+        exact_ids = [
+            r["vec_id"]
+            for r in q_sim_topk(spark, sf_dir)
+            .limit(_K_ANN)
+            .select("vec_id")
+            .collect()
+        ]
+        n_exact = len(exact_ids)
+        n_cand = cand.count()
+        tp = cand.filter(F.col("vec_id").isin(exact_ids)).count()
+        n_cells = cand.select("cell").distinct().count()
+    finally:
+        cand.unpersist()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = e.filter(F.col("vec_id") != _QID).count()
+    m = spark.createDataFrame(
+        [(n_exact, n_cand, tp, n_cells, n_corpus)],
+        "n_exact bigint, n_cand bigint, tp bigint, n_cells bigint, n_corpus bigint",
+    )
+    return m.select(
+        "n_exact",
+        "n_cand",
+        "tp",
+        "n_cells",
+        F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6).alias("recall_at_k"),
+        F.round(F.col("n_cand") * 1.0 / F.col("n_corpus"), 6).alias("cand_frac"),
+    )

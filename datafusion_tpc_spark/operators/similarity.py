@@ -146,9 +146,13 @@ def _sign_bucket(emb_col, n_planes: int = _N_PLANES, dim: int | None = None):
     return bucket
 
 
-@query("q_sim_ivf")  # † rows-only: approximate (recall tested in pytest)
-def q_sim_ivf(spark, sf_dir):
-    """IVF (inverted-file) approximate nearest neighbors — the
+def _ivf_candidates(spark, sf_dir):
+    """IVF probe candidate set (vec_id, label, cos_sim, cell) for the
+    query vector — everything q_sim_ivf does except the final
+    rank+limit, shared with q_sim_ivfeval (r8) so the recall eval
+    measures exactly the candidate stream the search ranks.
+
+    IVF (inverted-file) approximate nearest neighbors — the
     k-means-cell alternative to sign-LSH:
 
     1. train a coarse quantizer: deterministic k-means (centroids
@@ -225,12 +229,22 @@ def q_sim_ivf(spark, sf_dir):
                 {"vec_id": "int64", "label": "int32", "cos_sim": "float64", "cell": "int32"}
             )
 
-    candidates = e.mapInPandas(
+    return e.mapInPandas(
         search, schema="vec_id long, label int, cos_sim double, cell int"
     )
-    return candidates.orderBy(
-        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
-    ).limit(_K)
+
+
+@query("q_sim_ivf")  # † rows-only: approximate (recall tested in pytest)
+def q_sim_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors: rank the probe-cell
+    candidate stream (_ivf_candidates — train coarse quantizer on a
+    driver sample, broadcast-GEMM assign, search nprobe=2 cells) by
+    exact cosine and keep the top-k."""
+    return (
+        _ivf_candidates(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
+        .limit(_K)
+    )
 
 
 @query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)

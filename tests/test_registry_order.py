@@ -276,6 +276,7 @@ _BIRTH_ROUND = {
     "q_evt_backtest": 7,
     "q_dedup_eval": 7,
     "q_sim_anneval": 8,
+    "q_sim_ivfeval": 8,
 }
 
 
