@@ -43,42 +43,50 @@ from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK, shingle_table
 from datafusion_tpc_spark.registry import query
 
 _T = 0.5  # Jaccard threshold — same contract as q_dedup_ngram
-_P = 32  # vocabulary range-partition width (pass 1 of the rank)
 
 
 def _vocab_sids(sh):
-    """Two-pass range-partitioned dictionary rank, assembled as ONE
+    """Two-pass bucketed dictionary rank, assembled as ONE
     declarative plan: (s, df, sid) with sid = global rank of s.
 
-    Pass 1 (_ranked_vocab_local) range-partitions the vocabulary by s
-    and ranks locally per partition — the corpus-scaled part, fully
-    parallel. Pass 2 turns the P per-partition counts into exclusive
-    prefix-sum offsets and broadcast-joins sid = offset + local rank.
-    The offsets window orders P ≈ cluster-width rows (it aggregates
-    pid, not data — NOT the |vocab|-row single-reducer this replaced,
-    VERDICT r7 item 4) and the result is boundary-INDEPENDENT: s
-    values are distinct post-groupBy and range partitions are
-    ordered, so the assembled rank is the same wherever the sampled
-    range boundaries land (pinned by
-    tests/test_plans.py::test_r8_two_pass_rank_equals_global_rank).
+    Pass 1 (_ranked_vocab_local) buckets the vocabulary by a
+    DATA-DERIVED, order-consistent key — the 2-char lexicographic
+    prefix of s (every string in bucket 'ab' sorts before every
+    string in bucket 'ac') — and ranks locally per bucket, the
+    corpus-scaled part, fully parallel. Pass 2 turns the per-bucket
+    counts into exclusive prefix-sum offsets (one window over
+    |buckets| ≤ alphabet² rows — NOT the |vocab|-row single-reducer
+    this replaced, VERDICT r7 item 4) and broadcast-joins
+    sid = offset + local rank.
+
+    The bucket key is derived from the DATA, not from physical
+    partitioning, deliberately: a first cut used repartitionByRange +
+    spark_partition_id, and RangePartitioner samples its boundaries
+    with an RDD-id-seeded RNG — the pass-1 subtree appears twice in
+    this plan (ranks + counts), each physical instantiation drew
+    DIFFERENT boundaries, and the offsets no longer matched the
+    local ranks (caught by
+    tests/test_plans.py::test_r8_two_pass_rank_equals_global_rank
+    failing in-suite while passing solo). A data-derived key cannot
+    diverge between instantiations, under AQE coalescing, or across
+    engines.
 
     Deliberately NOT materialized (no cache/localCheckpoint): an
     ExistingRDD or unloaded InMemoryRelation reports unknown/huge
     size statistics, which inverted the downstream broadcast
     decisions into SortMergeJoins when tried (measured 1.4 s → 4.4 s
     on q_dedup_prefix). Keeping the lineage declarative costs one
-    duplicated vocab subtree (pass 2's counts), which exchange reuse
-    collapses, and preserves the parquet-derived estimates every
-    later join plans against."""
+    duplicated vocab subtree (pass 2's counts) and preserves the
+    parquet-derived estimates every later join plans against."""
     local = _ranked_vocab_local(sh)
-    pid_off = (
-        local.groupBy("pid")
+    bucket_off = (
+        local.groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            "pid",
+            "bkt",
             F.coalesce(
                 F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(
+                    Window.orderBy("bkt").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
@@ -86,28 +94,31 @@ def _vocab_sids(sh):
             ).alias("off"),
         )
     )
-    return local.join(F.broadcast(pid_off), "pid").select(
+    return local.join(F.broadcast(bucket_off), "bkt").select(
         "s", "df", (F.col("off") + F.col("lrn")).cast("int").alias("sid")
     )  # int like the row_number it replaces — keeps the verify
     # arrays 4-byte
 
 
 def _ranked_vocab_local(sh):
-    """Pass 1 of the two-pass range-partitioned vocabulary rank:
-    (s, df, pid, lrn) where lrn is the PER-RANGE-PARTITION rank of s.
-    Range partitions are ordered and s values are distinct (post
-    groupBy), so global_rank(s) = Σ counts of earlier partitions +
-    lrn — assembled by q_dedup_prefix's pass 2. The window is
-    partitioned by pid (parallel, |vocab|/P rows per task); no
-    single-partition window anywhere (tests/test_plans.py gates
-    this)."""
+    """Pass 1 of the two-pass bucketed vocabulary rank: (s, df, bkt,
+    lrn) where bkt = substring(s, 1, 2) and lrn is the PER-BUCKET
+    rank of s. Prefix buckets are order-consistent (bkt₁ < bkt₂ ⇒
+    every s in bkt₁ < every s in bkt₂) and s values are distinct
+    (post groupBy), so global_rank(s) = Σ counts of
+    lexicographically-earlier buckets + lrn — assembled by
+    _vocab_sids' pass 2. The window is partitioned by bkt (parallel,
+    hash-distributed across reducers); no single-partition
+    corpus-scaled window anywhere (tests/test_plans.py gates this).
+    Bucket skew is bounded by the prefix distribution of the shingle
+    vocabulary — widen the prefix for more buckets if a corpus needs
+    it."""
     return (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .repartitionByRange(_P, F.col("s"))
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("bkt", F.substring("s", 1, 2))
         .withColumn(
-            "lrn", F.row_number().over(Window.partitionBy("pid").orderBy("s"))
+            "lrn", F.row_number().over(Window.partitionBy("bkt").orderBy("s"))
         )
     )
 
@@ -146,7 +157,7 @@ def q_dedup_prefix(spark, sf_dir):
     # shingle order, so (df, sid) is the same rarest-first total order
     # as (df, s).
     #
-    # The global rank is the standard TWO-PASS RANGE-PARTITIONED rank
+    # The global rank is the standard TWO-PASS BUCKETED rank
     # (VERDICT r7 item 4 — the previous Window.orderBy("s") with no
     # partitionBy gathered the whole vocabulary into ONE reducer, a
     # real bottleneck at web-scale vocab); see _vocab_sids.

@@ -557,12 +557,10 @@ def test_r7_readability_agg_is_two_phase(spark):
 
 def test_r8_vocab_rank_no_global_window(spark):
     """q_dedup_prefix's dictionary encoding (VERDICT r7 item 4): the
-    vocabulary rank must be the two-pass range-partitioned form — a
-    range Exchange feeding a window PARTITIONED by spark_partition_id
-    — never a Window.orderBy with no partitionBy (a single-reducer
-    gather of the whole vocabulary at web-scale vocab). The pass-1
-    plan is inspected directly because the localCheckpoint inside
-    q_dedup_prefix truncates it out of the query's own plan."""
+    vocabulary rank must be the two-pass bucketed form — a window
+    PARTITIONED by the data-derived prefix bucket — never a
+    Window.orderBy with no partitionBy (a single-reducer gather of
+    the whole vocabulary at web-scale vocab)."""
     import contextlib
     import io
 
@@ -574,14 +572,13 @@ def test_r8_vocab_rank_no_global_window(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "rangepartitioning" in plan.lower()
-    # every window spec must carry a partition column (pid)
+    # every window spec must carry the bucket partition column
     import re
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     for spec in specs:
-        assert "pid#" in spec, f"unpartitioned window spec: {spec}"
+        assert "bkt#" in spec, f"unpartitioned window spec: {spec}"
 
 
 def test_r8_two_pass_rank_equals_global_rank(spark):
