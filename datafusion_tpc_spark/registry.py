@@ -188,3 +188,4 @@ def load_all() -> None:
         retrieval,
     )
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import quantization  # noqa: F401

@@ -38,3 +38,32 @@ def test_ivfeval_measures_the_search_candidates(spark):
     cand = _ivf_candidates(spark, SF_DIR)
     missing = top.join(cand.select("vec_id"), "vec_id", "left_anti").count()
     assert missing == 0
+
+
+def test_sq8_reconstruction_and_recall(spark):
+    """SQ8's 255-level grid on the [-1,1]-ish fixture is near-lossless:
+    quantized ranking must agree with the exact ranking and per-dim
+    worst-case error bounds the MSE (64 dims × (step/2)² with
+    step = range/255 ≤ ~0.02 on this data → mse ≪ 1e-3)."""
+    rows = registry.QUERIES["q_sim_sq8"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert sum(r["in_exact"] for r in rows) >= 8
+    assert 0.0 < rows[0]["mse"] < 1e-3
+    assert all(rows[0]["mse"] == r["mse"] for r in rows)
+    sims = [r["sim_q"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_pqadc_rerank_consistency(spark):
+    """ADC top-10 after exact re-rank: true d2 must be sorted (the
+    re-rank's whole point), every row must carry a positive ADC
+    estimate, and the hit flags must be 0/1. Recall itself is a
+    measurement, not an invariant, on the unclustered gaussian
+    fixture (module docstring) — no floor is pinned."""
+    rows = registry.QUERIES["q_sim_pqadc"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    d2s = [r["d2"] for r in rows]
+    assert d2s == sorted(d2s)
+    assert all(r["adc_d2"] > 0 for r in rows)
+    assert all(r["in_exact"] in (0, 1) for r in rows)

@@ -277,6 +277,8 @@ _BIRTH_ROUND = {
     "q_dedup_eval": 7,
     "q_sim_anneval": 8,
     "q_sim_ivfeval": 8,
+    "q_sim_sq8": 8,
+    "q_sim_pqadc": 8,
 }
 
 
