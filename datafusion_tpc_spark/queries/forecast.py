@@ -359,3 +359,169 @@ def q_evt_backtest(spark, sf_dir):
         F.round(F.sum("abs_err").over(cum) / F.col("rn"), 6).alias("mae_at"),
         F.round(F.sum("smape_c").over(cum) / F.col("rn"), 6).alias("smape_at"),
     ).orderBy(F.col("rn").asc_nulls_last())
+
+
+# ---- Kaplan-Meier survival (round 8) ---------------------------------
+
+_CONV_TYPE = "purchase"
+_CONV_VALUE = 150.0  # conversion = first purchase above this value
+
+
+@query(
+    "q_evt_survival",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, value,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    se AS (SELECT MAX(day) AS send FROM ev),
+    u AS (SELECT user_id, MIN(day) AS fd FROM ev GROUP BY user_id),
+    conv AS (
+      SELECT user_id, MIN(day) AS cd FROM ev
+      WHERE event_type = '{_CONV_TYPE}'
+        AND value > CAST({_CONV_VALUE!r} AS DOUBLE)
+      GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN c.cd IS NOT NULL THEN 1 ELSE 0 END AS ev_flag,
+             CASE WHEN c.cd IS NOT NULL THEN c.cd - u.fd
+                  ELSE se.send - u.fd END AS t
+      FROM u LEFT JOIN conv c ON c.user_id = u.user_id, se
+    ),
+    grid AS (
+      SELECT t, CAST(SUM(ev_flag) AS BIGINT) AS d_events,
+             CAST(COUNT(*) - SUM(ev_flag) AS BIGINT) AS c_censored
+      FROM obs GROUP BY t
+    ),
+    g2 AS (
+      SELECT t, d_events, c_censored,
+             CAST(SUM(d_events + c_censored) OVER (
+               ORDER BY t ASC ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+             CAST(ROW_NUMBER() OVER (ORDER BY t ASC) AS INT) AS rn
+      FROM grid
+    ),
+    rec(rn, s) AS (
+      SELECT 1, ROUND(1.0 - CAST(d_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE), 6)
+      FROM g2 WHERE rn = 1
+      UNION ALL
+      SELECT r.rn + 1,
+             ROUND(r.s * (1.0 - CAST(g.d_events AS DOUBLE)
+                                / CAST(g.n_risk AS DOUBLE)), 6)
+      FROM rec r JOIN g2 g ON g.rn = r.rn + 1
+    )
+    SELECT g.t, g.n_risk, g.d_events, g.c_censored, r.s AS surv
+    FROM g2 g JOIN rec r ON r.rn = g.rn
+    ORDER BY g.t ASC NULLS LAST
+    """,
+)
+def q_evt_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-conversion
+    (first purchase with value > 150, measured in days from each
+    user's first event; users who never convert are right-censored at
+    the study end — the churn/LTV estimator retention matrices can't
+    express because censoring is not a cohort column). Per distinct
+    duration t: at-risk count n_t (everyone with duration ≥ t — an
+    exact BIGINT suffix-window sum), conversions d_t, censorings c_t,
+    and the product-limit estimate S(t) = Π(1 − d/n).
+
+    The survival product is a genuine sequential recurrence (like
+    Holt): Spark folds the ≤|days|-row grid with one aggregate()
+    lambda, DuckDB steps the identical recursion one row per
+    iteration; S is re-ROUND(6)ed at every step so both engines enter
+    each step with identical doubles — the whole curve is hash-exact.
+    d/n divisions are BIGINT-exact inputs; no float accumulates.
+
+    100 TB: the corpus is touched only by the per-user (fd, cd)
+    rollups — map-side-combinable groupBys keyed on user_id; the KM
+    grid itself is |distinct durations| ≤ |days| rows, so the
+    single-partition window and fold run on a vocabulary-bound
+    table (the CUSUM/Holt precedent). Per-cohort curves at scale =
+    the same plan with the cohort key added to every groupBy/window
+    partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+        ).alias("day"),
+    )
+    se = ev.agg(F.max("day").alias("send"))
+    u = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    conv = (
+        ev.filter(
+            (F.col("event_type") == _CONV_TYPE)
+            & (F.col("value") > F.lit(_CONV_VALUE))
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cd"))
+    )
+    obs = (
+        u.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(se))
+        .select(
+            F.when(F.col("cd").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "ev_flag"
+            ),
+            F.when(F.col("cd").isNotNull(), F.col("cd") - F.col("fd"))
+            .otherwise(F.col("send") - F.col("fd"))
+            .alias("t"),
+        )
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev_flag").cast("bigint").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("ev_flag")).cast("bigint").alias("c_censored"),
+    )
+    w_n = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    g2 = grid.select(
+        "t",
+        "d_events",
+        "c_censored",
+        F.sum(F.col("d_events") + F.col("c_censored"))
+        .over(w_n)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    series = g2.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "d_events", "c_censored"))
+        ).alias("s")
+    )
+    init = (
+        "ROUND(1.0D - CAST(s[0].d_events AS DOUBLE)"
+        " / CAST(s[0].n_risk AS DOUBLE), 6)"
+    )
+    step = (
+        "ROUND(acc.sv * (1.0D - CAST(x.d_events AS DOUBLE)"
+        " / CAST(x.n_risk AS DOUBLE)), 6)"
+    )
+    folded = series.select(
+        "s",
+        F.expr(
+            f"""
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              struct({init} AS sv, array({init}) AS hist),
+              (acc, x) -> struct(
+                {step} AS sv,
+                array_append(acc.hist, {step}) AS hist),
+              acc -> acc.hist)
+            """
+        ).alias("hist"),
+    )
+    return (
+        folded.select(
+            F.posexplode(
+                F.expr(
+                    "zip_with(s, hist, (e, h) -> struct("
+                    "e.t AS t, e.n_risk AS n_risk, e.d_events AS d_events, "
+                    "e.c_censored AS c_censored, h AS surv))"
+                )
+            ).alias("idx", "r")
+        )
+        .select("r.t", "r.n_risk", "r.d_events", "r.c_censored", "r.surv")
+        .orderBy(F.col("t").asc_nulls_last())
+    )

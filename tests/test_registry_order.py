@@ -279,6 +279,7 @@ _BIRTH_ROUND = {
     "q_sim_ivfeval": 8,
     "q_sim_sq8": 8,
     "q_sim_pqadc": 8,
+    "q_evt_survival": 8,
 }
 
 
