@@ -79,6 +79,15 @@ def _bucketed_table(spark, sf_dir: str, table: str, key: str) -> str:
                 .saveAsTable(name)
             )
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
+            # One-time sweep of pre-r8 shared-prefix dirs
+            # ({tag}-{fp}-{pid}): the per-table rename above means
+            # they match no live prefix anymore and would leak
+            # forever (review r8). No new-scheme entry starts with
+            # "{tag}-" (they start "{tag}_{table}-"), so everything
+            # under the old prefix is superseded; the sentinel key
+            # exists on no disk, and two-phase marking still gives
+            # any straggler pre-r8 process its 6 h reader window.
+            prune_stale_cache_dirs(_CACHE_ROOT, f"{tag}-r8-prefix-rename")
     return name
 
 

@@ -739,7 +739,10 @@ def q_dedup_eval(spark, sf_dir):
     # Lazy import (the _sign_bucket precedent at q_dedup_embed_lsh):
     # dedup is a driver-window module and a top-level import of
     # prefix_join would drag its registration into the window.
-    from datafusion_tpc_spark.operators.prefix_join import q_dedup_prefix
+    from datafusion_tpc_spark.operators.prefix_join import (
+        drain_sh_caches,
+        q_dedup_prefix,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     exact = (
@@ -753,6 +756,12 @@ def q_dedup_eval(spark, sf_dir):
     finally:
         exact.unpersist()
         cand.unpersist()
+        # the composed q_dedup_prefix call cached its shingle-id
+        # table too (review r8) — release it so the docstring's
+        # "no cached blocks outlive the call" holds for the whole
+        # composition (band_table's cache stays: pre-existing
+        # cross-call shared behavior, per the ADVICE-r7 adjudication)
+        drain_sh_caches()
     m = spark.createDataFrame(
         [(n_exact, n_cand, tp)], "n_exact bigint, n_cand bigint, tp bigint"
     )

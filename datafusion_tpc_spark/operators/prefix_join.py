@@ -36,6 +36,7 @@ map-side-combinable or key-bounded.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Window, functions as F
 
@@ -43,6 +44,40 @@ from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK, shingle_table
 from datafusion_tpc_spark.registry import query
 
 _T = 0.5  # Jaccard threshold — same contract as q_dedup_ngram
+
+# Bound cached-block lifetime across repeated calls (review r8 — the
+# ADVICE-r7 leak class): each q_dedup_prefix call caches its
+# dictionary-encoded shingle table because the returned plan uses the
+# subtree 4× (counts, prefix rank, both set-attach sides); without
+# rotation every call in a long-lived session pins another
+# corpus-scaled InMemoryRelation until session end. Rotating keeps at
+# most ONE call's cache resident; unpersisting under a concurrent
+# execution only costs recompute, never correctness (the
+# test_concurrent_safety contract).
+_SH_CACHE_LOCK = threading.Lock()
+_LIVE_SH_CACHES: list = []
+
+
+def _rotate_sh_cache(df) -> None:
+    with _SH_CACHE_LOCK:
+        while _LIVE_SH_CACHES:
+            try:
+                _LIVE_SH_CACHES.pop().unpersist(blocking=False)
+            except Exception:  # session already stopped — nothing to free
+                pass
+        _LIVE_SH_CACHES.append(df)
+
+
+def drain_sh_caches() -> None:
+    """Release the current call's cache too — for eager-count callers
+    (q_dedup_eval) whose 'no cached blocks outlive the call' contract
+    covers blocks created by the composed q_dedup_prefix call."""
+    with _SH_CACHE_LOCK:
+        while _LIVE_SH_CACHES:
+            try:
+                _LIVE_SH_CACHES.pop().unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def _vocab_sids(sh):
@@ -181,6 +216,7 @@ def q_dedup_prefix(spark, sf_dir):
     if docs_small:
         vocab = F.broadcast(vocab)
     sh_ids = sh.join(vocab, "s").select("doc_id", "sid", "df").cache()
+    _rotate_sh_cache(sh_ids)
     counts = sh_ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
         sh_ids.withColumn(

@@ -114,14 +114,14 @@ _SQE_SPARK = (
     topq AS (
       SELECT vec_id, sim_q,
              CAST(ROW_NUMBER() OVER (
-               ORDER BY sim_q DESC NULLS LAST, vec_id ASC) AS BIGINT) AS rank
+               ORDER BY sim_q DESC NULLS LAST, vec_id ASC NULLS LAST) AS BIGINT) AS rank
       FROM scored QUALIFY rank <= {_K_EVAL}
     ),
     qe AS (SELECT fe AS qfe FROM fv WHERE vec_id = {_QID}),
     exact AS (
       SELECT f.vec_id FROM fv f, qe WHERE f.vec_id <> {_QID}
       ORDER BY ROUND(list_cosine_similarity(f.fe, qe.qfe), 6) DESC NULLS LAST,
-               f.vec_id ASC
+               f.vec_id ASC NULLS LAST
       LIMIT {_K_EVAL}
     )
     SELECT t.rank, t.vec_id, t.sim_q,
@@ -174,13 +174,13 @@ def q_sim_sq8(spark, sf_dir):
         )
     )
     topq = (
-        scored.orderBy(F.col("sim_q").desc_nulls_last(), F.col("vec_id").asc())
+        scored.orderBy(F.col("sim_q").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K_EVAL)
         .select(
             "vec_id",
             "sim_q",
             F.row_number()
-            .over(Window.orderBy(F.col("sim_q").desc_nulls_last(), F.col("vec_id").asc()))
+            .over(Window.orderBy(F.col("sim_q").desc_nulls_last(), F.col("vec_id").asc_nulls_last()))
             .cast("bigint")
             .alias("rank"),
         )
@@ -190,7 +190,7 @@ def q_sim_sq8(spark, sf_dir):
         fv.filter(F.col("vec_id") != _QID)
         .crossJoin(F.broadcast(qe))
         .select("vec_id", F.round(cosine(F.col("fe"), F.col("qfe")), 6).alias("se"))
-        .orderBy(F.col("se").desc_nulls_last(), F.col("vec_id").asc())
+        .orderBy(F.col("se").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K_EVAL)
         .select("vec_id")
     )
@@ -306,7 +306,7 @@ _PQ_SUBS_DUCK = "\n      UNION ALL\n".join(
     seed_rank AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (
                ORDER BY {_h60_duck("concat('pqadc:', CAST(vec_id AS VARCHAR))")} ASC,
-                        vec_id ASC) AS INT) AS cid
+                        vec_id ASC NULLS LAST) AS INT) AS cid
       FROM full_v
       QUALIFY cid <= {_PQ_K}
     ),
@@ -343,7 +343,7 @@ _PQ_SUBS_DUCK = "\n      UNION ALL\n".join(
     ),
     short AS (
       SELECT vec_id, adc_d2 FROM adc
-      ORDER BY adc_d2 ASC NULLS LAST, vec_id ASC LIMIT {_SHORTLIST}
+      ORDER BY adc_d2 ASC NULLS LAST, vec_id ASC NULLS LAST LIMIT {_SHORTLIST}
     ),
     qfull AS (SELECT fe AS qfe FROM full_v WHERE vec_id = {_QID}),
     rer AS (
@@ -356,7 +356,7 @@ _PQ_SUBS_DUCK = "\n      UNION ALL\n".join(
     topq AS (
       SELECT vec_id, d2, adc_d2,
              CAST(ROW_NUMBER() OVER (
-               ORDER BY d2 ASC NULLS LAST, vec_id ASC) AS BIGINT) AS rank
+               ORDER BY d2 ASC NULLS LAST, vec_id ASC NULLS LAST) AS BIGINT) AS rank
       FROM rer QUALIFY rank <= {_K_EVAL}
     ),
     exact AS (
@@ -364,7 +364,7 @@ _PQ_SUBS_DUCK = "\n      UNION ALL\n".join(
       ORDER BY ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
                  i -> (f.fe[i] - qfull.qfe[i]) * (f.fe[i] - qfull.qfe[i]))), 6)
                  ASC NULLS LAST,
-               f.vec_id ASC
+               f.vec_id ASC NULLS LAST
       LIMIT {_K_EVAL}
     )
     SELECT t.rank, t.vec_id, t.d2, t.adc_d2,
@@ -407,7 +407,7 @@ def q_sim_pqadc(spark, sf_dir):
         v = part if v is None else v.unionAll(part)
     w = Window.orderBy(
         h60(F.concat(F.lit("pqadc:"), F.col("vec_id").cast("string"))).asc(),
-        F.col("vec_id").asc(),
+        F.col("vec_id").asc_nulls_last(),
     )
     seed_rank = (
         full_v.select("vec_id")
@@ -453,7 +453,7 @@ def q_sim_pqadc(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
     )
-    short = adc.orderBy(F.col("adc_d2").asc_nulls_last(), F.col("vec_id").asc()).limit(
+    short = adc.orderBy(F.col("adc_d2").asc_nulls_last(), F.col("vec_id").asc_nulls_last()).limit(
         _SHORTLIST
     )
     qfull = full_v.filter(F.col("vec_id") == _QID).select(F.col("fe").alias("qfe"))
@@ -465,14 +465,14 @@ def q_sim_pqadc(spark, sf_dir):
         )
     )
     topq = (
-        rer.orderBy(F.col("d2").asc_nulls_last(), F.col("vec_id").asc())
+        rer.orderBy(F.col("d2").asc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K_EVAL)
         .select(
             "vec_id",
             "d2",
             "adc_d2",
             F.row_number()
-            .over(Window.orderBy(F.col("d2").asc_nulls_last(), F.col("vec_id").asc()))
+            .over(Window.orderBy(F.col("d2").asc_nulls_last(), F.col("vec_id").asc_nulls_last()))
             .cast("bigint")
             .alias("rank"),
         )
@@ -481,7 +481,7 @@ def q_sim_pqadc(spark, sf_dir):
         full_v.filter(F.col("vec_id") != _QID)
         .crossJoin(F.broadcast(qfull))
         .select("vec_id", F.round(F.expr(_D2_FULL_SPARK), 6).alias("ed2"))
-        .orderBy(F.col("ed2").asc_nulls_last(), F.col("vec_id").asc())
+        .orderBy(F.col("ed2").asc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K_EVAL)
         .select("vec_id")
     )

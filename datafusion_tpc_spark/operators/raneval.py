@@ -248,34 +248,28 @@ def q_sim_anneval(spark, sf_dir):
     bit-for-bit. Counts materialize eagerly under try/finally (the
     q_dedup_eval discipline — no cached blocks outlive the call).
 
+    The candidate side IS q_sim_ann's input: _ann_candidates is the
+    exact DataFrame the production search ranks (the _ivf_candidates
+    sharing pattern), so a future probe-policy change cannot leave
+    this eval silently measuring a different candidate set.
+
     100 TB: bucket assignment is one narrow scan (literal weight
-    arrays, no shuffle); the candidate filter is `bucket IN (5
-    ints)`; the exact side is a TakeOrdered top-10. The eval is
+    arrays, no shuffle); the candidate filter is a 5-row broadcast
+    bucket join; the exact side is a TakeOrdered top-10. The eval is
     corpus-linear and runs wherever the index build runs."""
     from datafusion_tpc_spark.operators.similarity import (  # lazy:
         _N_PLANES,  # keeps similarity's registrations out of this
         _QUERY_VEC_ID,  # module's load_all position
-        _sign_bucket,
+        _ann_candidates,
         q_sim_topk,
     )
 
     assert _N_PLANES == _ANN_PLANES and _QUERY_VEC_ID == _QID
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    dim = e.select(F.size("emb")).first()[0]
-    bucketed = e.withColumn("bucket", _sign_bucket(F.col("emb"), dim=dim)).cache()
+    cand = _ann_candidates(spark, sf_dir).select("vec_id").cache()
     try:
-        qbucket = (
-            bucketed.filter(F.col("vec_id") == _QID).select("bucket").first()
-        )["bucket"]
-        probes = sorted({qbucket} | {qbucket ^ (1 << p) for p in range(_ANN_PLANES)})
-        cand = bucketed.filter(F.col("vec_id") != _QID).filter(
-            F.col("bucket").isin(probes)
-        )
         # bounded driver scalars: the exact side is 10 vec_ids (the
         # MMR-pool precedent), so tp is a 10-element IN filter over
-        # the cached bucketed set — no second brute-force pass.
+        # the cached candidate set — no second brute-force pass.
         exact_ids = [
             r["vec_id"]
             for r in q_sim_topk(spark, sf_dir)
@@ -286,9 +280,10 @@ def q_sim_anneval(spark, sf_dir):
         n_exact = len(exact_ids)
         n_cand = cand.count()
         tp = cand.filter(F.col("vec_id").isin(exact_ids)).count()
-        n_corpus = bucketed.filter(F.col("vec_id") != _QID).count()
     finally:
-        bucketed.unpersist()
+        cand.unpersist()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = e.filter(F.col("vec_id") != _QID).count()
     m = spark.createDataFrame(
         [(n_exact, n_cand, tp, n_corpus)],
         "n_exact bigint, n_cand bigint, tp bigint, n_corpus bigint",

@@ -247,14 +247,13 @@ def q_sim_ivf(spark, sf_dir):
     )
 
 
-@query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)
-def q_sim_ann(spark, sf_dir):
-    """Sign-LSH approximate nearest neighbors with 1-bit multi-probe:
-    bucket all vectors by the sign signature, probe the query's bucket
-    plus every bucket at Hamming distance 1 (n_planes+1 probes), rank
-    candidates by exact cosine. One shuffle on the bucket key;
-    per-bucket work is |bucket|·dim. Recall vs q_sim_topk is
-    property-tested (not oracled — ANN is approximate by contract)."""
+def _ann_candidates(spark, sf_dir):
+    """Sign-LSH 1-bit multi-probe candidate stream (vec_id, label,
+    emb, qe, bucket) — everything q_sim_ann does except the final
+    exact-cosine rank+limit, shared with q_sim_anneval (the
+    _ivf_candidates pattern) so the recall eval measures exactly the
+    candidate set the production search ranks and cannot drift from
+    a future probe-policy change."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -265,7 +264,9 @@ def q_sim_ann(spark, sf_dir):
     qrow = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("emb").alias("qe"), F.col("bucket").alias("qbucket")
     )
-    # multi-probe: query bucket + all 1-bit flips of it
+    # multi-probe: query bucket + all 1-bit flips of it; the probe
+    # buckets are pairwise distinct, so each vector matches at most
+    # one probe row — the join is candidate-exact, no dedup needed
     probes = qrow.select(
         "qe",
         F.explode(
@@ -278,9 +279,22 @@ def q_sim_ann(spark, sf_dir):
             )
         ).alias("probe_bucket"),
     )
+    return bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
+    ).filter(F.col("vec_id") != _QUERY_VEC_ID)
+
+
+@query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)
+def q_sim_ann(spark, sf_dir):
+    """Sign-LSH approximate nearest neighbors with 1-bit multi-probe:
+    bucket all vectors by the sign signature, probe the query's bucket
+    plus every bucket at Hamming distance 1 (n_planes+1 probes —
+    _ann_candidates, shared with the recall eval), rank candidates by
+    exact cosine. One shuffle on the bucket key; per-bucket work is
+    |bucket|·dim. Recall vs q_sim_topk is property-tested (not
+    oracled — ANN is approximate by contract)."""
     return (
-        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
-        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        _ann_candidates(spark, sf_dir)
         .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("qe")), 6))
         .select("vec_id", "label", "cos_sim", "bucket")
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())

@@ -485,11 +485,17 @@ def q_evt_survival(spark, sf_dir):
         .cast("bigint")
         .alias("n_risk"),
     )
+    # Degenerate-input guard (the q_evt_holt ADVICE-r7 pattern): on an
+    # empty events table the agg still emits one row with s = [], and
+    # slice(s, 2, -1) would throw at runtime while the oracle's
+    # recursive init emits zero rows — filter to match the empty
+    # result on both engines. KM needs only ONE grid row (unlike
+    # Holt's two-point trend init).
     series = g2.agg(
         F.array_sort(
             F.collect_list(F.struct("t", "n_risk", "d_events", "c_censored"))
         ).alias("s")
-    )
+    ).filter(F.size("s") >= 1)
     init = (
         "ROUND(1.0D - CAST(s[0].d_events AS DOUBLE)"
         " / CAST(s[0].n_risk AS DOUBLE), 6)"

@@ -72,7 +72,14 @@ def q_sink_dpo(spark, sf_dir):
     if os.path.isdir(_DPO_CACHE):
         import time
 
-        cutoff = time.time() - 600
+        # 6 h gate (the prune_stale_cache_dirs reader-support
+        # convention; review r8): releasing the run id in the
+        # finally below makes this age gate the ONLY protection
+        # for a caller still holding the returned lazy read — a
+        # reader that outlives 6 h is unsupported repo-wide, but
+        # a 10-minute window was genuinely reachable by a held
+        # DataFrame re-collected late in a long session.
+        cutoff = time.time() - 21600
         for stale in os.listdir(_DPO_CACHE):
             p = os.path.join(_DPO_CACHE, stale)
             try:
@@ -88,10 +95,10 @@ def q_sink_dpo(spark, sf_dir):
     # Release the run id once the read-back plan is defined (ADVICE
     # r7: _LIVE_RUNS only grew, so a long-lived process never
     # reclaimed its own completed run dirs — two full partitioned
-    # copies of orders each per execution). The 600 s age gate above
+    # copies of orders each per execution). The 6 h age gate above
     # still protects the returned lazy read: a later execution can
-    # only sweep this dir once it is >10 min old, far past the
-    # driver's immediate collect.
+    # only sweep this dir once it is >6 h old — past any supported
+    # reader lifetime, not just the driver's immediate collect.
     try:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"

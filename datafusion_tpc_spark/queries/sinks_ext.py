@@ -70,7 +70,7 @@ def q_sink_json(spark, sf_dir):
     if os.path.isdir(_JSON_SINK_CACHE):
         import time
 
-        cutoff = time.time() - 600
+        cutoff = time.time() - 21600  # 6 h reader-support gate (review r8)
         for stale in os.listdir(_JSON_SINK_CACHE):
             p = os.path.join(_JSON_SINK_CACHE, stale)
             try:
@@ -84,7 +84,7 @@ def q_sink_json(spark, sf_dir):
     path = os.path.join(_JSON_SINK_CACHE, run)
     # Release the run id once the read-back plan is defined (ADVICE
     # r7, via q_sink_dpo): otherwise a long-lived process never
-    # reclaims its own completed run dirs. The 600 s age gate above
+    # reclaims its own completed run dirs. The 6 h age gate above
     # still protects the returned lazy read.
     try:
         docs.write.mode("overwrite").json(path)

@@ -578,11 +578,19 @@ def test_r8_vocab_rank_no_global_window(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     for spec in specs:
-        assert "bkt#" in spec, f"unpartitioned window spec: {spec}"
+        # the PARTITION clause (columns before the first ordered term)
+        # must contain bkt — "bkt#" merely appearing anywhere would
+        # also match the banned Window.orderBy('bkt', 's') shape,
+        # where bkt is an ORDER column ("bkt#N ASC ...") and the
+        # window still gathers into one reducer (review r8)
+        head = spec.split(",", 1)[0].strip()
+        assert "bkt#" in head and " ASC" not in head and " DESC" not in head, (
+            f"window not partitioned by bkt: {spec}"
+        )
 
 
 def test_r8_two_pass_rank_equals_global_rank(spark):
-    """The assembled sid (range-partition offsets + local rank) must
+    """The assembled sid (per-bucket offsets + local rank) must
     equal the global row_number over s — the boundary-independence
     argument in prefix_join.py made executable."""
     from pyspark.sql import Window, functions as F
