@@ -344,3 +344,77 @@ def q_sim_pca(spark, sf_dir):
         )
         .orderBy(F.col("pos").asc_nulls_last())
     )
+
+
+# ---- batched top-k retrieval (round 8) --------------------------------
+
+_BATCH_N = 10  # query batch: vec_ids 0..9
+_BATCH_K = 5   # hits kept per query
+
+
+@query(
+    "q_sim_batch",
+    oracle=f"""
+    WITH qb AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id < {_BATCH_N}
+    ),
+    scored AS (
+      SELECT qb.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qb.qe), 6)
+               AS cos_sim
+      FROM embeddings e JOIN qb ON e.vec_id <> qb.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
+               AS INT) AS rank
+      FROM scored QUALIFY rank <= {_BATCH_K}
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked
+    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
+    """,
+)
+def q_sim_batch(spark, sf_dir):
+    """Batched brute-force retrieval: cosine top-5 for a 10-query
+    batch in ONE plan — the many-queries scale path every single-query
+    operator's docstring (q_sim_topk, q_sim_ndcg) promises, made real.
+    Serving and eval harnesses never issue one query at a time; this
+    is the shape that amortizes the corpus scan across the batch.
+
+    Plan (the q_pipe_domain_cap WindowGroupLimit shape, plan-gated in
+    tests/test_plans.py): broadcast the 10-row query batch, score
+    corpus × batch in the scan projection, then rank ≤ 5 per qid via
+    row_number + filter — Spark's WindowGroupLimit pushes the rank
+    bound to a map-side per-partition top-k BEFORE the qid exchange,
+    so the shuffle carries ≤ k·|batch| rows per partition, not the
+    corpus×batch cross product. At 100 TB with a 10k-query batch the
+    same plan holds: one corpus scan, broadcast batch (or a
+    block-partitioned batch join past broadcast size), k·|batch|
+    shuffle rows per partition. Ordering is the q_sim_topk
+    convention (ROUND(6) score, vec_id tie-break) on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qb = e.filter(F.col("vec_id") < _BATCH_N).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    scored = (
+        e.join(F.broadcast(qb), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
+    )

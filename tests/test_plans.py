@@ -612,3 +612,13 @@ def test_r8_two_pass_rank_equals_global_rank(spark):
     )
     n = two_pass.count()
     assert n > 0 and mismatch == 0, (n, mismatch)
+
+
+def test_sim_batch_uses_window_group_limit(spark):
+    """q_sim_batch: the per-qid top-5 must compile to WindowGroupLimit
+    (map-side per-partition truncation before the qid exchange — the
+    batched-retrieval scale claim in its docstring), and the 10-row
+    query batch must broadcast."""
+    plan = _plan(spark, "q_sim_batch")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

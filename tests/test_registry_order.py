@@ -280,6 +280,7 @@ _BIRTH_ROUND = {
     "q_sim_sq8": 8,
     "q_sim_pqadc": 8,
     "q_evt_survival": 8,
+    "q_sim_batch": 8,
 }
 
 
