@@ -67,3 +67,68 @@ def test_pqadc_rerank_consistency(spark):
     assert d2s == sorted(d2s)
     assert all(r["adc_d2"] > 0 for r in rows)
     assert all(r["in_exact"] in (0, 1) for r in rows)
+
+
+def test_survival_km_invariants(spark):
+    """Kaplan-Meier structural invariants: survival is non-increasing,
+    the at-risk count is strictly decreasing over t, every observed
+    user appears exactly once across (d_events + c_censored), and the
+    first at-risk count equals the observed-user total."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+
+    rows = registry.QUERIES["q_evt_survival"](spark, SF_DIR).collect()
+    assert rows, "non-degenerate fixture expected"
+    survs = [r["surv"] for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    risks = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.countDistinct("user_id"))
+        .first()[0]
+    )
+    assert sum(r["d_events"] + r["c_censored"] for r in rows) == n_users
+    assert risks[0] == n_users
+    assert all(0.0 <= s <= 1.0 for s in survs)
+
+
+def test_sq8_mse_within_grid_bound(spark, ddb):
+    """The per-dimension affine grid bounds worst-case reconstruction
+    error at (range_d / 255 / 2) per component, so the corpus MSE
+    cannot exceed Σ_d (range_d/510)² — a structural cap independent
+    of the data distribution."""
+    bound = ddb.sql(
+        """
+        SELECT SUM(((mx - mn) / 510.0) * ((mx - mn) / 510.0)) AS b
+        FROM (
+          SELECT MIN(x) AS mn, MAX(x) AS mx
+          FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                       unnest(range(1, 65)) AS pos FROM embeddings)
+          GROUP BY pos
+        )
+        """
+    ).fetchone()[0]
+    mse = registry.QUERIES["q_sim_sq8"](spark, SF_DIR).first()["mse"]
+    assert 0.0 < mse <= bound
+
+
+def test_batch_qid0_matches_single_query_topk(spark):
+    """Cross-operator consistency: q_sim_batch's qid=0 ranking must be
+    exactly q_sim_topk's top-5 (same corpus, same exclusion, same
+    ROUND(6)+vec_id ordering convention) — the batched plan is an
+    amortization, never a semantic change."""
+    batch = {
+        (r["rank"], r["vec_id"])
+        for r in registry.QUERIES["q_sim_batch"](spark, SF_DIR)
+        .filter("qid = 0")
+        .collect()
+    }
+    single = {
+        (i + 1, r["vec_id"])
+        for i, r in enumerate(
+            registry.QUERIES["q_sim_topk"](spark, SF_DIR).limit(5).collect()
+        )
+    }
+    assert batch == single
