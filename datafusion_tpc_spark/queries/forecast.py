@@ -367,6 +367,36 @@ _CONV_TYPE = "purchase"
 _CONV_VALUE = 150.0  # conversion = first purchase above this value
 
 
+def _km_fold_expr():
+    """The KM survival fold over a sorted grid array column `s` of
+    struct<t, n_risk, d_events, c_censored>: S re-ROUND(6)ed per step
+    (the Holt discipline), history accumulated so the whole curve
+    comes back as array<double>. Factored out so the hypothesis fuzz
+    (tests/test_property_fuzz.py) can drive the EXACT production
+    expression over generated grids — degenerate shapes (d=n steps,
+    single-row grids, power-of-two tie values at the 7th decimal)
+    the fixture never produces."""
+    init = (
+        "ROUND(1.0D - CAST(s[0].d_events AS DOUBLE)"
+        " / CAST(s[0].n_risk AS DOUBLE), 6)"
+    )
+    step = (
+        "ROUND(acc.sv * (1.0D - CAST(x.d_events AS DOUBLE)"
+        " / CAST(x.n_risk AS DOUBLE)), 6)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          struct({init} AS sv, array({init}) AS hist),
+          (acc, x) -> struct(
+            {step} AS sv,
+            array_append(acc.hist, {step}) AS hist),
+          acc -> acc.hist)
+        """
+    )
+
+
 @query(
     "q_evt_survival",
     oracle=f"""
@@ -496,28 +526,7 @@ def q_evt_survival(spark, sf_dir):
             F.collect_list(F.struct("t", "n_risk", "d_events", "c_censored"))
         ).alias("s")
     ).filter(F.size("s") >= 1)
-    init = (
-        "ROUND(1.0D - CAST(s[0].d_events AS DOUBLE)"
-        " / CAST(s[0].n_risk AS DOUBLE), 6)"
-    )
-    step = (
-        "ROUND(acc.sv * (1.0D - CAST(x.d_events AS DOUBLE)"
-        " / CAST(x.n_risk AS DOUBLE)), 6)"
-    )
-    folded = series.select(
-        "s",
-        F.expr(
-            f"""
-            aggregate(
-              slice(s, 2, size(s) - 1),
-              struct({init} AS sv, array({init}) AS hist),
-              (acc, x) -> struct(
-                {step} AS sv,
-                array_append(acc.hist, {step}) AS hist),
-              acc -> acc.hist)
-            """
-        ).alias("hist"),
-    )
+    folded = series.select("s", _km_fold_expr().alias("hist"))
     return (
         folded.select(
             F.posexplode(

@@ -340,3 +340,63 @@ def setop_tree(draw, depth=0):
 @given(tree=setop_tree())
 def test_fuzz_setops(spark, ddb, tree):
     _run_both(spark, ddb, f"SELECT * FROM {tree}")
+
+
+# ---- KM survival fold vs pure-Python reference (r8) -------------------
+# Drives the EXACT production fold expression (forecast._km_fold_expr)
+# over generated grids — degenerate shapes the events fixture never
+# produces: d=n extinction steps (surv pinned to 0), d=0 plateau rows,
+# single-row grids, and power-of-two ratios whose products land exact
+# decimal ties at the 7th place (0.5^7 = 0.0078125), where Spark's
+# HALF_UP and Python's banker's round() genuinely differ — the
+# reference emulates Spark (BigDecimal-of-shortest-repr, HALF_UP).
+
+
+@st.composite
+def km_grid(draw):
+    n_rows = draw(st.integers(1, 12))
+    rows, at_risk = [], draw(st.integers(1, 4096))
+    for t in range(n_rows):
+        if at_risk == 0:
+            break
+        d = draw(st.integers(0, at_risk))
+        c = draw(st.integers(0, at_risk - d))
+        if d + c == 0:
+            c = 1  # a grid row exists only if someone leaves at t
+        rows.append((t, at_risk, d, c))
+        at_risk -= d + c
+    return rows
+
+
+def _spark_half_up6(x: float) -> float:
+    """Spark ROUND(double, 6): BigDecimal.valueOf(x) (shortest decimal
+    repr, like Python repr) then setScale(6, HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(km_grid())
+def test_km_fold_matches_python_reference(spark, grid):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.queries.forecast import _km_fold_expr
+
+    expected, s = [], 1.0
+    for i, (_, n, d, _c) in enumerate(grid):
+        s = _spark_half_up6((1.0 - d / n) if i == 0 else s * (1.0 - d / n))
+        expected.append(s)
+
+    df = spark.createDataFrame(
+        [(grid,)],
+        "s array<struct<t: bigint, n_risk: bigint, "
+        "d_events: bigint, c_censored: bigint>>",
+    ).select(_km_fold_expr().alias("hist"))
+    got = df.first()["hist"]
+    assert got == expected, f"grid={grid}"
