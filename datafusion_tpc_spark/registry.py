@@ -53,29 +53,22 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-7), so the window is re-pointed each round at (a) every query
+    1-8), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 8 order (VERDICT r7 item 1, the plan
-    computed end-of-r7): the r3-anchored stale greens FIRST —
-    aggregates (14), logs_queries (3), dedup (10: the 8 r3/r4 greens
-    + birth-r7 q_pipe_near_split + q_dedup_eval riding along),
-    pipeline (10) = 37 — then the never-verified birth-r6 block —
-    stats_ext (6), curation (4), audit_ext (1), dedup_ext (1) = 12 —
-    and birth-r7 q_sink_dpo (1) = exactly 50.
+    stalest green rows. Round 9 order (the EDF-forced plan staged
+    end-of-r8, shipped verbatim): the 49 anchor-r4 greens — events
+    (6), joins (13), scalar_functions (10), stream_queries (6),
+    tpch (5: q1/q4/q6/q10/q18), udfs (4), windows (5) — plus the one
+    never-verified birth-r7 single-registration module
+    (q_stream_late, streaming/late_data.py) = exactly 50.
 
-    ROUND-9 PLAN (computed this round by EDF simulation over the
-    post-r8 anchors; NOTE VERDICT r7 item 5's diagnostics+splits+
-    forecast-in-r9 suggestion is infeasible — 49 anchor-r4 greens
-    are forced into r10's window and 96 anchor-r5 greens into r11's,
-    so r9..r11 have only 150-145 = 5 spare slots): r9 = the 49
-    anchor-r4 greens — events (6), joins (13), scalar_functions
-    (10), stream_queries (6), tpch (5), udfs (4), windows (5) — + 1
-    never-verified (q_stream_late, streaming/late_data.py). r10 = 50
-    of the 96 anchor-r5 greens; r11 = the remaining 46 + events_ext
-    (3, birth-r6 deadline r12) + 1; r12 = the birth-r7/birth-r8
-    never-verified backlog (diagnostics, splits, forecast,
-    prefix_join, pq, sketches_ext, semdedup, batching, cdc, mmr,
-    raneval, readability + this round's births, deadline r13/r14).
+    FORWARD PLAN (EDF simulation over the post-r8 anchors): r10 = 50
+    of the 96 anchor-r5 greens (the modules queued first behind the
+    boundary); r11 = the remaining 46 + events_ext (3, birth-r6
+    deadline r12) + 1; r12 = the birth-r7/birth-r8 never-verified
+    backlog (diagnostics, splits, forecast, prefix_join, pq,
+    sketches_ext, semdedup, batching, cdc, mmr, raneval, readability
+    + the r8 births, deadline r13/r14).
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
@@ -87,25 +80,10 @@ def load_all() -> None:
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        aggregates,
-        logs_queries,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        dedup,  # NOTE: pipeline imports dedup — dedup must precede it
-        pipeline,
-    )
-    from datafusion_tpc_spark.queries import stats_ext  # noqa: F401
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        curation,
-        audit_ext,
-        dedup_ext,
-    )
-    from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401
-
-    # --- window boundary (50) — everything below queues behind ---
-    # Round-9 block first (see the r9 plan in the docstring): the 49
-    # anchor-r4 greens + q_stream_late.
+    # Round-9 window (the plan staged end-of-r8): the 49 anchor-r4
+    # greens — events (6), joins (13), scalar_functions (10),
+    # stream_queries (6), tpch (5), udfs (4), windows (5) — +
+    # never-verified birth-r7 q_stream_late = exactly 50.
     from datafusion_tpc_spark.queries import (  # noqa: F401
         events,
         joins,
@@ -118,6 +96,8 @@ def load_all() -> None:
         windows,
     )
     from datafusion_tpc_spark.streaming import late_data  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
     # Round-10/11 anchor-r5 greens, then the r12-bound never-verified
     # backlog (birth-r6 events_ext deadline r12; birth-r7 deadline
     # r13 under cap 5):
@@ -189,3 +169,20 @@ def load_all() -> None:
     )
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
     from datafusion_tpc_spark.operators import quantization  # noqa: F401
+    # r8-window modules, re-verified green in round 8 (freshest —
+    # deadline r13 under cap 5):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        aggregates,
+        logs_queries,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        dedup,  # NOTE: pipeline imports dedup — dedup must precede it
+        pipeline,
+    )
+    from datafusion_tpc_spark.queries import stats_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        curation,
+        audit_ext,
+        dedup_ext,
+    )
+    from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401

@@ -28,65 +28,65 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-8 driver window (VERDICT r7 item 1 — the rotation plan
-# computed end-of-r7): the r3-anchored stale greens — aggregates(14),
-# logs_queries(3), dedup(10, incl. birth-r7 q_pipe_near_split +
-# q_dedup_eval riding along), pipeline(10) — then the never-verified
-# birth-r6 block stats_ext(6) + curation(4) + audit_ext(1) +
-# dedup_ext(1), and birth-r7 q_sink_dpo = exactly 50. The r9 plan
-# (49 anchor-r4 greens + q_stream_late; see registry.load_all's
-# docstring) is already queued immediately behind the boundary.
+# The round-9 driver window (VERDICT r8 item 1 — the rotation plan
+# staged end-of-r8, EDF-forced): the 49 anchor-r4 greens — events(6),
+# joins(13), scalar_functions(10), stream_queries(6),
+# tpch(5: q1/q4/q6/q10/q18), udfs(4), windows(5) — plus the one
+# never-verified birth-r7 single-registration module
+# (q_stream_late, streaming/late_data.py) = exactly 50. The r10 plan
+# (50 of the 96 anchor-r5 greens; see registry.load_all's docstring)
+# is already queued immediately behind the boundary.
 EXPECTED_WINDOW_50 = [
-    "q_agg_arrayagg",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_pivot",
-    "q_agg_stats",
-    "q_agg_median",
-    "q_agg_pctl",
-    "q_agg_pctl_w",
-    "q_agg_approxd",
-    "q_agg_having",
-    "q_udaf",
-    "q_agg_salted",
-    "q_logs_scan",
-    "q_logs_filter",
-    "q_logs_agg",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_minhash",
-    "q_dedup_minhash_capped",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_dedup_embed_lsh",
-    "q_dedup_clusters",
-    "q_pipe_near_split",
-    "q_dedup_eval",
-    "q_pipe_sample",
-    "q_pipe_split",
-    "q_pipe_sample_stratified",
-    "q_pipe_quality_filter",
-    "q_pipe_tfidf",
-    "q_pipe_bm25",
-    "q_pipe_pii_redact",
-    "q_pipe_contamination",
-    "q_pipe_canonical",
-    "q_pipe_kept",
-    "q_agg_corrmat",
-    "q_agg_entropy",
-    "q_agg_winsorize",
-    "q_agg_bootstrap",
-    "q_agg_tdigest",
-    "q_agg_theta",
-    "q_pipe_forget",
-    "q_pipe_curriculum",
-    "q_pipe_bpe_train",
-    "q_pipe_shard",
-    "q_dq_reconcile",
-    "q_dedup_incr",
-    "q_sink_dpo",
+    "q_agg_avg",
+    "q_fn_date",
+    "q_fn_datebin",
+    "q_evt_tumble",
+    "q_evt_session",
+    "q_evt_hop",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_join_residual",
+    "q_join_salted",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_regex",
+    "q_fn_hash",
+    "q_fn_nondet",
+    "q_explode",
+    "q_fn_struct",
+    "q_fn_blake",
+    "q_fn_blake3",
+    "q_fn_json",
+    "q_stream_tumble",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_join",
+    "q_stream_hop",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_udf",
+    "q_udf_iter",
+    "q_udf_grouped_map",
+    "q_udtf",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_movavg",
+    "q_win_range",
+    "q_win_dist",
+    "q_stream_late",
 ]
 
 
