@@ -273,6 +273,14 @@ def q_sim_anneval(spark, sf_dir):
         exact_ids = [
             r["vec_id"]
             for r in q_sim_topk(spark, sf_dir)
+            # ADVICE r8: a re-limit on top of q_sim_topk's internal
+            # orderBy+limit(20) preserves sorted order only as
+            # current-Spark behavior, not an API contract — re-apply
+            # the ordering so the top-10 selection is explicit.
+            .orderBy(
+                F.col("cos_sim").desc_nulls_last(),
+                F.col("vec_id").asc_nulls_last(),
+            )
             .limit(_K_ANN)
             .select("vec_id")
             .collect()
@@ -327,6 +335,14 @@ def q_sim_ivfeval(spark, sf_dir):
         exact_ids = [
             r["vec_id"]
             for r in q_sim_topk(spark, sf_dir)
+            # ADVICE r8: a re-limit on top of q_sim_topk's internal
+            # orderBy+limit(20) preserves sorted order only as
+            # current-Spark behavior, not an API contract — re-apply
+            # the ordering so the top-10 selection is explicit.
+            .orderBy(
+                F.col("cos_sim").desc_nulls_last(),
+                F.col("vec_id").asc_nulls_last(),
+            )
             .limit(_K_ANN)
             .select("vec_id")
             .collect()

@@ -94,8 +94,8 @@ def test_sink_run_ids_released(spark):
     """(r8, ADVICE r7) the JSON and DPO sinks must release their run
     ids once the read-back plan exists — a long-lived process
     otherwise never reclaims its own completed run dirs — and the
-    returned DataFrame must still collect afterwards (the 600 s age
-    gate protects the pending read)."""
+    returned DataFrame must still collect afterwards (the 6 h
+    (21600 s) reader-support age gate protects the pending read)."""
     from datafusion_tpc_spark.queries import sinks_dpo, sinks_ext
 
     df_json = registry.QUERIES["q_sink_json"](spark, SF_DIR)
