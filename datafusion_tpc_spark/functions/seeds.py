@@ -26,10 +26,14 @@ every existing DuckDB oracle are unchanged — the oracles keep their
 QUALIFY row_number form because on K rows vs the corpus the SELECTED
 rows are the same.
 
-Plan-gated by tests/test_plans.py::test_r9_seed_pick_no_corpus_window
+Adopted (round 10) by all three trainers — kmeans.py (q_sim_kmeans),
+pq.py (q_sim_pq), quantization.py (q_sim_pqadc) — each joining the
+broadcast K-row seed set back to the vector table. Plan-gated by
+tests/test_plans.py::test_r9_seed_pick_no_corpus_window
 (TakeOrderedAndProject present; the only partition-less window sits
-above the K-row limit) and by the unchanged output hashes of
-q_sim_kmeans / q_sim_pq / q_sim_pqadc in driver_mirror.
+above the K-row limit; source-level wiring check on the three
+consumers) and by the unchanged output hashes of q_sim_kmeans /
+q_sim_pq / q_sim_pqadc in driver_mirror.
 """
 
 from __future__ import annotations

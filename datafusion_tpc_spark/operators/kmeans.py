@@ -32,10 +32,11 @@ oracle readable, the plan shape is the product.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import _h60_duck, h60
+from datafusion_tpc_spark.functions.digest import _h60_duck
+from datafusion_tpc_spark.functions.seeds import seed_pick
 from datafusion_tpc_spark.registry import query
 
 _K = 4
@@ -140,14 +141,11 @@ def q_sim_kmeans(spark, sf_dir):
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    w = Window.orderBy(
-        h60(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).asc(),
-        F.col("vec_id").asc(),
-    )
-    cents = (
-        v.withColumn("cid", F.row_number().over(w).cast("int"))
-        .filter(F.col("cid") <= _K)
-        .select("cid", "e")
+    # seed_pick = TakeOrderedAndProject(K) map-side heap, NOT a
+    # corpus-wide partition-less rank (VERDICT r8 item 2) — identical
+    # (h60, vec_id) order so the QUALIFY oracle selects the same rows.
+    cents = v.join(F.broadcast(seed_pick(v, "km:", _K)), "vec_id").select(
+        "cid", "e"
     )
     assign = None
     for _ in range(_ITERS):

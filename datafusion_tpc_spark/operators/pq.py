@@ -25,10 +25,11 @@ column, not a loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import _h60_duck, h60
+from datafusion_tpc_spark.functions.digest import _h60_duck
+from datafusion_tpc_spark.functions.seeds import seed_pick
 from datafusion_tpc_spark.registry import query
 
 _K = 4
@@ -159,15 +160,10 @@ def q_sim_pq(spark, sf_dir):
             F.slice("fe", _SUBDIM + 1, _SUBDIM).alias("e"),
         )
     )
-    w = Window.orderBy(
-        h60(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).asc(),
-        F.col("vec_id").asc(),
-    )
-    seed_rank = (
-        full_v.select("vec_id")
-        .withColumn("cid", F.row_number().over(w).cast("int"))
-        .filter(F.col("cid") <= _K)
-    )
+    # seed_pick = TakeOrderedAndProject(K) map-side heap, NOT a
+    # corpus-wide partition-less rank (VERDICT r8 item 2) — identical
+    # (h60, vec_id) order so the QUALIFY oracle selects the same rows.
+    seed_rank = F.broadcast(seed_pick(full_v, "pq:", _K))
     cents = v.join(seed_rank, "vec_id").select("sub", "cid", "e")
     assign = None
     for _ in range(_ITERS):

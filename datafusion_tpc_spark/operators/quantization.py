@@ -55,7 +55,8 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import _h60_duck, cosine, h60
+from datafusion_tpc_spark.functions.digest import _h60_duck, cosine
+from datafusion_tpc_spark.functions.seeds import seed_pick
 from datafusion_tpc_spark.registry import query
 
 _QID = 0  # query vector (q_sim_topk convention)
@@ -405,15 +406,10 @@ def q_sim_pqadc(spark, sf_dir):
             F.slice("fe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("e"),
         )
         v = part if v is None else v.unionAll(part)
-    w = Window.orderBy(
-        h60(F.concat(F.lit("pqadc:"), F.col("vec_id").cast("string"))).asc(),
-        F.col("vec_id").asc_nulls_last(),
-    )
-    seed_rank = (
-        full_v.select("vec_id")
-        .withColumn("cid", F.row_number().over(w).cast("int"))
-        .filter(F.col("cid") <= _PQ_K)
-    )
+    # seed_pick = TakeOrderedAndProject(K) map-side heap, NOT a
+    # corpus-wide partition-less rank (VERDICT r8 item 2) — identical
+    # (h60, vec_id) order so the QUALIFY oracle selects the same rows.
+    seed_rank = F.broadcast(seed_pick(full_v, "pqadc:", _PQ_K))
     cents = v.join(seed_rank, "vec_id").select("sub", "cid", "e")
     for _ in range(_PQ_ITERS):
         cents = _pq_update(_pq_assign(v, cents))

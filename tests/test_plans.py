@@ -622,3 +622,59 @@ def test_sim_batch_uses_window_group_limit(spark):
     plan = _plan(spark, "q_sim_batch")
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_r9_seed_pick_no_corpus_window(spark):
+    """The k-means-family seed selection (VERDICT r8 item 2 / r9 item
+    1): seeds must come from seed_pick's TakeOrderedAndProject(K)
+    map-side heap, never from a corpus-wide partition-less
+    row_number window (Exchange SinglePartition + global Sort of
+    every (vec_id, hash) row).
+
+    Three assertions:
+    1. seed_pick's own plan: TakeOrderedAndProject present, and its
+       single partition-less window sits ABOVE the K-row limit (the
+       plan is a linear chain, so the Window line precedes the
+       TakeOrderedAndProject line in topmost-first explain output).
+    2. The three consumers (kmeans, pq, quantization) actually call
+       seed_pick — source-level wiring check so a revert to the
+       inline ranked form fails here, not in a benchmark.
+    3. q_sim_kmeans / q_sim_pq full plans: TakeOrderedAndProject
+       present and exactly ONE partition-less windowspecdefinition
+       (the K-row cid numbering) — a reintroduced corpus window
+       would add a second.
+    """
+    import inspect
+    import re
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.functions.seeds import seed_pick
+    from datafusion_tpc_spark.operators import kmeans, pq, quantization
+
+    # 1. seed_pick subtree shape
+    v = load_table(spark, SF_DIR, "embeddings").select("vec_id")
+    df = seed_pick(v, "gate:", 4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    win_at = plan.index("Window")
+    tko_at = plan.index("TakeOrderedAndProject")
+    assert win_at < tko_at, plan  # window consumes the K-row limit
+
+    # 2. wiring: all three trainers call seed_pick
+    for mod in (kmeans, pq, quantization):
+        src = inspect.getsource(mod)
+        assert "seed_pick(" in src, mod.__name__
+        assert mod.seed_pick is seed_pick, mod.__name__
+
+    # 3. full trainer plans
+    for qname in ("q_sim_kmeans", "q_sim_pq"):
+        p = _plan(spark, qname)
+        assert "TakeOrderedAndProject" in p, qname
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        # exactly one window — the K-row cid numbering (partition-less
+        # by design: its input is the TakeOrdered K-row result, not
+        # the corpus). A second window = the ranked form crept back.
+        assert len(specs) == 1, (qname, specs)
