@@ -53,22 +53,23 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-8), so the window is re-pointed each round at (a) every query
+    1-9), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 9 order (the EDF-forced plan staged
-    end-of-r8, shipped verbatim): the 49 anchor-r4 greens — events
-    (6), joins (13), scalar_functions (10), stream_queries (6),
-    tpch (5: q1/q4/q6/q10/q18), udfs (4), windows (5) — plus the one
-    never-verified birth-r7 single-registration module
-    (q_stream_late, streaming/late_data.py) = exactly 50.
+    stalest green rows. Round 10 order (the EDF-forced plan staged
+    end-of-r8, shipped verbatim): 50 of the 96 anchor-r5 greens —
+    sorts (4), setops (7), arrays (2), tpch_extra (3), scans (10),
+    predicates (3), subqueries (6), stream_sink (1), asof (2),
+    chunking (4), text (5), aggregates_ext (3) = exactly 50.
 
-    FORWARD PLAN (EDF simulation over the post-r8 anchors): r10 = 50
-    of the 96 anchor-r5 greens (the modules queued first behind the
-    boundary); r11 = the remaining 46 + events_ext (3, birth-r6
-    deadline r12) + 1; r12 = the birth-r7/birth-r8 never-verified
-    backlog (diagnostics, splits, forecast, prefix_join, pq,
-    sketches_ext, semdedup, batching, cdc, mmr, raneval, readability
-    + the r8 births, deadline r13/r14).
+    FORWARD PLAN (EDF simulation over the post-r9 anchors): r11 = the
+    remaining 46 anchor-r5 greens (tpch_full, tpch_more, sql_shapes,
+    typefns, sinks, sketches, audit, sampling, layout, bloom) +
+    events_ext (3, birth-r6 deadline r12) + bucketing (1) = 50,
+    ALREADY STAGED as the first block behind the boundary — the r11
+    rotation is a one-line boundary move; r12 = the birth-r7/birth-r8
+    never-verified backlog (prefix_join, splits, pq, diagnostics,
+    sketches_ext, forecast, semdedup, batching, cdc, mmr, raneval,
+    readability + the r8 births, deadline r13/r14), staged second.
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
@@ -80,27 +81,11 @@ def load_all() -> None:
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
-    # Round-9 window (the plan staged end-of-r8): the 49 anchor-r4
-    # greens — events (6), joins (13), scalar_functions (10),
-    # stream_queries (6), tpch (5), udfs (4), windows (5) — +
-    # never-verified birth-r7 q_stream_late = exactly 50.
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        events,
-        joins,
-        scalar_functions,
-    )
-    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        tpch,
-        udfs,
-        windows,
-    )
-    from datafusion_tpc_spark.streaming import late_data  # noqa: F401
-
-    # --- window boundary (50) — everything below queues behind ---
-    # Round-10/11 anchor-r5 greens, then the r12-bound never-verified
-    # backlog (birth-r6 events_ext deadline r12; birth-r7 deadline
-    # r13 under cap 5):
+    # Round-10 window (the plan staged end-of-r8): 50 of the 96
+    # anchor-r5 greens — sorts (4), setops (7), arrays (2),
+    # tpch_extra (3), scans (10), predicates (3), subqueries (6),
+    # stream_sink (1), asof (2), chunking (4), text (5),
+    # aggregates_ext (3) = exactly 50.
     from datafusion_tpc_spark.queries import (  # noqa: F401
         sorts,
         setops,
@@ -116,14 +101,18 @@ def load_all() -> None:
         chunking,
         text,
     )
+    from datafusion_tpc_spark.queries import aggregates_ext  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
+    # r11 pre-staged block (exactly 50 — the rotation is a one-line
+    # boundary move): the remaining 46 anchor-r5 greens + events_ext
+    # (3, birth-r6 deadline r12) + bucketing (1):
     from datafusion_tpc_spark.queries import (  # noqa: F401
-        aggregates_ext,
         tpch_full,
         tpch_more,
         sql_shapes,
         typefns,
         sinks,
-        events_ext,
     )
     from datafusion_tpc_spark.operators import (  # noqa: F401
         sketches,
@@ -131,7 +120,12 @@ def load_all() -> None:
         sampling,
         layout,
         bloom,
-        bucketing,
+    )
+    from datafusion_tpc_spark.queries import events_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import bucketing  # noqa: F401
+    # r12-bound never-verified backlog (birth-r7 deadline r13 under
+    # cap 5; birth-r8 deadline r14):
+    from datafusion_tpc_spark.operators import (  # noqa: F401
         prefix_join,
         splits,
         pq,
@@ -169,8 +163,7 @@ def load_all() -> None:
     )
     from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
     from datafusion_tpc_spark.operators import quantization  # noqa: F401
-    # r8-window modules, re-verified green in round 8 (freshest —
-    # deadline r13 under cap 5):
+    # r8-window modules, re-verified green in round 8:
     from datafusion_tpc_spark.queries import (  # noqa: F401
         aggregates,
         logs_queries,
@@ -186,3 +179,17 @@ def load_all() -> None:
         dedup_ext,
     )
     from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401
+    # r9-window modules, re-verified green in round 9 (freshest —
+    # deadline r14 under cap 5):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events,
+        joins,
+        scalar_functions,
+    )
+    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        tpch,
+        udfs,
+        windows,
+    )
+    from datafusion_tpc_spark.streaming import late_data  # noqa: F401

@@ -28,65 +28,65 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-9 driver window (VERDICT r8 item 1 — the rotation plan
-# staged end-of-r8, EDF-forced): the 49 anchor-r4 greens — events(6),
-# joins(13), scalar_functions(10), stream_queries(6),
-# tpch(5: q1/q4/q6/q10/q18), udfs(4), windows(5) — plus the one
-# never-verified birth-r7 single-registration module
-# (q_stream_late, streaming/late_data.py) = exactly 50. The r10 plan
-# (50 of the 96 anchor-r5 greens; see registry.load_all's docstring)
-# is already queued immediately behind the boundary.
+# The round-10 driver window (VERDICT r9 item 2 — the rotation plan
+# staged end-of-r8, EDF-forced): 50 of the 96 anchor-r5 greens —
+# sorts(4), setops(7), arrays(2), tpch_extra(3), scans(10),
+# predicates(3), subqueries(6), stream_sink(1), asof(2), chunking(4),
+# text(5), aggregates_ext(3) = exactly 50. The r11 plan (the
+# remaining 46 anchor-r5 greens + events_ext + bucketing; see
+# registry.load_all's docstring) is already staged immediately
+# behind the boundary — the r11 rotation is a one-line boundary move.
 EXPECTED_WINDOW_50 = [
-    "q_agg_avg",
-    "q_fn_date",
-    "q_fn_datebin",
-    "q_evt_tumble",
-    "q_evt_session",
-    "q_evt_hop",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_join_residual",
-    "q_join_salted",
-    "q_fn_math",
-    "q_fn_string",
-    "q_fn_regex",
-    "q_fn_hash",
-    "q_fn_nondet",
-    "q_explode",
-    "q_fn_struct",
-    "q_fn_blake",
-    "q_fn_blake3",
-    "q_fn_json",
-    "q_stream_tumble",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    "q_stream_join",
-    "q_stream_hop",
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q18",
-    "q_udf",
-    "q_udf_iter",
-    "q_udf_grouped_map",
-    "q_udtf",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_movavg",
-    "q_win_range",
-    "q_win_dist",
-    "q_stream_late",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk",
+    "q_topk_group",
+    "q_union",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_distinct",
+    "q_except_all",
+    "q_intersect_all",
+    "q_fn_array",
+    "q_fn_map",
+    "q_tpch_q7",
+    "q_tpch_q14",
+    "q_tpch_q21",
+    "q_scan_full",
+    "q_filter_proj",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_values",
+    "q_scan_avro",
+    "q_scan_partitioned",
+    "q_scan_orc",
+    "q_scan_xml",
+    "q_scan_dpp",
+    "q_pred_algebra",
+    "q_pred_like",
+    "q_case_cast",
+    "q_sub_in",
+    "q_sub_notin",
+    "q_sub_scalar",
+    "q_sub_corr_scalar",
+    "q_agg_gsets",
+    "q_cte",
+    "q_stream_sink",
+    "q_asof_join",
+    "q_range_join",
+    "q_pipe_chunk",
+    "q_pipe_rep",
+    "q_pipe_pack",
+    "q_pipe_upsert",
+    "q_text_stats",
+    "q_text_lang",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_text_vocab",
+    "q_agg_mode",
+    "q_agg_hist",
+    "q_agg_decimal",
 ]
 
 
