@@ -3,8 +3,9 @@ iterative-ML composite: both halves of Lloyd's algorithm as DataFrame
 ops, bit-reproducibly oracled in DuckDB by unrolling the iterations
 (the q_graph_pagerank pattern, applied to a vector workload).
 
-Relation to the rest of the similarity layer: q_sim_ivf trains its
-coarse quantizer on a bounded DRIVER sample (fine for codebooks);
+Relation to the rest of the similarity layer: since r10 q_sim_ivf's
+coarse quantizer trains with THIS choreography (shared via
+functions/lloyd.py, on L2-normalized vectors — functions/ivf.py);
 q_sim_centroid is the distributed cluster-UPDATE step alone. This
 operator runs the full loop distributed — assignment is a broadcast
 cross-expansion + encoded-bigint argmin (hash-aggregatable, the
@@ -36,6 +37,9 @@ from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import _h60_duck
+from datafusion_tpc_spark.functions.lloyd import assign as _assign
+from datafusion_tpc_spark.functions.lloyd import duck_iter
+from datafusion_tpc_spark.functions.lloyd import update as _update
 from datafusion_tpc_spark.functions.seeds import seed_pick
 from datafusion_tpc_spark.registry import query
 
@@ -43,70 +47,11 @@ _K = 4
 _DIM = 64
 _ITERS = 2
 
-_D2_SPARK = (
-    "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), "
-    "cast(0.0 as double), (acc, x) -> acc + x)"
-)
-
-
-def _assign(v, cents):
-    """vec → nearest centroid: broadcast expansion + min over the
-    encoded bigint round(d2·1e6)·10 + cid (hash agg, no sort)."""
-    pairs = v.crossJoin(
-        F.broadcast(cents.select("cid", F.col("e").alias("ce")))
-    )
-    enc = (
-        F.round(F.expr(_D2_SPARK) * 1e6).cast("bigint") * 10 + F.col("cid")
-    ).alias("enc")
-    return (
-        pairs.select("vec_id", "e", enc)
-        .groupBy("vec_id")
-        .agg(F.min("enc").alias("enc"), F.first("e").alias("e"))
-    )
-
-
-def _update(assign):
-    """cells' new centroids: posexplode → (cid, dim) avg, components
-    rounded to 6dp so both engines start the next iteration from
-    identical doubles."""
-    comp = assign.select(
-        F.pmod(F.col("enc"), F.lit(10)).cast("int").alias("cid"),
-        F.posexplode("e").alias("pos0", "x"),
-    )
-    return (
-        comp.groupBy("cid", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cid", F.expr("transform(pc, s -> s.c)").alias("e"))
-    )
-
 
 def _duck_iter(n: int, cent_rel: str) -> str:
-    return f"""
-    p{n} AS (
-      SELECT v.vec_id, v.e,
-             CAST(ROUND(list_sum(list_transform(range(1, {_DIM + 1}),
-                    i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) * 1e6, 0)
-                  AS BIGINT) * 10 + c.cid AS enc
-      FROM v, {cent_rel} c
-    ),
-    a{n} AS (
-      SELECT vec_id, ANY_VALUE(e) AS e, MIN(enc) AS enc
-      FROM p{n} GROUP BY vec_id
-    ),
-    x{n} AS (
-      SELECT CAST(enc % 10 AS INT) AS cid,
-             unnest(e) AS x,
-             CAST(unnest(range(1, {_DIM + 1})) AS INT) AS pos
-      FROM a{n}
-    ),
-    m{n} AS (
-      SELECT cid, pos, ROUND(AVG(x), 6) AS c FROM x{n} GROUP BY cid, pos
-    ),
-    c{n} AS (
-      SELECT cid, list(c ORDER BY pos ASC) AS e FROM m{n} GROUP BY cid
-    )"""
+    # factored to functions/lloyd.py in r10 (shared with the IVF
+    # coarse quantizer, functions/ivf.py) — SQL text unchanged.
+    return duck_iter(n, cent_rel, _DIM)
 
 
 @query(

@@ -305,11 +305,36 @@ def q_sim_anneval(spark, sf_dir):
     )
 
 
-@query("q_sim_ivfeval")  # † rows-only: the coarse quantizer is a
-# driver-side numpy k-means (deterministic, but not SQL-expressible —
-# unlike q_sim_anneval's md5 sign-buckets there is no DuckDB twin);
-# internal-consistency + recall-floor invariants are pytest-gated in
-# tests/test_r8_ops.py.
+def _ivfeval_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import ivf_duck_cte
+
+    return f"""
+    WITH {ivf_duck_cte()},
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {_QID}),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> {_QID}
+      ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+                 DESC NULLS LAST,
+               e.vec_id ASC NULLS LAST
+      LIMIT {_K_ANN}
+    ),
+    m AS (SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM exact e JOIN cand c ON e.vec_id = c.vec_id) AS tp,
+      (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM cand) AS n_cells,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE vec_id <> {_QID}) AS n_corpus)
+    SELECT n_exact, n_cand, tp, n_cells,
+           ROUND(tp * 1.0 / n_exact, 6) AS recall_at_k,
+           ROUND(n_cand * 1.0 / n_corpus, 6) AS cand_frac
+    FROM m
+    """
+
+
+@query("q_sim_ivfeval", oracle=_ivfeval_oracle())
 def q_sim_ivfeval(spark, sf_dir):
     """Measured recall for the IVF probe (r8 — completes the
     measurement leg for the LAST approximate family: LSH banding has
@@ -320,7 +345,13 @@ def q_sim_ivfeval(spark, sf_dir):
     production probe, not a reimplementation. One row: recall@10,
     candidate-set size, corpus fraction, cells probed.
 
-    100 TB: candidate generation is the broadcast-GEMM scan of
+    EXACT-oracled since r10 (VERDICT r9 item 3 — graduated † → EXACT
+    the way q_sim_anneval did in r8): the coarse quantizer is now the
+    distributed h60-seeded Lloyd choreography of functions/ivf.py,
+    and the oracle retrains it in SQL (ivf_duck_cte), so candidate
+    membership, cell count, and both ratios must match bit-for-bit.
+
+    100 TB: candidate generation is the broadcast-argmin scan of
     q_sim_ivf (no shuffle of the embedding table); the eval adds two
     count aggregates and a 10-element IN filter."""
     from datafusion_tpc_spark.operators.similarity import (  # lazy —
@@ -367,3 +398,335 @@ def q_sim_ivfeval(spark, sf_dir):
         F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6).alias("recall_at_k"),
         F.round(F.col("n_cand") * 1.0 / F.col("n_corpus"), 6).alias("cand_frac"),
     )
+
+
+# ---- batched eval legs (round 10, VERDICT r9 item 4) -------------------
+
+_BATCH_N = 10  # qids 0..9 (the q_sim_batch convention, retrieval.py)
+
+
+@query(
+    "q_sim_ndcg_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    qb AS (
+      SELECT vec_id AS qid, label AS qlabel, emb AS qe FROM e
+      WHERE vec_id < {_BATCH_N}
+    ),
+    scored AS (
+      SELECT qb.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.emb, qb.qe), 6) AS sim,
+             CAST(e.label = qb.qlabel AS INT) AS rel
+      FROM e JOIN qb ON e.vec_id <> qb.qid
+    ),
+    top AS (
+      SELECT qid, vec_id, sim, rel,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS LAST)
+               AS INT) AS rank
+      FROM scored QUALIFY rank <= {_K}
+    ),
+    ranked AS (
+      SELECT qid, rel, rank, SUM(rel) OVER (PARTITION BY qid) AS nrel
+      FROM top
+    ),
+    contrib AS (
+      SELECT qid, rel, rank,
+             CAST(ROUND(ROUND(rel / log2(rank + 1.0), 6) * 1e6, 0)
+                  AS BIGINT) AS c_u,
+             CAST(CASE WHEN rank <= nrel
+                       THEN ROUND(ROUND(1.0 / log2(rank + 1.0), 6) * 1e6, 0)
+                       ELSE 0 END AS BIGINT) AS i_u
+      FROM ranked
+    ),
+    perq AS (
+      SELECT CAST(qid AS INT) AS qid,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(c_u) AS BIGINT) AS dcg_u,
+             CAST(SUM(i_u) AS BIGINT) AS idcg_u,
+             ROUND(SUM(rel) * 1.0 / {_K}, 6) AS prec10,
+             ROUND(MAX(rel * 1.0 / rank), 6) AS rr10
+      FROM contrib GROUP BY qid
+    ),
+    perq2 AS (
+      SELECT qid, n_rel,
+             ROUND(CASE WHEN idcg_u = 0 THEN 0
+                        ELSE dcg_u * 1.0 / idcg_u END, 6) AS ndcg10,
+             prec10, rr10
+      FROM perq
+    )
+    SELECT qid, n_rel, ndcg10, prec10, rr10 FROM perq2
+    UNION ALL
+    SELECT CAST(-1 AS INT) AS qid,
+           CAST(SUM(n_rel) AS BIGINT) AS n_rel,
+           ROUND(CAST(SUM(CAST(ROUND(ndcg10 * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                 / {_BATCH_N}e6, 6) AS ndcg10,
+           ROUND(CAST(SUM(CAST(ROUND(prec10 * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                 / {_BATCH_N}e6, 6) AS prec10,
+           ROUND(CAST(SUM(CAST(ROUND(rr10 * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                 / {_BATCH_N}e6, 6) AS rr10
+    FROM perq2
+    """,
+)
+def q_sim_ndcg_batch(spark, sf_dir):
+    """Batched retrieval-quality eval (VERDICT r9 item 4 — one
+    query's recall is noise; ten is a measurement): nDCG@10,
+    precision@10, reciprocal rank and relevant-count for EACH of the
+    10 batch queries (qids 0-9, the q_sim_batch convention), plus a
+    macro-average row (qid = -1) over the batch. Relevance = shares
+    the query vector's class label (the q_sim_ndcg convention).
+
+    Plan: the q_sim_batch shape — broadcast the 10-row query batch,
+    score corpus × batch in the scan projection, rank ≤ 10 per qid
+    via row_number + filter (WindowGroupLimit truncates map-side
+    BEFORE the qid exchange — plan-gated in tests/test_plans.py),
+    then a 100-row metric aggregation. At 100 TB with a 10k-query
+    batch the same plan holds: one corpus scan, k·|batch| shuffle
+    rows per partition.
+
+    Determinism: per-rank DCG contributions are ROUND-6ed after the
+    transcendental log2 (the q_sim_ndcg discipline), then summed as
+    1e-6 micro-unit BIGINTs — so the per-qid sums and the macro
+    averages are exact integer arithmetic, immune to float-sum order
+    (the late-r7 integer-sum discipline), with ONE division + ROUND
+    at display."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    qb = e.filter(F.col("vec_id") < _BATCH_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qe"),
+    )
+    scored = e.join(F.broadcast(qb), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("sim"),
+        (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("qid", "rel", "rank")
+    )
+    ranked = top.withColumn(
+        "nrel", F.sum("rel").over(Window.partitionBy("qid"))
+    )
+    contrib = ranked.select(
+        "qid",
+        "rel",
+        "rank",
+        F.round(F.round(F.col("rel") / F.log2(F.col("rank") + 1.0), 6) * 1e6)
+        .cast("bigint")
+        .alias("c_u"),
+        F.when(
+            F.col("rank") <= F.col("nrel"),
+            F.round(
+                F.round(F.lit(1.0) / F.log2(F.col("rank") + 1.0), 6) * 1e6
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("i_u"),
+    )
+    perq = contrib.groupBy(F.col("qid").cast("int").alias("qid")).agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum("c_u").cast("bigint").alias("dcg_u"),
+        F.sum("i_u").cast("bigint").alias("idcg_u"),
+        F.round(F.sum("rel") * 1.0 / _K, 6).alias("prec10"),
+        F.round(F.max(F.col("rel") * 1.0 / F.col("rank")), 6).alias("rr10"),
+    )
+    perq2 = perq.select(
+        "qid",
+        "n_rel",
+        F.round(
+            F.when(F.col("idcg_u") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg_u") * 1.0 / F.col("idcg_u")
+            ),
+            6,
+        ).alias("ndcg10"),
+        "prec10",
+        "rr10",
+    )
+
+    def _macro(col):
+        return F.round(
+            F.sum(F.round(F.col(col) * 1e6).cast("bigint")).cast("double")
+            / (_BATCH_N * 1e6),
+            6,
+        ).alias(col)
+
+    macro = perq2.agg(
+        F.sum("n_rel").cast("bigint").alias("n_rel"),
+        _macro("ndcg10"),
+        _macro("prec10"),
+        _macro("rr10"),
+    ).select(
+        F.lit(-1).cast("int").alias("qid"), "n_rel", "ndcg10", "prec10", "rr10"
+    )
+    return perq2.unionAll(macro)
+
+
+@query(
+    "q_sim_anneval_batch",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {_bucket_duck()} AS bucket FROM embeddings
+    ),
+    qb AS (
+      SELECT vec_id AS qid, bucket AS qbucket FROM b
+      WHERE vec_id < {_BATCH_N}
+    ),
+    probes AS (
+      SELECT DISTINCT qid, pb FROM (
+        SELECT qid, unnest([qbucket,
+                            xor(qbucket, 1), xor(qbucket, 2),
+                            xor(qbucket, 4), xor(qbucket, 8)]) AS pb
+        FROM qb)
+    ),
+    cand AS (
+      SELECT p.qid, b.vec_id FROM b JOIN probes p ON b.bucket = p.pb
+      WHERE b.vec_id <> p.qid
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    qe AS (SELECT vec_id AS qid, emb AS qemb FROM e
+           WHERE vec_id < {_BATCH_N}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qe.qid, e.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qe.qid
+                 ORDER BY ROUND(list_cosine_similarity(e.emb, qe.qemb), 6)
+                            DESC NULLS LAST,
+                          e.vec_id ASC NULLS LAST) AS INT) AS rank
+        FROM e JOIN qe ON e.vec_id <> qe.qid)
+      WHERE rank <= {_K_ANN}
+    ),
+    perq AS (
+      SELECT CAST(q.qid AS INT) AS qid,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
+              WHERE x.qid = q.qid) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+              WHERE c.qid = q.qid) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM exact x JOIN cand c
+                ON x.qid = c.qid AND x.vec_id = c.vec_id
+              WHERE x.qid = q.qid) AS tp
+      FROM qb q
+    )
+    SELECT qid, n_exact, n_cand, tp,
+           ROUND(tp * 1.0 / n_exact, 6) AS recall10
+    FROM perq
+    UNION ALL
+    SELECT CAST(-1 AS INT) AS qid,
+           CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(n_cand) AS BIGINT) AS n_cand,
+           CAST(SUM(tp) AS BIGINT) AS tp,
+           ROUND(SUM(tp) * 1.0 / SUM(n_exact), 6) AS recall10
+    FROM perq
+    """,
+)
+def q_sim_anneval_batch(spark, sf_dir):
+    """Batched sign-LSH recall eval (VERDICT r9 item 4): for EACH of
+    the 10 batch queries, the candidate-set size and recall@10 of the
+    1-bit multi-probe bucket policy (q_sim_ann's probe: own bucket +
+    all 1-bit flips), plus a micro-averaged row (qid = -1) — recall
+    pooled as Σtp/Σn_exact, an exact integer ratio (no
+    rounded-average-of-rounded-values drift).
+
+    Plan: bucket assignment is ONE narrow scan (literal md5-derived
+    weights — the q_sim_ann path); the probe filter is a 50-row
+    broadcast join; the exact side is the q_sim_batch
+    WindowGroupLimit shape (plan-gated). At 100 TB with a 10k-query
+    batch: one scan for buckets, one for the exact legs, k·|batch|
+    shuffle rows — the eval runs wherever the index build runs."""
+    from datafusion_tpc_spark.operators.similarity import (  # lazy —
+        _N_PLANES,  # keeps similarity's registrations out of this
+        _sign_bucket,  # module's load_all position
+    )
+
+    assert _N_PLANES == _ANN_PLANES
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = e.select(F.size("emb")).first()[0]
+    b = e.select(
+        "vec_id", "emb", _sign_bucket(F.col("emb"), dim=dim).alias("bucket")
+    )
+    qb = b.filter(F.col("vec_id") < _BATCH_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = qb.select(
+        "qid",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(_ANN_PLANES)
+                ],
+            )
+        ).alias("pb"),
+    ).distinct()
+    cand = (
+        b.join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    exact = (
+        e.join(F.broadcast(qb.select("qid", "qemb")), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K_ANN)
+        .select("qid", "vec_id")
+    )
+    n_exact = exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    n_cand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    tp = (
+        exact.join(cand, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    perq = (
+        qb.select(F.col("qid").cast("int").alias("qid"))
+        .join(n_exact, "qid", "left")
+        .join(n_cand, "qid", "left")
+        .join(tp, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .withColumn(
+            "recall10", F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6)
+        )
+    )
+    macro = perq.agg(
+        F.sum("n_exact").cast("bigint").alias("n_exact"),
+        F.sum("n_cand").cast("bigint").alias("n_cand"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.round(F.sum("tp") * 1.0 / F.sum("n_exact"), 6).alias("recall10"),
+    ).select(F.lit(-1).cast("int").alias("qid"), "n_exact", "n_cand", "tp", "recall10")
+    return perq.unionAll(macro)

@@ -1,10 +1,14 @@
 """Similarity search over embeddings — north-star extension (SURVEY.md
 §7/M5, no reference counterpart).
 
-Two paths over the `embeddings` fixture (array<float> 64-dim):
+Three search paths over the `embeddings` fixture (array<float>
+64-dim):
 - brute-force cosine top-k (exact baseline, exact DuckDB oracle),
-- sign-LSH bucketed ANN (the scale path; rows-only † with a recall
-  property test in tests/test_extensions.py).
+- sign-LSH bucketed ANN (rows-only † with a recall property test in
+  tests/test_extensions.py),
+- IVF probe-cell ANN (EXACT-oracled since r10 — the coarse quantizer
+  is the distributed SQL-derivable choreography of functions/ivf.py),
+plus q_sim_centroid, the distributed cluster-update build block.
 
 Scale notes (100 TB): brute-force top-k against ONE query vector is a
 single scan + TakeOrderedAndProject — actually fine at any scale
@@ -152,94 +156,39 @@ def _ivf_candidates(spark, sf_dir):
     rank+limit, shared with q_sim_ivfeval (r8) so the recall eval
     measures exactly the candidate stream the search ranks.
 
-    IVF (inverted-file) approximate nearest neighbors — the
-    k-means-cell alternative to sign-LSH:
+    Round 10 (VERDICT r9 item 3): the coarse quantizer is the fully
+    DISTRIBUTED h60-seeded Lloyd choreography of functions/ivf.py
+    (seed_pick TakeOrdered K=8 seeds, 2 broadcast-argmin iterations,
+    ROUND-6 centroid state), replacing the r5 driver-side numpy
+    sample loop — every step now has a DuckDB twin, so q_sim_ivf and
+    q_sim_ivfeval are EXACT-oracled (see functions/ivf.py for the
+    full choreography and the 100 TB plan-shape argument)."""
+    from datafusion_tpc_spark.functions.ivf import QID, ivf_candidates
 
-    1. train a coarse quantizer: deterministic k-means (centroids
-       seeded from the first k vectors by vec_id, 5 Lloyd iterations)
-       on a driver-side sample — at 100 TB the sample is a tiny
-       fraction and training stays O(sample·k·dim);
-    2. assign every vector to its nearest centroid via one broadcast
-       mapInPandas pass (block GEMM — no shuffle);
-    3. search only the query's nprobe=2 nearest cells, exact cosine
-       within them.
-
-    Cell sizes are data-adaptive (unlike LSH's fixed hyperplanes), so
-    recall is typically higher at equal candidate-set size."""
-    import numpy as np
-    import pandas as pd
-
-    # Sample-size→cells rule (the _N_PLANES-style growth law, VERDICT
-    # r5 item 8): the 256-vector driver sample must keep ≥ ~32 sample
-    # points per cell for stable Lloyd updates, so k_cells ≤ sample/32.
-    # Scaling up: k_cells grows ~√corpus (IVF convention), and the
-    # sample grows 32× k_cells — still driver-bounded (a 100 TB corpus
-    # with k_cells=4096 trains on a 128k-vector sample, ~64 MB at
-    # dim=64). The sample fetch itself is a TakeOrdered, fine at any
-    # corpus size.
-    k_cells, nprobe = 8, 2
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    sample = e.orderBy("vec_id").limit(256).collect()  # deterministic sample
-    mat = np.asarray([r["emb"] for r in sample], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    centroids = mat[:k_cells].copy()
-    for _ in range(5):  # Lloyd iterations on the normalized sample
-        assign = (mat @ centroids.T).argmax(axis=1)
-        for c in range(k_cells):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / np.linalg.norm(m)
-    qv = np.asarray(
-        [r["emb"] for r in sample if r["vec_id"] == _QUERY_VEC_ID], dtype=np.float64
-    )
-    if not len(qv):
-        qv = np.asarray(
-            [e.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["emb"]]
-        )
-    qv = qv[0] / np.linalg.norm(qv[0])
-    probe_cells = set(int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe])
-
-    sc = spark.sparkContext
-    b_cent, b_q = sc.broadcast(centroids), sc.broadcast(qv)
-
-    def search(batches):
-        cent, q = b_cent.value, b_q.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.asarray(list(pdf["emb"]), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            cells = (m @ cent.T).argmax(axis=1)
-            in_probe = np.isin(cells, list(probe_cells))
-            keep = in_probe & (pdf["vec_id"].to_numpy() != _QUERY_VEC_ID)
-            if not keep.any():
-                continue
-            sims = m[keep] @ q
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy()[keep],
-                    "label": pdf["label"].to_numpy()[keep],
-                    "cos_sim": np.round(sims, 6),
-                    "cell": cells[keep],
-                }
-            ).astype(
-                {"vec_id": "int64", "label": "int32", "cos_sim": "float64", "cell": "int32"}
-            )
-
-    return e.mapInPandas(
-        search, schema="vec_id long, label int, cos_sim double, cell int"
-    )
+    assert QID == _QUERY_VEC_ID
+    return ivf_candidates(spark, sf_dir)
 
 
-@query("q_sim_ivf")  # † rows-only: approximate (recall tested in pytest)
+def _ivf_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import ivf_duck_cte
+
+    return f"""
+    WITH {ivf_duck_cte()}
+    SELECT vec_id, label, cos_sim, cell FROM cand
+    ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST
+    LIMIT {_K}
+    """
+
+
+@query("q_sim_ivf", oracle=_ivf_oracle())
 def q_sim_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors: rank the probe-cell
-    candidate stream (_ivf_candidates — train coarse quantizer on a
-    driver sample, broadcast-GEMM assign, search nprobe=2 cells) by
-    exact cosine and keep the top-k."""
+    candidate stream (_ivf_candidates — distributed h60-seeded coarse
+    quantizer, broadcast-argmin assign, search nprobe=2 cells) by
+    exact cosine and keep the top-k. EXACT-oracled since r10: the
+    DuckDB oracle retrains the identical quantizer in SQL
+    (functions/ivf.py::ivf_duck_cte), so every cell assignment and
+    every candidate score must match bit-for-bit."""
     return (
         _ivf_candidates(spark, sf_dir)
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
@@ -319,9 +268,9 @@ def q_sim_ann(spark, sf_dir):
 )
 def q_sim_centroid(spark, sf_dir):
     """Distributed per-label centroid build — the cluster-update half
-    of k-means / the IVF codebook build (q_sim_ivf trains its coarse
-    quantizer on a bounded driver sample; THIS is the full-data
-    distributed variant): posexplode the vector column and average
+    of k-means / the IVF codebook build (since r10 q_sim_ivf's coarse
+    quantizer trains fully distributed with this same update shape —
+    functions/lloyd.py): posexplode the vector column and average
     per (label, dimension). Long-format output (label, pos, c) — one
     row per centroid component — keeps arrays out of the oracle
     comparison entirely.

@@ -32,6 +32,45 @@ _A = 0.5  # level smoothing (exact binary double)
 _B = 0.3  # trend smoothing
 
 
+def _holt_fold_expr():
+    """The PRODUCTION Holt fold over a column `s` of
+    array<struct<day, v>> (sorted, size ≥ 2): one sequential
+    aggregate() with a (l, b, hist) struct accumulator, emitting the
+    full array<struct<l, b>> trajectory (length = size(s)).
+
+    Fold over elements 2..n (slice is 1-based): the recurrence
+    applies from rn=2; hist[0] is the rn=1 init state (l₁ = v₁,
+    b₁ = v₂ − v₁), so hist zips 1:1 with the series. Both state
+    variables re-ROUND(…, 6) at EVERY step — the cross-engine
+    exactness argument in the module docstring. Factored (r10,
+    VERDICT r9 item 5) so tests/test_property_fuzz.py can drive the
+    exact production expression over degenerate generated grids the
+    events fixture never produces."""
+    step_l = f"ROUND({_A!r}D * x.v + (1.0D - {_A!r}D) * (acc.l + acc.b), 6)"
+    step_b = (
+        f"ROUND({_B!r}D * ({step_l} - acc.l) + (1.0D - {_B!r}D) * acc.b, 6)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          slice(s, 2, size(s) - 1),
+          struct(
+            CAST(s[0].v AS DOUBLE) AS l,
+            CAST(s[1].v - s[0].v AS DOUBLE) AS b,
+            array(struct(CAST(s[0].v AS DOUBLE) AS l,
+                         CAST(s[1].v - s[0].v AS DOUBLE) AS b)) AS hist
+          ),
+          (acc, x) -> struct(
+            {step_l} AS l,
+            {step_b} AS b,
+            array_append(acc.hist, struct({step_l} AS l, {step_b} AS b)) AS hist
+          ),
+          acc -> acc.hist
+        )
+        """
+    )
+
+
 # Shared by q_evt_holt and q_evt_backtest: daily series + the Holt
 # recurrence stepped one row per iteration with per-step ROUND(6) on
 # both state variables.
@@ -102,35 +141,7 @@ def q_evt_holt(spark, sf_dir):
     series = daily.agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
     ).filter(F.size("s") >= 2)
-    # Fold over elements 2..n (slice is 1-based): the recurrence
-    # applies from rn=2; hist[0] is the rn=1 init state, so hist ends
-    # at length n and zips 1:1 with the full series.
-    step_l = f"ROUND({_A!r}D * x.v + (1.0D - {_A!r}D) * (acc.l + acc.b), 6)"
-    step_b = (
-        f"ROUND({_B!r}D * ({step_l} - acc.l) + (1.0D - {_B!r}D) * acc.b, 6)"
-    )
-    folded = series.select(
-        F.expr(
-            f"""
-            aggregate(
-              slice(s, 2, size(s) - 1),
-              struct(
-                CAST(s[0].v AS DOUBLE) AS l,
-                CAST(s[1].v - s[0].v AS DOUBLE) AS b,
-                array(struct(CAST(s[0].v AS DOUBLE) AS l,
-                             CAST(s[1].v - s[0].v AS DOUBLE) AS b)) AS hist
-              ),
-              (acc, x) -> struct(
-                {step_l} AS l,
-                {step_b} AS b,
-                array_append(acc.hist, struct({step_l} AS l, {step_b} AS b)) AS hist
-              ),
-              acc -> acc.hist
-            )
-            """
-        ).alias("hist"),
-        "s",
-    )
+    folded = series.select(_holt_fold_expr().alias("hist"), "s")
     return (
         folded.select(
             F.posexplode(

@@ -678,3 +678,17 @@ def test_r9_seed_pick_no_corpus_window(spark):
         # by design: its input is the TakeOrdered K-row result, not
         # the corpus). A second window = the ranked form crept back.
         assert len(specs) == 1, (qname, specs)
+
+
+def test_r10_batched_evals_use_window_group_limit(spark):
+    """q_sim_ndcg_batch / q_sim_anneval_batch (VERDICT r9 item 4):
+    the per-qid top-k must compile to WindowGroupLimit (map-side
+    truncation before the qid exchange — the q_sim_batch shape) and
+    the 10-row query batch must broadcast, so the corpus never
+    shuffles wide."""
+    for qname in ("q_sim_ndcg_batch", "q_sim_anneval_batch"):
+        plan = _plan(spark, qname)
+        assert "WindowGroupLimit" in plan, qname
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        ), qname

@@ -400,3 +400,141 @@ def test_km_fold_matches_python_reference(spark, grid):
     ).select(_km_fold_expr().alias("hist"))
     got = df.first()["hist"]
     assert got == expected, f"grid={grid}"
+
+
+# ---- Holt fold vs pure-Python reference (r10, VERDICT r9 item 5) ------
+# Drives the EXACT production fold (forecast._holt_fold_expr) over
+# generated series — degenerate shapes the events fixture never
+# produces: two-point series, constant plateaus (b pinned to 0), and
+# dyadic values whose state lands exact decimal ties at the 7th place,
+# where Spark's HALF_UP and Python's banker's round() differ.
+
+
+@st.composite
+def holt_series(draw):
+    n = draw(st.integers(2, 12))
+    # BIGINT daily counts (the production input type) plus dyadic
+    # quarters — exact doubles that can produce exact 7th-place ties
+    return [
+        draw(st.integers(0, 4096)) + draw(st.sampled_from([0, 0, 1, 2, 3])) / 4.0
+        for _ in range(n)
+    ]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(holt_series())
+def test_holt_fold_matches_python_reference(spark, vals):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.queries.forecast import _A, _B, _holt_fold_expr
+
+    l = float(vals[0])
+    b = float(vals[1]) - float(vals[0])
+    expected = [(l, b)]
+    for v in vals[1:]:
+        # identical expression shapes to the fold: (1.0 - _B) is NOT
+        # 0.7 in binary — reuse the same subtraction
+        l_new = _spark_half_up6(_A * v + (1.0 - _A) * (l + b))
+        b_new = _spark_half_up6(_B * (l_new - l) + (1.0 - _B) * b)
+        expected.append((l_new, b_new))
+        l, b = l_new, b_new
+
+    df = spark.createDataFrame(
+        [([{"day": i, "v": v} for i, v in enumerate(vals)],)],
+        "s array<struct<day: bigint, v: double>>",
+    ).select(_holt_fold_expr().alias("hist"))
+    got = [(r["l"], r["b"]) for r in df.first()["hist"]]
+    assert got == expected, f"vals={vals}"
+
+
+# ---- CUSUM running-frame sum vs pure-Python fold (r10) ----------------
+# The q_evt_cusum claim made executable: a running-frame window SUM
+# folds SEQUENTIALLY in the same order on both engines, so given
+# identical deviation inputs the cumulative series is BIT-exact (no
+# rounding needed mid-series), and only the display max/min round.
+# Dyadic inputs (k/64) keep the devs exact; mixed signs and repeated
+# values exercise cancellation.
+
+
+@st.composite
+def cusum_series(draw):
+    n = draw(st.integers(1, 24))
+    return [draw(st.integers(-4096, 4096)) / 64.0 for _ in range(n)]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cusum_series())
+def test_cusum_running_sum_matches_python_fold(spark, devs):
+    from pyspark.sql import Window, functions as F
+
+    expected, acc = [], 0.0
+    for d in devs:
+        acc = acc + d
+        expected.append(acc)
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], "i int, dev double"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = [
+        r["s"]
+        for r in df.select("i", F.sum("dev").over(w).alias("s"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == expected, f"devs={devs}"  # BIT-exact, pre-round
+    assert _spark_half_up6(max(got)) == _spark_half_up6(max(expected))
+    assert _spark_half_up6(min(got)) == _spark_half_up6(min(expected))
+
+
+# ---- EMA positional fold vs pure-Python reference (r10) ---------------
+# Drives the EXACT production fold (windows_ext._ema_fold_expr) over
+# generated frames: single-element frames, full 32-element frames, and
+# zero runs. The pow(0.8, k) weight table is read back FROM Spark so
+# the reference tests the FOLD (zip order, reversed-slice alignment,
+# accumulation sequence), not libm's pow — a last-ulp pow divergence
+# between JVM and Python would otherwise alias as a fold bug.
+
+
+@st.composite
+def ema_frame(draw):
+    n = draw(st.integers(1, 32))
+    return [draw(st.integers(-4096, 4096)) / 64.0 for _ in range(n)]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ema_frame())
+def test_ema_fold_matches_python_reference(spark, vals):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.queries.windows_ext import _ema_fold_expr
+
+    wtable = spark.sql(
+        "SELECT transform(sequence(0, 31), k -> pow(0.8, cast(k AS DOUBLE))) AS w"
+    ).first()["w"]
+    m = len(vals)
+    weights = list(reversed(wtable[:m]))  # oldest gets highest power
+    acc = 0.0
+    for x, wgt in zip(vals, weights):
+        acc = acc + x * wgt
+    expected = _spark_half_up6(0.2 * acc)
+
+    df = spark.createDataFrame([(vals,)], "vals array<double>").select(
+        _ema_fold_expr().alias("ema")
+    )
+    assert df.first()["ema"] == expected, f"vals={vals}"

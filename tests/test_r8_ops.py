@@ -1,7 +1,8 @@
-"""Round-8 operator invariants: the IVF recall eval (rows-only — the
-coarse quantizer is driver-side numpy k-means with no DuckDB twin, so
-its correctness evidence is these invariants plus the shared
-candidate-stream plumbing with q_sim_ivf)."""
+"""Round-8 operator invariants: the IVF recall eval. Since r10 the
+coarse quantizer is the distributed h60-seeded Lloyd choreography of
+functions/ivf.py and q_sim_ivf/q_sim_ivfeval are EXACT-oracled; these
+invariants additionally pin the MEASURED retrieval quality (recall
+floor + beats-blind-sampling) that hash parity alone cannot."""
 
 from __future__ import annotations
 
@@ -21,10 +22,17 @@ def test_ivfeval_consistency_and_recall_floor(spark):
     assert 0.0 <= r["recall_at_k"] <= 1.0
     assert 0.0 < r["cand_frac"] < 1.0
     assert r["n_cells"] <= 2  # nprobe=2
-    # measured 0.9 on the fixtures at sf0.001/0.01; a deterministic
-    # quantizer on fixed data cannot drift, so a generous floor still
-    # catches a broken probe (e.g. empty cells or wrong assignment)
-    assert r["recall_at_k"] >= 0.7
+    # r10 distributed spherical quantizer: measured 0.4 (sf0.001) /
+    # 0.6 (sf0.01) at cand_frac ≈ 0.25-0.27 — the unclustered gaussian
+    # fixture is IVF's worst case (the quantization.py fixture-honesty
+    # note; the old 0.9 came from the r5 sample-trained quantizer's
+    # imbalanced cells, i.e. a larger effective candidate mass).
+    # Two invariants a broken probe cannot fake: an absolute floor,
+    # and recall STRICTLY ABOVE the blind-sampling baseline — probing
+    # cand_frac of the corpus at random would recover ≈ cand_frac of
+    # the true top-10, so the data-adaptive cells must beat it.
+    assert r["recall_at_k"] >= 0.3
+    assert r["recall_at_k"] > r["cand_frac"]
 
 
 def test_ivfeval_measures_the_search_candidates(spark):

@@ -281,6 +281,8 @@ _BIRTH_ROUND = {
     "q_sim_pqadc": 8,
     "q_evt_survival": 8,
     "q_sim_batch": 8,
+    "q_sim_ndcg_batch": 10,
+    "q_sim_anneval_batch": 10,
 }
 
 
