@@ -88,11 +88,11 @@ def _renorm(cents):
     return cents.select("cid", F.expr(_RENORM_E).alias("e"))
 
 
-def ivf_candidates(spark, sf_dir):
-    """IVF probe candidate set (vec_id, label, cos_sim, cell) for the
-    query vector — everything q_sim_ivf does except the final
-    rank+limit, shared with q_sim_ivfeval so the recall eval measures
-    exactly the candidate stream the search ranks."""
+def ivf_model(spark, sf_dir):
+    """(raw, v, cents, assigned): the raw corpus, its normalized
+    view, the TRAINED literal codebook, and the final cell
+    assignment — shared by q_sim_ivf, q_sim_ivfeval and
+    q_sim_ivf_batch so every consumer searches the identical index."""
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -121,6 +121,15 @@ def ivf_candidates(spark, sf_dir):
         "emb",
         F.pmod(F.col("enc"), F.lit(10)).cast("int").alias("cell"),
     )
+    return raw, v, cents, assigned
+
+
+def ivf_candidates(spark, sf_dir):
+    """IVF probe candidate set (vec_id, label, cos_sim, cell) for the
+    query vector — everything q_sim_ivf does except the final
+    rank+limit, shared with q_sim_ivfeval so the recall eval measures
+    exactly the candidate stream the search ranks."""
+    raw, v, cents, assigned = ivf_model(spark, sf_dir)
     qn = v.filter(F.col("vec_id") == QID).select(F.col("e").alias("qe"))
     probe = (
         cents.crossJoin(F.broadcast(qn))
@@ -148,10 +157,12 @@ def ivf_candidates(spark, sf_dir):
     )
 
 
-def ivf_duck_cte() -> str:
-    """The full IVF choreography as DuckDB CTEs ending in `cand`
-    (vec_id, label, cos_sim, cell) — the SQL twin of ivf_candidates,
-    shared by q_sim_ivf's and q_sim_ivfeval's oracles."""
+def ivf_duck_train_cte() -> str:
+    """The TRAINING half of the IVF choreography as DuckDB CTEs —
+    raw, v (normalized), seeds, the unrolled spherical iterations
+    (c{n}/cr{n}), and `asn` (vec_id, label, emb, cell: the final
+    assignment under cr{IVF_ITERS}). Shared by the single-query tail
+    (ivf_duck_cte) and q_sim_ivf_batch's oracle."""
     h = _h60_duck("concat('ivf:', CAST(vec_id AS VARCHAR))")
     # each iteration reads the previous iteration's RE-NORMALIZED
     # centroids (cr{n}), mirroring _renorm(update(assign(...)))
@@ -189,7 +200,15 @@ def ivf_duck_cte() -> str:
       SELECT vec_id, ANY_VALUE(label) AS label, ANY_VALUE(emb) AS emb,
              CAST(MIN(enc) % 10 AS INT) AS cell
       FROM p{fin} GROUP BY vec_id
-    ),
+    )"""
+
+
+def ivf_duck_cte() -> str:
+    """The full single-query IVF choreography as DuckDB CTEs ending
+    in `cand` (vec_id, label, cos_sim, cell) — the SQL twin of
+    ivf_candidates, shared by q_sim_ivf's and q_sim_ivfeval's
+    oracles."""
+    return f"""{ivf_duck_train_cte()},
     qn AS (SELECT e AS qe FROM v WHERE vec_id = {QID}),
     qraw AS (SELECT emb AS qemb FROM raw WHERE vec_id = {QID}),
     probe AS (

@@ -22,7 +22,7 @@ scales with data, per-bucket work stays bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import cosine
@@ -193,6 +193,130 @@ def q_sim_ivf(spark, sf_dir):
         _ivf_candidates(spark, sf_dir)
         .orderBy(F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last())
         .limit(_K)
+    )
+
+
+_IVF_BATCH_N = 10  # qids 0..9 (the q_sim_batch convention)
+_IVF_BATCH_K = 5   # per-qid depth (q_sim_batch convention)
+
+
+def _ivf_batch_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import (
+        IVF_DIM,
+        IVF_ITERS,
+        IVF_NPROBE,
+        ivf_duck_train_cte,
+    )
+
+    return f"""
+    WITH {ivf_duck_train_cte()},
+    qb AS (
+      SELECT vec_id AS qid, e AS qe, emb AS qemb FROM v
+      WHERE vec_id < {_IVF_BATCH_N}
+    ),
+    pd AS (
+      SELECT qb.qid, c.cid,
+             CAST(ROUND(list_sum(list_transform(range(1, {IVF_DIM + 1}),
+                    i -> (qb.qe[i] - c.e[i]) * (qb.qe[i] - c.e[i]))) * 1e6, 0)
+                  AS BIGINT) * 10 + c.cid AS enc
+      FROM cr{IVF_ITERS} c, qb
+    ),
+    probe AS (
+      SELECT qid, CAST(cid AS INT) AS cell FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC) AS rnk
+        FROM pd)
+      WHERE rnk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+             ROUND(list_cosine_similarity(a.emb, qb.qemb), 6) AS cos_sim,
+             a.cell
+      FROM asn a JOIN probe p ON a.cell = p.cell
+                 JOIN qb ON qb.qid = p.qid
+      WHERE a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim, cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
+               AS INT) AS rank
+      FROM cand QUALIFY rank <= {_IVF_BATCH_K}
+    )
+    SELECT qid, rank, vec_id, cos_sim, cell FROM ranked
+    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
+    """
+
+
+@query("q_sim_ivf_batch", oracle=_ivf_batch_oracle())
+def q_sim_ivf_batch(spark, sf_dir):
+    """Batched IVF search: cosine top-5 for a 10-query batch through
+    the nprobe=2 probe path in ONE plan — completes the batch story
+    across the search paths (q_sim_batch = brute force,
+    q_sim_ndcg_batch/q_sim_anneval_batch = batched evals, THIS = the
+    index-backed serving shape). The index (trained codebook + cell
+    assignment) comes from functions/ivf.py::ivf_model — the
+    identical index q_sim_ivf serves single queries from.
+
+    Plan: the cell assignment is the one broadcast-argmin corpus
+    scan; per-qid probe cells are an 80-row ranking (WindowGroupLimit);
+    candidates join the (qid, cell) probe table broadcast, score only
+    within probed cells, and the per-qid top-5 is a second
+    WindowGroupLimit — plan-gated in tests/test_plans.py. At 100 TB
+    with a 10k-query batch: one corpus scan, ≤ k·|batch| shuffle rows
+    per partition, probe table |batch|·nprobe rows broadcast.
+
+    EXACT-oracled: the oracle retrains the quantizer in SQL
+    (ivf_duck_train_cte) and replays the identical probe + ranking —
+    every cell id, candidate membership, and score must match
+    bit-for-bit."""
+    from datafusion_tpc_spark.functions.ivf import IVF_NPROBE, ivf_model
+
+    raw, v, cents, assigned = ivf_model(spark, sf_dir)
+    qb = v.filter(F.col("vec_id") < _IVF_BATCH_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("emb").alias("qemb"),
+    )
+    d2q = (
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    pd = qb.crossJoin(
+        F.broadcast(cents.select("cid", F.col("e").alias("ce")))
+    ).select(
+        "qid",
+        "cid",
+        (
+            F.round(F.expr(d2q) * 1e6).cast("bigint") * 10 + F.col("cid")
+        ).alias("enc"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("enc").asc())
+    probe = (
+        pd.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select("qid", F.col("cid").cast("int").alias("cell"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qb.select("qid", "qemb")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
+            "cell",
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _IVF_BATCH_K)
+        .select("qid", "rank", "vec_id", "cos_sim", "cell")
+        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
     )
 
 

@@ -538,3 +538,52 @@ def test_ema_fold_matches_python_reference(spark, vals):
         _ema_fold_expr().alias("ema")
     )
     assert df.first()["ema"] == expected, f"vals={vals}"
+
+
+# ---- seed_pick ≡ ranked-window equivalence (r10) ----------------------
+# The r10 seed fix's core claim: the TakeOrdered(K) map-side heap
+# (functions/seeds.py) selects EXACTLY the rows the corpus-wide
+# row_number().over(Window.orderBy(h60, vec_id)) form selected, with
+# identical cid numbering — over arbitrary vec_id sets (duplicated
+# hashes impossible: vec_id is the tie-break), k larger than the
+# input, k = 1, and adversarial id gaps.
+
+
+@st.composite
+def vec_ids(draw):
+    ids = draw(
+        st.lists(st.integers(0, 10_000_000), min_size=1, max_size=40, unique=True)
+    )
+    k = draw(st.integers(1, 12))
+    tag = draw(st.sampled_from(["km:", "pq:", "pqadc:", "ivf:", "z|"]))
+    return ids, k, tag
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec_ids())
+def test_seed_pick_equals_ranked_window(spark, case):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.functions.seeds import seed_pick
+
+    ids, k, tag = case
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = sorted(
+        (r["cid"], r["vec_id"])
+        for r in seed_pick(df, tag, k).collect()
+    )
+    # pure-Python twin of the banned ranked-window form: h60 = first
+    # 15 hex chars of md5(tag || vec_id) as int, order (h, vec_id)
+    def h60_py(i: int) -> int:
+        return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:15], 16)
+
+    ranked = sorted(ids, key=lambda i: (h60_py(i), i))[:k]
+    expected = sorted((cid + 1, vid) for cid, vid in enumerate(ranked))
+    assert got == expected, f"ids={ids} k={k} tag={tag}"

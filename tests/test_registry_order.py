@@ -283,6 +283,7 @@ _BIRTH_ROUND = {
     "q_sim_batch": 8,
     "q_sim_ndcg_batch": 10,
     "q_sim_anneval_batch": 10,
+    "q_sim_ivf_batch": 10,
 }
 
 
