@@ -203,6 +203,87 @@ def ivf_duck_train_cte() -> str:
     )"""
 
 
+BATCH_N = 10  # batch qids 0..9 (the q_sim_batch convention)
+
+
+def ivf_batch_candidates(spark, sf_dir):
+    """IVF probe candidate set (qid, vec_id, cos_sim, cell) for the
+    10-query batch — everything q_sim_ivf_batch does except the final
+    per-qid rank+limit, shared with q_sim_ivfeval_batch so the
+    batched recall eval measures exactly the candidate stream the
+    batched search ranks (the ivf_candidates sharing pattern)."""
+    from pyspark.sql import Window
+
+    raw, v, cents, assigned = ivf_model(spark, sf_dir)
+    qb = v.filter(F.col("vec_id") < BATCH_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("emb").alias("qemb"),
+    )
+    d2q = D2_SPARK.replace("zip_with(e, ce", "zip_with(qe, ce")
+    pd = qb.crossJoin(
+        F.broadcast(cents.select("cid", F.col("e").alias("ce")))
+    ).select(
+        "qid",
+        "cid",
+        (
+            F.round(F.expr(d2q) * 1e6).cast("bigint") * 10 + F.col("cid")
+        ).alias("enc"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("enc").asc())
+    probe = (
+        pd.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select("qid", F.col("cid").cast("int").alias("cell"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qb.select("qid", "qemb")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
+            "cell",
+        )
+    )
+
+
+def ivf_batch_duck_cte() -> str:
+    """Training CTEs + the batch probe, ending in `cand`
+    (qid, vec_id, cos_sim, cell) — the SQL twin of
+    ivf_batch_candidates, shared by q_sim_ivf_batch's and
+    q_sim_ivfeval_batch's oracles. Also exposes `qb`
+    (qid, qe, qemb)."""
+    return f"""{ivf_duck_train_cte()},
+    qb AS (
+      SELECT vec_id AS qid, e AS qe, emb AS qemb FROM v
+      WHERE vec_id < {BATCH_N}
+    ),
+    pd AS (
+      SELECT qb.qid, c.cid,
+             CAST(ROUND(list_sum(list_transform(range(1, {IVF_DIM + 1}),
+                    i -> (qb.qe[i] - c.e[i]) * (qb.qe[i] - c.e[i]))) * 1e6, 0)
+                  AS BIGINT) * 10 + c.cid AS enc
+      FROM cr{IVF_ITERS} c, qb
+    ),
+    probe AS (
+      SELECT qid, CAST(cid AS INT) AS cell FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC) AS rnk
+        FROM pd)
+      WHERE rnk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+             ROUND(list_cosine_similarity(a.emb, qb.qemb), 6) AS cos_sim,
+             a.cell
+      FROM asn a JOIN probe p ON a.cell = p.cell
+                 JOIN qb ON qb.qid = p.qid
+      WHERE a.vec_id <> p.qid
+    )"""
+
+
 def ivf_duck_cte() -> str:
     """The full single-query IVF choreography as DuckDB CTEs ending
     in `cand` (vec_id, label, cos_sim, cell) — the SQL twin of

@@ -683,11 +683,27 @@ def q_sim_anneval_batch(spark, sf_dir):
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
+    exact = _batch_exact_topk(spark, sf_dir)
+    return _batch_recall_table(qb, exact, cand)
+
+
+def _batch_exact_topk(spark, sf_dir):
+    """(qid, vec_id): the brute-force cosine top-10 per batch qid —
+    the exact leg shared by the batched recall evals
+    (q_sim_anneval_batch / q_sim_ivfeval_batch). The q_sim_batch
+    WindowGroupLimit shape: broadcast the 10-row batch, score in the
+    scan projection, per-qid rank ≤ 10 truncates map-side."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qb = e.filter(F.col("vec_id") < _BATCH_N).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
-    exact = (
-        e.join(F.broadcast(qb.select("qid", "qemb")), F.col("vec_id") != F.col("qid"))
+    return (
+        e.join(F.broadcast(qb), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
@@ -697,6 +713,13 @@ def q_sim_anneval_batch(spark, sf_dir):
         .filter(F.col("rank") <= _K_ANN)
         .select("qid", "vec_id")
     )
+
+
+def _batch_recall_table(qids, exact, cand):
+    """perq rows (qid, n_exact, n_cand, tp, recall10) + the
+    micro-averaged qid = -1 row, from (qid, vec_id)-shaped exact and
+    candidate sets — the shared assembly of the batched recall
+    evals. Micro-average = Σtp/Σn_exact, an exact integer ratio."""
     n_exact = exact.groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
@@ -709,7 +732,7 @@ def q_sim_anneval_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
     )
     perq = (
-        qb.select(F.col("qid").cast("int").alias("qid"))
+        qids.select(F.col("qid").cast("int").alias("qid"))
         .join(n_exact, "qid", "left")
         .join(n_cand, "qid", "left")
         .join(tp, "qid", "left")
@@ -730,3 +753,76 @@ def q_sim_anneval_batch(spark, sf_dir):
         F.round(F.sum("tp") * 1.0 / F.sum("n_exact"), 6).alias("recall10"),
     ).select(F.lit(-1).cast("int").alias("qid"), "n_exact", "n_cand", "tp", "recall10")
     return perq.unionAll(macro)
+
+
+def _ivfeval_batch_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
+
+    return f"""
+    WITH {ivf_batch_duck_cte()},
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qb.qid, r.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qb.qid
+                 ORDER BY ROUND(list_cosine_similarity(r.emb, qb.qemb), 6)
+                            DESC NULLS LAST,
+                          r.vec_id ASC NULLS LAST) AS INT) AS rank
+        FROM raw r JOIN qb ON r.vec_id <> qb.qid)
+      WHERE rank <= {_K_ANN}
+    ),
+    perq AS (
+      SELECT CAST(q.qid AS INT) AS qid,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
+              WHERE x.qid = q.qid) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+              WHERE c.qid = q.qid) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM exact x JOIN cand c
+                ON x.qid = c.qid AND x.vec_id = c.vec_id
+              WHERE x.qid = q.qid) AS tp
+      FROM qb q
+    )
+    SELECT qid, n_exact, n_cand, tp,
+           ROUND(tp * 1.0 / n_exact, 6) AS recall10
+    FROM perq
+    UNION ALL
+    SELECT CAST(-1 AS INT) AS qid,
+           CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(n_cand) AS BIGINT) AS n_cand,
+           CAST(SUM(tp) AS BIGINT) AS tp,
+           ROUND(SUM(tp) * 1.0 / SUM(n_exact), 6) AS recall10
+    FROM perq
+    """
+
+
+@query("q_sim_ivfeval_batch", oracle=_ivfeval_batch_oracle())
+def q_sim_ivfeval_batch(spark, sf_dir):
+    """Batched IVF recall eval: for EACH of the 10 batch queries, the
+    candidate-set size and recall@10 of the nprobe=2 probe, plus the
+    micro-averaged row (qid = -1, Σtp/Σn_exact) — completes the
+    batched measurement story (q_sim_ndcg_batch = ranking quality,
+    q_sim_anneval_batch = sign-LSH recall, THIS = IVF recall), so the
+    recall-vs-cost comparison between the two index families is one
+    query pair over the same batch.
+
+    The candidate stream IS q_sim_ivf_batch's input
+    (functions/ivf.py::ivf_batch_candidates — the _ivf_candidates
+    sharing pattern), so a probe-policy change cannot leave this eval
+    measuring a different candidate set. EXACT-oracled: the oracle
+    retrains the quantizer in SQL and replays the batch probe
+    (ivf_batch_duck_cte).
+
+    100 TB: one broadcast-argmin assignment scan + one exact-leg scan
+    (both the q_sim_batch WindowGroupLimit shape); the metric
+    assembly runs on ≤ |batch|·(k + nprobe·cell) rows."""
+    from datafusion_tpc_spark.functions.ivf import (
+        BATCH_N,
+        ivf_batch_candidates,
+    )
+
+    assert BATCH_N == _BATCH_N
+    cand = ivf_batch_candidates(spark, sf_dir).select("qid", "vec_id")
+    exact = _batch_exact_topk(spark, sf_dir)
+    qids = exact.select("qid").distinct()
+    return _batch_recall_table(qids, exact, cand)

@@ -201,41 +201,10 @@ _IVF_BATCH_K = 5   # per-qid depth (q_sim_batch convention)
 
 
 def _ivf_batch_oracle() -> str:
-    from datafusion_tpc_spark.functions.ivf import (
-        IVF_DIM,
-        IVF_ITERS,
-        IVF_NPROBE,
-        ivf_duck_train_cte,
-    )
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
 
     return f"""
-    WITH {ivf_duck_train_cte()},
-    qb AS (
-      SELECT vec_id AS qid, e AS qe, emb AS qemb FROM v
-      WHERE vec_id < {_IVF_BATCH_N}
-    ),
-    pd AS (
-      SELECT qb.qid, c.cid,
-             CAST(ROUND(list_sum(list_transform(range(1, {IVF_DIM + 1}),
-                    i -> (qb.qe[i] - c.e[i]) * (qb.qe[i] - c.e[i]))) * 1e6, 0)
-                  AS BIGINT) * 10 + c.cid AS enc
-      FROM cr{IVF_ITERS} c, qb
-    ),
-    probe AS (
-      SELECT qid, CAST(cid AS INT) AS cell FROM (
-        SELECT qid, cid,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC) AS rnk
-        FROM pd)
-      WHERE rnk <= {IVF_NPROBE}
-    ),
-    cand AS (
-      SELECT p.qid, a.vec_id,
-             ROUND(list_cosine_similarity(a.emb, qb.qemb), 6) AS cos_sim,
-             a.cell
-      FROM asn a JOIN probe p ON a.cell = p.cell
-                 JOIN qb ON qb.qid = p.qid
-      WHERE a.vec_id <> p.qid
-    ),
+    WITH {ivf_batch_duck_cte()},
     ranked AS (
       SELECT qid, vec_id, cos_sim, cell,
              CAST(ROW_NUMBER() OVER (
@@ -268,47 +237,19 @@ def q_sim_ivf_batch(spark, sf_dir):
     per partition, probe table |batch|·nprobe rows broadcast.
 
     EXACT-oracled: the oracle retrains the quantizer in SQL
-    (ivf_duck_train_cte) and replays the identical probe + ranking —
+    (ivf_batch_duck_cte) and replays the identical probe + ranking —
     every cell id, candidate membership, and score must match
-    bit-for-bit."""
-    from datafusion_tpc_spark.functions.ivf import IVF_NPROBE, ivf_model
+    bit-for-bit. The candidate stream is ivf_batch_candidates
+    (functions/ivf.py), shared verbatim with q_sim_ivfeval_batch so
+    the batched recall eval measures exactly what this search
+    ranks."""
+    from datafusion_tpc_spark.functions.ivf import (
+        BATCH_N,
+        ivf_batch_candidates,
+    )
 
-    raw, v, cents, assigned = ivf_model(spark, sf_dir)
-    qb = v.filter(F.col("vec_id") < _IVF_BATCH_N).select(
-        F.col("vec_id").alias("qid"),
-        F.col("e").alias("qe"),
-        F.col("emb").alias("qemb"),
-    )
-    d2q = (
-        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    pd = qb.crossJoin(
-        F.broadcast(cents.select("cid", F.col("e").alias("ce")))
-    ).select(
-        "qid",
-        "cid",
-        (
-            F.round(F.expr(d2q) * 1e6).cast("bigint") * 10 + F.col("cid")
-        ).alias("enc"),
-    )
-    wp = Window.partitionBy("qid").orderBy(F.col("enc").asc())
-    probe = (
-        pd.withColumn("rnk", F.row_number().over(wp))
-        .filter(F.col("rnk") <= IVF_NPROBE)
-        .select("qid", F.col("cid").cast("int").alias("cell"))
-    )
-    cand = (
-        assigned.join(F.broadcast(probe), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .join(F.broadcast(qb.select("qid", "qemb")), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
-            "cell",
-        )
-    )
+    assert BATCH_N == _IVF_BATCH_N
+    cand = ivf_batch_candidates(spark, sf_dir)
     wr = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
