@@ -206,20 +206,13 @@ def ivf_duck_train_cte() -> str:
 BATCH_N = 10  # batch qids 0..9 (the q_sim_batch convention)
 
 
-def ivf_batch_candidates(spark, sf_dir):
-    """IVF probe candidate set (qid, vec_id, cos_sim, cell) for the
-    10-query batch — everything q_sim_ivf_batch does except the final
-    per-qid rank+limit, shared with q_sim_ivfeval_batch so the
-    batched recall eval measures exactly the candidate stream the
-    batched search ranks (the ivf_candidates sharing pattern)."""
+def batch_cell_ranks(qb, cents):
+    """(qid, cell, rnk): EVERY quantizer cell ranked by 1e-6-quantized
+    d2 to each batch query — `rnk <= IVF_NPROBE` is by construction
+    exactly the production probe of ivf_batch_candidates, and the
+    full ranking is the nprobe sweep axis of q_sim_ivf_sweep."""
     from pyspark.sql import Window
 
-    raw, v, cents, assigned = ivf_model(spark, sf_dir)
-    qb = v.filter(F.col("vec_id") < BATCH_N).select(
-        F.col("vec_id").alias("qid"),
-        F.col("e").alias("qe"),
-        F.col("emb").alias("qemb"),
-    )
     d2q = D2_SPARK.replace("zip_with(e, ce", "zip_with(qe, ce")
     pd = qb.crossJoin(
         F.broadcast(cents.select("cid", F.col("e").alias("ce")))
@@ -231,10 +224,27 @@ def ivf_batch_candidates(spark, sf_dir):
         ).alias("enc"),
     )
     wp = Window.partitionBy("qid").orderBy(F.col("enc").asc())
+    return pd.withColumn("rnk", F.row_number().over(wp).cast("int")).select(
+        "qid", F.col("cid").cast("int").alias("cell"), "rnk"
+    )
+
+
+def ivf_batch_candidates(spark, sf_dir):
+    """IVF probe candidate set (qid, vec_id, cos_sim, cell) for the
+    10-query batch — everything q_sim_ivf_batch does except the final
+    per-qid rank+limit, shared with q_sim_ivfeval_batch so the
+    batched recall eval measures exactly the candidate stream the
+    batched search ranks (the ivf_candidates sharing pattern)."""
+    raw, v, cents, assigned = ivf_model(spark, sf_dir)
+    qb = v.filter(F.col("vec_id") < BATCH_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("emb").alias("qemb"),
+    )
     probe = (
-        pd.withColumn("rnk", F.row_number().over(wp))
+        batch_cell_ranks(qb, cents)
         .filter(F.col("rnk") <= IVF_NPROBE)
-        .select("qid", F.col("cid").cast("int").alias("cell"))
+        .select("qid", "cell")
     )
     return (
         assigned.join(F.broadcast(probe), "cell")

@@ -826,3 +826,144 @@ def q_sim_ivfeval_batch(spark, sf_dir):
     exact = _batch_exact_topk(spark, sf_dir)
     qids = exact.select("qid").distinct()
     return _batch_recall_table(qids, exact, cand)
+
+
+_NPROBE_MAX = 4  # sweep axis 1..4 of the 8 cells
+
+
+def _ivf_sweep_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
+
+    return f"""
+    WITH {ivf_batch_duck_cte()},
+    ranked AS (
+      SELECT qid, CAST(cid AS INT) AS cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC)
+               AS INT) AS rnk
+      FROM pd
+    ),
+    vc AS (
+      SELECT r.qid, a.vec_id, r.rnk
+      FROM asn a JOIN ranked r ON a.cell = r.cell
+      WHERE a.vec_id <> r.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qb.qid, r.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qb.qid
+                 ORDER BY ROUND(list_cosine_similarity(r.emb, qb.qemb), 6)
+                            DESC NULLS LAST,
+                          r.vec_id ASC NULLS LAST) AS INT) AS rank
+        FROM raw r JOIN qb ON r.vec_id <> qb.qid)
+      WHERE rank <= {_K_ANN}
+    ),
+    hits AS (
+      SELECT x.qid, v.rnk FROM exact x
+      JOIN vc v ON v.qid = x.qid AND v.vec_id = x.vec_id
+    ),
+    sweep AS (
+      SELECT CAST(unnest(range(1, {_NPROBE_MAX} + 1)) AS INT) AS nprobe
+    ),
+    m AS (
+      SELECT s.nprobe,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vc v
+              WHERE v.rnk <= s.nprobe) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits h
+              WHERE h.rnk <= s.nprobe) AS tp,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vc) AS n_pairs
+      FROM sweep s
+    )
+    SELECT nprobe, n_exact, n_cand, tp,
+           ROUND(tp * 1.0 / n_exact, 6) AS recall10,
+           ROUND(n_cand * 1.0 / n_pairs, 6) AS cand_frac
+    FROM m
+    """
+
+
+@query("q_sim_ivf_sweep", oracle=_ivf_sweep_oracle())
+def q_sim_ivf_sweep(spark, sf_dir):
+    """Recall-vs-nprobe tuning curve for the IVF index: for nprobe =
+    1..4, the pooled (over the 10-query batch) candidate count,
+    recall@10 and candidate fraction — the measurement an index
+    operator reads to pick nprobe BEFORE committing a serving config
+    (the PR-curve analog for ANN; q_dq_prcurve's role for
+    classifiers).
+
+    One assignment pass serves the WHOLE sweep: every (qid, cell)
+    pair is ranked once (functions/ivf.py::batch_cell_ranks — whose
+    rnk <= IVF_NPROBE prefix IS the production probe of
+    q_sim_ivf_batch, so sweep point 2 measures exactly the shipped
+    config), each (qid, vec) candidate pair inherits its cell's rank,
+    and every sweep point is a cumulative integer count over that one
+    table — no per-nprobe re-probing. Recall is pooled Σtp/Σn_exact
+    (exact integer ratio, the q_sim_anneval_batch micro-average
+    discipline).
+
+    100 TB: one broadcast-argmin assignment scan + one exact-leg scan
+    (both q_sim_batch shapes); the sweep itself aggregates a
+    |batch|·corpus-fraction candidate-rank table by integer rank —
+    adding sweep points costs nothing but rows in a 4-row literal."""
+    from datafusion_tpc_spark.functions.ivf import (
+        BATCH_N,
+        batch_cell_ranks,
+        ivf_model,
+    )
+
+    assert BATCH_N == _BATCH_N
+    raw, v, cents, assigned = ivf_model(spark, sf_dir)
+    qb = v.filter(F.col("vec_id") < _BATCH_N).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    ranks = batch_cell_ranks(qb, cents)
+    vc = (
+        assigned.join(F.broadcast(ranks), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "rnk")
+    )
+    exact = _batch_exact_topk(spark, sf_dir)
+    # ONE consumer of the candidate-rank table: flag hits via the
+    # broadcast 100-row exact set, then a single groupBy(rnk) carries
+    # both series (candidate count + hit count) — a second consumer
+    # would re-instantiate the assignment-scan lineage in the plan
+    # (measured 2.33 s vs 1.2 s at sf0.1).
+    vch = vc.join(
+        F.broadcast(exact.withColumn("is_hit", F.lit(1))),
+        ["qid", "vec_id"],
+        "left",
+    )
+    by_rnk = (
+        vch.groupBy("rnk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .withColumn("n_pairs", F.sum("c").over(Window.partitionBy()))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    sweep = spark.createDataFrame(
+        [(p,) for p in range(1, _NPROBE_MAX + 1)], "nprobe int"
+    )
+    return (
+        sweep.join(F.broadcast(by_rnk), F.col("rnk") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_cand"),
+            F.coalesce(F.sum("h"), F.lit(0)).cast("bigint").alias("tp"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe",
+            "n_exact",
+            "n_cand",
+            "tp",
+            F.round(F.col("tp") * 1.0 / F.col("n_exact"), 6).alias("recall10"),
+            F.round(F.col("n_cand") * 1.0 / F.col("n_pairs"), 6).alias(
+                "cand_frac"
+            ),
+        )
+    )

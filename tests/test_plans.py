@@ -687,7 +687,7 @@ def test_r10_batched_evals_use_window_group_limit(spark):
     the 10-row query batch must broadcast, so the corpus never
     shuffles wide."""
     for qname in ("q_sim_ndcg_batch", "q_sim_anneval_batch", "q_sim_ivf_batch",
-                  "q_sim_ivfeval_batch"):
+                  "q_sim_ivfeval_batch", "q_sim_ivf_sweep"):
         plan = _plan(spark, qname)
         assert "WindowGroupLimit" in plan, qname
         assert (

@@ -285,6 +285,7 @@ _BIRTH_ROUND = {
     "q_sim_anneval_batch": 10,
     "q_sim_ivf_batch": 10,
     "q_sim_ivfeval_batch": 10,
+    "q_sim_ivf_sweep": 10,
 }
 
 
