@@ -140,3 +140,38 @@ def test_batch_qid0_matches_single_query_topk(spark):
         )
     }
     assert batch == single
+
+
+def test_ivf_batch_family_consistency(spark):
+    """The three r10 IVF batch queries must describe ONE index and
+    ONE probe policy: q_sim_ivf_sweep's nprobe=2 row equals
+    q_sim_ivfeval_batch's micro-averaged row (same candidate counts,
+    same tp, same pooled recall), and q_sim_ivf_batch's returned
+    top-5 per qid is a subset of the eval's candidate stream."""
+    sweep = {
+        r["nprobe"]: r
+        for r in registry.QUERIES["q_sim_ivf_sweep"](spark, SF_DIR).collect()
+    }
+    ev = {
+        r["qid"]: r
+        for r in registry.QUERIES["q_sim_ivfeval_batch"](spark, SF_DIR).collect()
+    }
+    micro = ev[-1]
+    p2 = sweep[2]
+    assert p2["n_cand"] == micro["n_cand"]
+    assert p2["tp"] == micro["tp"]
+    assert p2["n_exact"] == micro["n_exact"]
+    assert p2["recall10"] == micro["recall10"]
+    # monotone sweep: more probes never lose candidates or hits
+    for p in (2, 3, 4):
+        assert sweep[p]["n_cand"] >= sweep[p - 1]["n_cand"]
+        assert sweep[p]["tp"] >= sweep[p - 1]["tp"]
+
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_candidates
+
+    top = registry.QUERIES["q_sim_ivf_batch"](spark, SF_DIR).select(
+        "qid", "vec_id"
+    )
+    cand = ivf_batch_candidates(spark, SF_DIR).select("qid", "vec_id")
+    missing = top.join(cand, ["qid", "vec_id"], "left_anti").count()
+    assert missing == 0
