@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import _h60_duck, cosine
-from datafusion_tpc_spark.functions.lloyd import D2_SPARK, assign, duck_iter, update
+from datafusion_tpc_spark.functions.lloyd import assign, d2_expr, duck_iter, update
 from datafusion_tpc_spark.functions.seeds import seed_pick
 
 IVF_K = 8       # coarse cells (k_cells grows ~√corpus at scale)
@@ -55,37 +55,39 @@ IVF_ITERS = 2   # Lloyd iterations (the kmeans.py unroll convention)
 IVF_DIM = 64    # embeddings fixture dimension (oracle unroll constant)
 QID = 0         # query vector (q_sim_topk convention)
 
-# L2-normalize the raw embedding: the norm is bound via the
-# 1-element-transform let (r7 projection-collapse gotcha) so the fold
-# runs once per row, not once per component.
-_NORM_E = (
-    "transform(array(sqrt(aggregate(emb, cast(0.0 as double), "
-    "(a, x) -> a + x * x))), nrm -> transform(emb, x -> x / nrm))[0]"
-)
+def _norm_expr(col: str) -> str:
+    """L2-normalize array column `col` (Spark expr text): the norm is
+    bound via the 1-element-transform let — Spark `[0]`, 0-based —
+    (r7 projection-collapse gotcha) so the fold runs once per row,
+    not once per component. Used for both the raw-input normalize
+    (col='emb') and the centroid renorm (col='e') — one idiom, one
+    spelling."""
+    return (
+        f"transform(array(sqrt(aggregate({col}, cast(0.0 as double), "
+        f"(a, x) -> a + x * x))), nrm -> transform({col}, x -> x / nrm))[0]"
+    )
 
-_NORM_E_DUCK = (
-    "list_transform(emb, x -> x / "
-    "sqrt(list_sum(list_transform(emb, y -> y * y))))"
-)
 
-# d2 of the normalized query against a centroid (columns qe, e).
-_D2_Q = D2_SPARK.replace("zip_with(e, ce", "zip_with(e, qe")
+def _norm_duck(col: str) -> str:
+    """DuckDB twin of _norm_expr (sqrt/div are IEEE-exact, so the
+    normalized components are bit-identical cross-engine)."""
+    return (
+        f"list_transform({col}, x -> x / "
+        f"sqrt(list_sum(list_transform({col}, y -> y * y))))"
+    )
 
-# Re-normalize a centroid column `e` (same let-binding shape as
-# _NORM_E; sqrt/div are IEEE-exact over the ROUND-6 update state).
-_RENORM_E = (
-    "transform(array(sqrt(aggregate(e, cast(0.0 as double), "
-    "(a, x) -> a + x * x))), nrm -> transform(e, x -> x / nrm))[0]"
-)
 
-_RENORM_E_DUCK = (
-    "list_transform(e, x -> x / "
-    "sqrt(list_sum(list_transform(e, y -> y * y))))"
-)
+_NORM_E = _norm_expr("emb")
+_NORM_E_DUCK = _norm_duck("emb")
+
+# d2 of the normalized query against a centroid (columns e, qe).
+_D2_Q = d2_expr("e", "qe")
 
 
 def _renorm(cents):
-    return cents.select("cid", F.expr(_RENORM_E).alias("e"))
+    # sqrt/div are IEEE-exact over the ROUND-6 update state, so the
+    # renorm preserves cross-engine determinism.
+    return cents.select("cid", F.expr(_norm_expr("e")).alias("e"))
 
 
 def ivf_model(spark, sf_dir):
@@ -170,7 +172,7 @@ def ivf_duck_train_cte() -> str:
         duck_iter(n + 1, "seeds" if n == 0 else f"cr{n}", IVF_DIM)
         + f""",
     cr{n + 1} AS (
-      SELECT cid, {_RENORM_E_DUCK} AS e FROM c{n + 1}
+      SELECT cid, {_norm_duck('e')} AS e FROM c{n + 1}
     )"""
         for n in range(IVF_ITERS)
     )
@@ -213,7 +215,7 @@ def batch_cell_ranks(qb, cents):
     full ranking is the nprobe sweep axis of q_sim_ivf_sweep."""
     from pyspark.sql import Window
 
-    d2q = D2_SPARK.replace("zip_with(e, ce", "zip_with(qe, ce")
+    d2q = d2_expr("qe", "ce")
     pd = qb.crossJoin(
         F.broadcast(cents.select("cid", F.col("e").alias("ce")))
     ).select(

@@ -32,12 +32,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-# Squared L2 distance between vector column `e` and centroid column
-# `ce`, folded in element order.
-D2_SPARK = (
-    "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), "
-    "cast(0.0 as double), (acc, x) -> acc + x)"
-)
+def d2_expr(a: str = "e", b: str = "ce") -> str:
+    """Squared L2 distance between vector columns `a` and `b`, folded
+    in element order (the cross-engine-exact sequence)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+# assign()'s default column pairing, kept as a constant for readers.
+D2_SPARK = d2_expr()
 
 
 def assign(v, cents, carry=()):

@@ -164,6 +164,37 @@ _ANN_PLANES = 4  # must equal similarity._N_PLANES (asserted at call)
 _K_ANN = 10  # recall depth
 
 
+def _batch_exact_duck(rel: str, emb: str) -> str:
+    """`qx` + `exact` CTEs: the brute-force cosine top-10 per batch
+    qid — the SQL twin of _batch_exact_topk, shared by all three
+    batched-eval oracles so a tie-break or rounding change cannot be
+    fixed in one copy and missed in another (review r10). `rel` must
+    expose (vec_id, {emb})."""
+    return f"""
+    qx AS (SELECT vec_id AS qid, {emb} AS qemb FROM {rel}
+           WHERE vec_id < {_BATCH_N}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qx.qid, r.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qx.qid
+                 ORDER BY ROUND(list_cosine_similarity(r.{emb}, qx.qemb), 6)
+                            DESC NULLS LAST,
+                          r.vec_id ASC NULLS LAST) AS INT) AS rank
+        FROM {rel} r JOIN qx ON r.vec_id <> qx.qid)
+      WHERE rank <= {_K_ANN}
+    )"""
+
+
+def _probe_flips_duck() -> str:
+    """The multi-probe bucket list as a DuckDB unnest literal —
+    qbucket + every 1-bit flip, GENERATED from _ANN_PLANES so a
+    plane-count change cannot desync the SQL from the Spark probe
+    (review r10; the assert on _N_PLANES guards only the Spark leg)."""
+    flips = ", ".join(f"xor(qbucket, {1 << p})" for p in range(_ANN_PLANES))
+    return f"[qbucket, {flips}]"
+
+
 def _bucket_duck() -> str:
     """DuckDB twin of similarity._sign_bucket for `embeddings` rows:
     per plane p the weight list w(p,d) = (h60('p|d') % 2001 − 1000) /
@@ -199,9 +230,7 @@ def _bucket_duck() -> str:
     qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = {_QID}),
     probes AS (
       SELECT DISTINCT pb FROM (
-        SELECT unnest([qbucket,
-                       xor(qbucket, 1), xor(qbucket, 2),
-                       xor(qbucket, 4), xor(qbucket, 8)]) AS pb
+        SELECT unnest({_probe_flips_duck()}) AS pb
         FROM qb)
     ),
     cand AS (
@@ -587,9 +616,7 @@ def q_sim_ndcg_batch(spark, sf_dir):
     ),
     probes AS (
       SELECT DISTINCT qid, pb FROM (
-        SELECT qid, unnest([qbucket,
-                            xor(qbucket, 1), xor(qbucket, 2),
-                            xor(qbucket, 4), xor(qbucket, 8)]) AS pb
+        SELECT qid, unnest({_probe_flips_duck()}) AS pb
         FROM qb)
     ),
     cand AS (
@@ -597,19 +624,7 @@ def q_sim_ndcg_batch(spark, sf_dir):
       WHERE b.vec_id <> p.qid
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    qe AS (SELECT vec_id AS qid, emb AS qemb FROM e
-           WHERE vec_id < {_BATCH_N}),
-    exact AS (
-      SELECT qid, vec_id FROM (
-        SELECT qe.qid, e.vec_id,
-               CAST(ROW_NUMBER() OVER (
-                 PARTITION BY qe.qid
-                 ORDER BY ROUND(list_cosine_similarity(e.emb, qe.qemb), 6)
-                            DESC NULLS LAST,
-                          e.vec_id ASC NULLS LAST) AS INT) AS rank
-        FROM e JOIN qe ON e.vec_id <> qe.qid)
-      WHERE rank <= {_K_ANN}
-    ),
+    {_batch_exact_duck("e", "emb")},
     perq AS (
       SELECT CAST(q.qid AS INT) AS qid,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
@@ -760,17 +775,7 @@ def _ivfeval_batch_oracle() -> str:
 
     return f"""
     WITH {ivf_batch_duck_cte()},
-    exact AS (
-      SELECT qid, vec_id FROM (
-        SELECT qb.qid, r.vec_id,
-               CAST(ROW_NUMBER() OVER (
-                 PARTITION BY qb.qid
-                 ORDER BY ROUND(list_cosine_similarity(r.emb, qb.qemb), 6)
-                            DESC NULLS LAST,
-                          r.vec_id ASC NULLS LAST) AS INT) AS rank
-        FROM raw r JOIN qb ON r.vec_id <> qb.qid)
-      WHERE rank <= {_K_ANN}
-    ),
+    {_batch_exact_duck("raw", "emb")},
     perq AS (
       SELECT CAST(q.qid AS INT) AS qid,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
@@ -824,7 +829,16 @@ def q_sim_ivfeval_batch(spark, sf_dir):
     assert BATCH_N == _BATCH_N
     cand = ivf_batch_candidates(spark, sf_dir).select("qid", "vec_id")
     exact = _batch_exact_topk(spark, sf_dir)
-    qids = exact.select("qid").distinct()
+    # The row universe is the BATCH DEFINITION (vec_id < N), exactly
+    # like the oracle's `FROM qb q` — deriving it from
+    # exact.distinct() would drop a qid whose exact leg is empty
+    # (sparse future fixture) where the oracle emits a zero row, and
+    # it instantiates the exact lineage one extra time (review r10).
+    qids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _BATCH_N)
+        .select(F.col("vec_id").alias("qid"))
+    )
     return _batch_recall_table(qids, exact, cand)
 
 
@@ -847,17 +861,7 @@ def _ivf_sweep_oracle() -> str:
       FROM asn a JOIN ranked r ON a.cell = r.cell
       WHERE a.vec_id <> r.qid
     ),
-    exact AS (
-      SELECT qid, vec_id FROM (
-        SELECT qb.qid, r.vec_id,
-               CAST(ROW_NUMBER() OVER (
-                 PARTITION BY qb.qid
-                 ORDER BY ROUND(list_cosine_similarity(r.emb, qb.qemb), 6)
-                            DESC NULLS LAST,
-                          r.vec_id ASC NULLS LAST) AS INT) AS rank
-        FROM raw r JOIN qb ON r.vec_id <> qb.qid)
-      WHERE rank <= {_K_ANN}
-    ),
+    {_batch_exact_duck("raw", "emb")},
     hits AS (
       SELECT x.qid, v.rnk FROM exact x
       JOIN vc v ON v.qid = x.qid AND v.vec_id = x.vec_id
