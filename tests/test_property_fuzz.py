@@ -587,3 +587,89 @@ def test_seed_pick_equals_ranked_window(spark, case):
     ranked = sorted(ids, key=lambda i: (h60_py(i), i))[:k]
     expected = sorted((cid + 1, vid) for cid, vid in enumerate(ranked))
     assert got == expected, f"ids={ids} k={k} tag={tag}"
+
+
+# ---- lloyd assign/update step vs pure-Python reference (r10) ----------
+# The shared Lloyd module (functions/lloyd.py — q_sim_kmeans + the IVF
+# coarse quantizer) on degenerate shapes the embeddings fixture never
+# produces: duplicate points, DUPLICATE CENTROIDS (equidistant ties —
+# the enc packing must break them toward the smallest cid), k=1, n=1,
+# and cells that lose every member (the centroid must vanish from the
+# update output, not emit NaN). Dyadic inputs (k/64) make every sum
+# exact in binary regardless of accumulation order, so the Python
+# reference is exact, not approximate.
+
+
+@st.composite
+def lloyd_case(draw):
+    dim = draw(st.integers(2, 5))
+    n = draw(st.integers(1, 10))
+    k = draw(st.integers(1, 4))
+    mk = lambda: [draw(st.integers(-256, 256)) / 64.0 for _ in range(dim)]
+    vecs = [(i, mk()) for i in range(n)]
+    cents = [(c + 1, mk()) for c in range(k)]
+    if k >= 2 and draw(st.booleans()):
+        cents[1] = (2, list(cents[0][1]))  # forced equidistant tie
+    return vecs, cents
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lloyd_case())
+def test_lloyd_step_matches_python_reference(spark, case):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.functions.lloyd import assign, update
+
+    vecs, cents = case
+    v = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    c = spark.createDataFrame(cents, "cid int, e array<double>")
+    assigned = assign(v, c)
+    got_assign = {
+        r["vec_id"]: r["enc"] for r in assigned.collect()
+    }
+    got_update = {
+        r["cid"]: r["e"] for r in update(assigned).collect()
+    }
+
+    # pure-Python twin: element-order d2 fold, 1e-6 quantized enc,
+    # min over (enc) — ties break to smallest cid via the packing
+    exp_assign = {}
+    for vid, e in vecs:
+        best = None
+        for cid, ce in cents:
+            d2 = 0.0
+            for x, y in zip(e, ce):
+                d2 = d2 + (x - y) * (x - y)
+            # Spark ROUND(d2*1e6) is HALF_UP at scale 0
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = int(
+                Decimal(repr(d2 * 1e6)).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            )
+            enc = q * 10 + cid
+            if best is None or enc < best:
+                best = enc
+        exp_assign[vid] = best
+    assert got_assign == exp_assign, f"case={case}"
+
+    # update: per (cid, pos) mean of members, HALF_UP-rounded to 6dp;
+    # cells with no members vanish
+    members = {}
+    for vid, e in vecs:
+        cid = exp_assign[vid] % 10
+        members.setdefault(cid, []).append(e)
+    exp_update = {
+        cid: [
+            _spark_half_up6(sum(col) / len(col))
+            for col in zip(*rows)
+        ]
+        for cid, rows in members.items()
+    }
+    assert got_update == exp_update, f"case={case}"
