@@ -113,15 +113,42 @@ def ivf_model(spark, sf_dir):
     # verbatim (IEEE round-trip is exact), so the oracle's in-SQL
     # retraining still hash-matches downstream; plan-build caveat
     # documented in the BASELINE rows.
-    cents = spark.createDataFrame(
-        [(int(r["cid"]), list(r["e"])) for r in cents.collect()],
-        "cid int, e array<double>",
+    codebook = [(int(r["cid"]), list(r["e"])) for r in cents.collect()]
+    cents = spark.createDataFrame(codebook, "cid int, e array<double>")
+    # Final assignment is a ROW-LOCAL projection over the literal
+    # codebook (r10 late fix): lloyd.assign's crossJoin+groupBy shape
+    # would shuffle the FULL vector payload through the vec_id
+    # exchange — at 100 TB that is a corpus-payload shuffle for a
+    # value computable in the scan projection. The argmin folds the
+    # identical enc encoding (element-order d2, 1e-6 quantized,
+    # ·10+cid packing) over an 8-struct literal, so cell ids are
+    # bit-identical to the grouped form; the plan has ZERO exchanges
+    # (plan-gated in tests/test_plans.py).
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in e]).alias("ce"),
+            )
+            for cid, e in codebook
+        ]
     )
-    assigned = assign(v, cents, carry=("label", "emb")).select(
+
+    def _enc_of(c):
+        d2 = F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.round(d2 * 1e6).cast("bigint") * 10 + c["cid"].cast("bigint")
+
+    assigned = v.select(
         "vec_id",
         "label",
         "emb",
-        F.pmod(F.col("enc"), F.lit(10)).cast("int").alias("cell"),
+        F.pmod(F.array_min(F.transform(cells_lit, _enc_of)), F.lit(10))
+        .cast("int")
+        .alias("cell"),
     )
     return raw, v, cents, assigned
 

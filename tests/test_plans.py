@@ -693,3 +693,19 @@ def test_r10_batched_evals_use_window_group_limit(spark):
         assert (
             "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         ), qname
+
+
+def test_r10_ivf_assignment_is_shuffle_free(spark):
+    """The IVF final cell assignment (functions/ivf.py::ivf_model) is
+    a ROW-LOCAL projection over the literal trained codebook — the
+    whole q_sim_ivf plan must contain no data shuffle (no
+    hashpartitioning / SinglePartition exchange; broadcast exchanges
+    of the ≤8-row probe/codebook and the 1-row query are expected).
+    lloyd.assign's crossJoin+groupBy shape here would shuffle the
+    FULL vector payload through a vec_id exchange — a corpus-payload
+    shuffle at 100 TB for a value computable in the scan
+    projection."""
+    plan = _plan(spark, "q_sim_ivf")
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
