@@ -187,38 +187,25 @@ def _batch_exact_duck(rel: str, emb: str) -> str:
 
 
 def _probe_flips_duck() -> str:
-    """The multi-probe bucket list as a DuckDB unnest literal —
-    qbucket + every 1-bit flip, GENERATED from _ANN_PLANES so a
-    plane-count change cannot desync the SQL from the Spark probe
-    (review r10; the assert on _N_PLANES guards only the Spark leg)."""
-    flips = ", ".join(f"xor(qbucket, {1 << p})" for p in range(_ANN_PLANES))
-    return f"[qbucket, {flips}]"
+    # moved to the registration-free functions/signlsh.py in late r10
+    # (shared with q_sim_ann's oracle in operators/similarity.py)
+    from datafusion_tpc_spark.functions.signlsh import (
+        N_PLANES,
+        probe_flips_duck,
+    )
+
+    assert N_PLANES == _ANN_PLANES
+    return probe_flips_duck()
 
 
 def _bucket_duck() -> str:
-    """DuckDB twin of similarity._sign_bucket for `embeddings` rows:
-    per plane p the weight list w(p,d) = (h60('p|d') % 2001 − 1000) /
-    1000.0 over d = 0..len−1, projected by a SEQUENTIAL left fold
-    (list_reduce over a 0.0-prepended product list ≡ Spark's
-    aggregate(zip_with(...), 0.0, +) — identical op sequence, so the
-    projection and its sign are bit-identical, the CUSUM argument).
-    Bit p set iff the projection is positive."""
-    from datafusion_tpc_spark.functions.digest import _h60_duck
+    # moved to the registration-free functions/signlsh.py in late r10
+    # (shared with q_sim_ann's oracle in operators/similarity.py);
+    # see that module for the bit-identical-fold argument.
+    from datafusion_tpc_spark.functions.signlsh import N_PLANES, bucket_duck
 
-    bits = []
-    for p in range(_ANN_PLANES):
-        h = _h60_duck(f"concat('{p}|', CAST(d AS VARCHAR))")
-        w = (
-            f"list_transform(range(0, len(embedding)), "
-            f"d -> CAST(({h} % 2001 - 1000) AS DOUBLE) / 1000.0)"
-        )
-        proj = (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-            f"list_transform(list_zip(embedding::DOUBLE[], {w}), "
-            f"s -> s[1] * s[2])), (acc, x) -> acc + x)"
-        )
-        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
-    return " + ".join(bits)
+    assert N_PLANES == _ANN_PLANES
+    return bucket_duck()
 
 
 @query(

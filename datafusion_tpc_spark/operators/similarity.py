@@ -4,8 +4,9 @@
 Three search paths over the `embeddings` fixture (array<float>
 64-dim):
 - brute-force cosine top-k (exact baseline, exact DuckDB oracle),
-- sign-LSH bucketed ANN (rows-only † with a recall property test in
-  tests/test_extensions.py),
+- sign-LSH bucketed ANN (EXACT-oracled since late r10 — buckets,
+  probes and ranking are deterministic; recall stays property-tested
+  in tests/test_extensions.py),
 - IVF probe-cell ANN (EXACT-oracled since r10 — the coarse quantizer
   is the distributed SQL-derivable choreography of functions/ivf.py),
 plus q_sim_centroid, the distributed cluster-update build block.
@@ -298,15 +299,55 @@ def _ann_candidates(spark, sf_dir):
     ).filter(F.col("vec_id") != _QUERY_VEC_ID)
 
 
-@query("q_sim_ann")  # † rows-only: approximate (recall tested in pytest)
+def _ann_oracle() -> str:
+    from datafusion_tpc_spark.functions.signlsh import (
+        N_PLANES,
+        bucket_duck,
+        probe_flips_duck,
+    )
+
+    assert N_PLANES == _N_PLANES
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             {bucket_duck()} AS bucket
+      FROM embeddings
+    ),
+    qv AS (SELECT bucket AS qbucket, emb AS qe FROM b
+           WHERE vec_id = {_QUERY_VEC_ID}),
+    probes AS (
+      SELECT DISTINCT pb FROM (
+        SELECT unnest({probe_flips_duck()}) AS pb FROM qv)
+    ),
+    cand AS (
+      SELECT b.vec_id, b.label,
+             ROUND(list_cosine_similarity(b.emb, qv.qe), 6) AS cos_sim,
+             b.bucket
+      FROM b JOIN probes ON b.bucket = probes.pb, qv
+      WHERE b.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cos_sim, bucket FROM cand
+    ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST
+    LIMIT {_K}
+    """
+
+
+@query("q_sim_ann", oracle=_ann_oracle())
 def q_sim_ann(spark, sf_dir):
     """Sign-LSH approximate nearest neighbors with 1-bit multi-probe:
     bucket all vectors by the sign signature, probe the query's bucket
     plus every bucket at Hamming distance 1 (n_planes+1 probes —
     _ann_candidates, shared with the recall eval), rank candidates by
     exact cosine. One shuffle on the bucket key; per-bucket work is
-    |bucket|·dim. Recall vs q_sim_topk is property-tested (not
-    oracled — ANN is approximate by contract)."""
+    |bucket|·dim. Recall vs q_sim_topk is property-tested.
+
+    EXACT-oracled since late r10 (was † — the last †-by-habit in the
+    similarity family): approximate-vs-exact describes the RECALL
+    contract, not determinism — the md5-derived buckets, the probe
+    set, and the ROUND-6 + vec_id ranking are all bit-reproducible,
+    and q_sim_anneval has proven the SQL bucket twin hash-exact since
+    r8. The oracle (functions/signlsh.py builders) recomputes buckets,
+    probes and the candidate ranking in DuckDB."""
     return (
         _ann_candidates(spark, sf_dir)
         .withColumn("cos_sim", F.round(cosine(F.col("emb"), F.col("qe")), 6))
