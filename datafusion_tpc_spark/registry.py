@@ -53,23 +53,37 @@ def load_all() -> None:
 
     ORDER MATTERS: the external driver verifies queries in dict
     insertion order with a bounded window (exactly 50 rows in rounds
-    1-9), so the window is re-pointed each round at (a) every query
+    1-10), so the window is re-pointed each round at (a) every query
     NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows. Round 10 order (the EDF-forced plan staged
-    end-of-r8, shipped verbatim): 50 of the 96 anchor-r5 greens —
-    sorts (4), setops (7), arrays (2), tpch_extra (3), scans (10),
-    predicates (3), subqueries (6), stream_sink (1), asof (2),
-    chunking (4), text (5), aggregates_ext (3) = exactly 50.
+    stalest green rows.
 
-    FORWARD PLAN (EDF simulation over the post-r9 anchors): r11 = the
-    remaining 46 anchor-r5 greens (tpch_full, tpch_more, sql_shapes,
-    typefns, sinks, sketches, audit, sampling, layout, bloom) +
-    events_ext (3, birth-r6 deadline r12) + bucketing (1) = 50,
-    ALREADY STAGED as the first block behind the boundary — the r11
-    rotation is a one-line boundary move; r12 = the birth-r7/birth-r8
-    never-verified backlog (prefix_join, splits, pq, diagnostics,
-    sketches_ext, forecast, semdedup, batching, cdc, mmr, raneval,
-    readability + the r8 births, deadline r13/r14), staged second.
+    ROUND-11 FORCING COMPUTATION (VERDICT r10 items 1-2 — recomputed
+    from the committed CORRECTNESS_r01-r10 artifacts, not from the
+    stale end-of-r9 plan): the post-r10 anchor distribution is
+    r6:50, r7:76, r8:56, r9:50, r10:55 — i.e. **zero queries have
+    anchor <= r5**, so NOTHING is EDF-forced into the r11 window
+    (staleness cap 5 at inventory 287; a query is forced only at
+    anchor <= current_round - 6 = r5). The pre-staged "46 anchor-r5
+    greens" block was based on their r5 anchors, but every one of
+    them was re-verified in r6 (deadline r12, not r11). The r11
+    window therefore takes the judge's priority order: ALL 40
+    never-verified queries + the three rows-only -> EXACT oracle
+    graduations (q_sim_ann / q_sim_ivf in similarity; q_sim_ivfeval
+    in raneval) + the anchor-r6 audit trio to shave r12's load:
+    events_ext(3) prefix_join(1) splits(4) pq(1) diagnostics(9)
+    sketches_ext(2) forecast(4) semdedup(1) batching(1) cdc(1)
+    mmr(1) similarity(5) raneval(7) readability(1) quantization(2)
+    retrieval(4) audit(3) = exactly 50.
+
+    FORWARD EDF FEASIBILITY (checked by simulation): r12 = the 44
+    remaining anchor-r6 greens (tpch_full 6, tpch_more 6, sql_shapes
+    8, typefns 4, sinks 4, sketches 8, sampling 4, layout 2, bloom 1,
+    bucketing 1) + 6 anchor-r7 one-query modules (scalar_ext,
+    udfs_ext, geo, skyline, kmeans, sinks_ext) = 50. r13 = remaining
+    anchor-r7 (76 - 26 NV-verified-r11 - 7 similarity/retrieval
+    greens - 6 fillers = 37) + 13 anchor-r8 pulls. r14/r15/r16 =
+    the anchor-r8/r9/r10 blocks (50/50/50 after the r13 pulls).
+    Every deadline met; r11 births (deadline r17) absorb the slack.
 
     Import-cascade discipline: window modules must not transitively
     import query-registering modules (that drags the imported
@@ -81,11 +95,98 @@ def load_all() -> None:
     tests/test_registry_order.py pins the window contents so silent
     shifts fail loudly.
     """
-    # Round-10 window (the plan staged end-of-r8): 50 of the 96
-    # anchor-r5 greens — sorts (4), setops (7), arrays (2),
-    # tpch_extra (3), scans (10), predicates (3), subqueries (6),
-    # stream_sink (1), asof (2), chunking (4), text (5),
-    # aggregates_ext (3) = exactly 50.
+    # Round-11 window (the r10-VERDICT priority order — see the
+    # forcing computation in the docstring): ALL 40 never-verified
+    # ids + the q_sim_ann/q_sim_ivf/q_sim_ivfeval oracle graduations
+    # + the audit trio = exactly 50.
+    from datafusion_tpc_spark.queries import events_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        prefix_join,
+        splits,
+        pq,
+    )
+    from datafusion_tpc_spark.queries import diagnostics  # noqa: F401
+    from datafusion_tpc_spark.operators import sketches_ext  # noqa: F401
+    from datafusion_tpc_spark.queries import forecast  # noqa: F401
+    from datafusion_tpc_spark.operators import semdedup, batching, cdc, mmr  # noqa: F401
+    from datafusion_tpc_spark.operators import similarity  # noqa: F401
+    from datafusion_tpc_spark.operators import raneval  # noqa: F401
+    from datafusion_tpc_spark.queries import readability  # noqa: F401
+    from datafusion_tpc_spark.operators import quantization, retrieval  # noqa: F401
+    from datafusion_tpc_spark.operators import audit  # noqa: F401
+
+    # --- window boundary (50) — everything below queues behind ---
+    # r12 pre-staged block (exactly 50): the 44 remaining anchor-r6
+    # greens (deadline r12) + 6 anchor-r7 one-query modules:
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        tpch_full,
+        tpch_more,
+        sql_shapes,
+        typefns,
+        sinks,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        sketches,
+        sampling,
+        layout,
+        bloom,
+        bucketing,
+    )
+    from datafusion_tpc_spark.queries import scalar_ext, udfs_ext, geo  # noqa: F401
+    from datafusion_tpc_spark.operators import skyline, kmeans  # noqa: F401
+    from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
+    # r13-bound: remaining anchor-r7 modules (deadline r13):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events_behavior,
+        aggregates_more,
+        windows_ext,
+    )
+    from datafusion_tpc_spark.operators import pipeline_ext  # noqa: F401
+    from datafusion_tpc_spark.streaming import (  # noqa: F401
+        stream_enrich,
+        py_source,
+        py_sink,
+        merge,
+        stream_quantile,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        multimodal,
+        graph,
+    )
+    # r11 birth (deadline r17): the IVF materialized-assignment
+    # serving twin (VERDICT r10 item 3):
+    from datafusion_tpc_spark.operators import ivf_served  # noqa: F401
+    # r8-window modules, re-verified green in round 8 (deadline r14):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        aggregates,
+        logs_queries,
+    )
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        dedup,  # NOTE: pipeline imports dedup — dedup must precede it
+        pipeline,
+    )
+    from datafusion_tpc_spark.queries import stats_ext  # noqa: F401
+    from datafusion_tpc_spark.operators import (  # noqa: F401
+        curation,
+        audit_ext,
+        dedup_ext,
+    )
+    from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401
+    # r9-window modules, re-verified green in round 9 (deadline r15):
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        events,
+        joins,
+        scalar_functions,
+    )
+    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
+    from datafusion_tpc_spark.queries import (  # noqa: F401
+        tpch,
+        udfs,
+        windows,
+    )
+    from datafusion_tpc_spark.streaming import late_data  # noqa: F401
+    # r10-window modules, re-verified green in round 10 (freshest —
+    # deadline r16 under cap 5):
     from datafusion_tpc_spark.queries import (  # noqa: F401
         sorts,
         setops,
@@ -102,94 +203,3 @@ def load_all() -> None:
         text,
     )
     from datafusion_tpc_spark.queries import aggregates_ext  # noqa: F401
-
-    # --- window boundary (50) — everything below queues behind ---
-    # r11 pre-staged block (exactly 50 — the rotation is a one-line
-    # boundary move): the remaining 46 anchor-r5 greens + events_ext
-    # (3, birth-r6 deadline r12) + bucketing (1):
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        tpch_full,
-        tpch_more,
-        sql_shapes,
-        typefns,
-        sinks,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        sketches,
-        audit,
-        sampling,
-        layout,
-        bloom,
-    )
-    from datafusion_tpc_spark.queries import events_ext  # noqa: F401
-    from datafusion_tpc_spark.operators import bucketing  # noqa: F401
-    # r12-bound never-verified backlog (birth-r7 deadline r13 under
-    # cap 5; birth-r8 deadline r14):
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        prefix_join,
-        splits,
-        pq,
-    )
-    from datafusion_tpc_spark.queries import diagnostics  # noqa: F401
-    from datafusion_tpc_spark.operators import sketches_ext  # noqa: F401
-    from datafusion_tpc_spark.queries import forecast  # noqa: F401
-    from datafusion_tpc_spark.operators import semdedup, batching, cdc, mmr  # noqa: F401
-    from datafusion_tpc_spark.operators import raneval  # noqa: F401
-    from datafusion_tpc_spark.queries import readability  # noqa: F401
-    # Green inventory last verified r5-r7, freshest last:
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        events_behavior,
-        aggregates_more,
-        windows_ext,
-        scalar_ext,
-        udfs_ext,
-    )
-    from datafusion_tpc_spark.operators import pipeline_ext  # noqa: F401
-    from datafusion_tpc_spark.streaming import (  # noqa: F401
-        stream_enrich,
-        py_source,
-        py_sink,
-        merge,
-        stream_quantile,
-    )
-    from datafusion_tpc_spark.queries import geo  # noqa: F401
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        similarity,
-        multimodal,
-        graph,
-        skyline,
-        kmeans,
-        retrieval,
-    )
-    from datafusion_tpc_spark.queries import sinks_ext  # noqa: F401
-    from datafusion_tpc_spark.operators import quantization  # noqa: F401
-    # r8-window modules, re-verified green in round 8:
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        aggregates,
-        logs_queries,
-    )
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        dedup,  # NOTE: pipeline imports dedup — dedup must precede it
-        pipeline,
-    )
-    from datafusion_tpc_spark.queries import stats_ext  # noqa: F401
-    from datafusion_tpc_spark.operators import (  # noqa: F401
-        curation,
-        audit_ext,
-        dedup_ext,
-    )
-    from datafusion_tpc_spark.queries import sinks_dpo  # noqa: F401
-    # r9-window modules, re-verified green in round 9 (freshest —
-    # deadline r14 under cap 5):
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        events,
-        joins,
-        scalar_functions,
-    )
-    from datafusion_tpc_spark.streaming import stream_queries  # noqa: F401
-    from datafusion_tpc_spark.queries import (  # noqa: F401
-        tpch,
-        udfs,
-        windows,
-    )
-    from datafusion_tpc_spark.streaming import late_data  # noqa: F401

@@ -79,10 +79,58 @@ def _normalize(cols, records):
     return cols, rows
 
 
+# Driver-canonicalizer contract (VERDICT r10 item 5): the external
+# driver's hash canonicalizer (pandas sort_values over the collected
+# frame) has twice nearly diverged from this mirror — bare list cells
+# kill sort_values outright, and DECIMAL values arrive as pandas
+# object dtype and hash-mismatch even when bit-identical (the r5
+# q_agg_decimal adjudication). Every type the canonicalizer is PROVEN
+# to hash (247 driver-green queries over ten rounds) is atomic; any
+# oracled query emitting outside this set must string-encode at fixed
+# scale on both sides (concat_ws for arrays, CAST AS STRING for
+# decimals — CLAUDE.md conventions) and keep the raw form pytest-only.
+_CANONICALIZABLE_TYPES = (
+    "string",
+    "boolean",
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+)
+
+
+def assert_driver_canonicalizable(schema, name=""):
+    """Registry-wide schema lint: fail any query whose output schema
+    the driver hasher can't canonicalize (bare array/map/struct,
+    DECIMAL, binary, interval...). Enforced at the parity chokepoint
+    so every current AND future oracled query passes through it."""
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.dataType.simpleString() not in _CANONICALIZABLE_TYPES
+    ]
+    assert not bad, (
+        f"{name}: output schema not driver-canonicalizable — {bad}. "
+        "String-encode (concat_ws / CAST AS STRING at fixed scale) on "
+        "BOTH sides and keep the raw-typed form as a pytest-only case "
+        "(CLAUDE.md oracle conventions)."
+    )
+
+
 def assert_matches_oracle(spark_df, ddb, oracle_sql, name=""):
     """Mirror of the driver's t2 compare: row count, column-name set,
     order-insensitive values. Spark side via collect() (native Python
     values), DuckDB side via Arrow (keeps date32 as dates)."""
+    if name in registry.ORACLE:
+        # registered oracled queries must hash under the DRIVER's
+        # canonicalizer, not just this mirror's; pytest-only raw-typed
+        # cases (name not registered) are exempt by design.
+        assert_driver_canonicalizable(spark_df.schema, name)
     sp_rows_raw = [r.asDict() for r in spark_df.collect()]
     du_tbl = ddb.execute(oracle_sql).fetch_arrow_table()
     du_rows_raw = du_tbl.to_pylist()

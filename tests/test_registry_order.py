@@ -28,65 +28,66 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-10 driver window (VERDICT r9 item 2 — the rotation plan
-# staged end-of-r8, EDF-forced): 50 of the 96 anchor-r5 greens —
-# sorts(4), setops(7), arrays(2), tpch_extra(3), scans(10),
-# predicates(3), subqueries(6), stream_sink(1), asof(2), chunking(4),
-# text(5), aggregates_ext(3) = exactly 50. The r11 plan (the
-# remaining 46 anchor-r5 greens + events_ext + bucketing; see
-# registry.load_all's docstring) is already staged immediately
-# behind the boundary — the r11 rotation is a one-line boundary move.
+# The round-11 driver window (VERDICT r10 items 1-2): the post-r10
+# anchor distribution is r6:50 r7:76 r8:56 r9:50 r10:55 — nothing has
+# anchor <= r5, so NOTHING is EDF-forced into r11 (the pre-staged
+# "46 anchor-r5 greens" were all re-verified in r6; deadline r12).
+# The window therefore takes the judge's priority order: ALL 40
+# never-driver-verified ids + the three rows-only -> EXACT oracle
+# graduations (q_sim_ann, q_sim_ivf, q_sim_ivfeval) + the anchor-r6
+# audit trio = exactly 50. Forward EDF feasibility is documented in
+# registry.load_all's docstring.
 EXPECTED_WINDOW_50 = [
-    "q_sort_multi",
-    "q_limit",
-    "q_topk",
-    "q_topk_group",
-    "q_union",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_distinct",
-    "q_except_all",
-    "q_intersect_all",
-    "q_fn_array",
-    "q_fn_map",
-    "q_tpch_q7",
-    "q_tpch_q14",
-    "q_tpch_q21",
-    "q_scan_full",
-    "q_filter_proj",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_values",
-    "q_scan_avro",
-    "q_scan_partitioned",
-    "q_scan_orc",
-    "q_scan_xml",
-    "q_scan_dpp",
-    "q_pred_algebra",
-    "q_pred_like",
-    "q_case_cast",
-    "q_sub_in",
-    "q_sub_notin",
-    "q_sub_scalar",
-    "q_sub_corr_scalar",
-    "q_agg_gsets",
-    "q_cte",
-    "q_stream_sink",
-    "q_asof_join",
-    "q_range_join",
-    "q_pipe_chunk",
-    "q_pipe_rep",
-    "q_pipe_pack",
-    "q_pipe_upsert",
-    "q_text_stats",
-    "q_text_lang",
-    "q_text_fingerprint",
-    "q_text_quality",
-    "q_text_vocab",
-    "q_agg_mode",
-    "q_agg_hist",
-    "q_agg_decimal",
+    "q_evt_rfm",
+    "q_evt_islands",
+    "q_evt_interarrival",
+    "q_dedup_prefix",
+    "q_pipe_split_content",
+    "q_pipe_budget",
+    "q_pipe_temperature",
+    "q_pipe_domain_cap",
+    "q_sim_pq",
+    "q_dq_skew",
+    "q_dq_kanon",
+    "q_dq_drift",
+    "q_dq_prcurve",
+    "q_dq_ldiv",
+    "q_dq_benford",
+    "q_dq_calibration",
+    "q_dq_tclose",
+    "q_dq_chi2",
+    "q_agg_hll",
+    "q_agg_cms",
+    "q_evt_holt",
+    "q_evt_autocorr",
+    "q_evt_backtest",
+    "q_evt_survival",
+    "q_dedup_semantic",
+    "q_pipe_lenbucket",
+    "q_pipe_cdc",
+    "q_sim_mmr",
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_sim_ivf_batch",
+    "q_sim_ann",
+    "q_sim_centroid",
+    "q_sim_ndcg",
+    "q_sim_anneval",
+    "q_sim_ivfeval",
+    "q_sim_ndcg_batch",
+    "q_sim_anneval_batch",
+    "q_sim_ivfeval_batch",
+    "q_sim_ivf_sweep",
+    "q_text_readability",
+    "q_sim_sq8",
+    "q_sim_pqadc",
+    "q_sim_rrf",
+    "q_sim_hardneg",
+    "q_sim_pca",
+    "q_sim_batch",
+    "q_dq_checks",
+    "q_scd2",
+    "q_join_pit",
 ]
 
 
@@ -286,6 +287,7 @@ _BIRTH_ROUND = {
     "q_sim_ivf_batch": 10,
     "q_sim_ivfeval_batch": 10,
     "q_sim_ivf_sweep": 10,
+    "q_sim_ivf_served": 11,
 }
 
 
@@ -314,3 +316,42 @@ def test_window_staleness():
         f"queries too stale and not in the current driver window "
         f"(rotate registry.load_all): {violations}"
     )
+
+
+def test_canonicalizer_lint_rejects_hazardous_schemas():
+    """The driver-canonicalizer contract lint (VERDICT r10 item 5,
+    tests/conftest.py) must reject every known-hazardous top-level
+    type (bare array -> pandas sort_values dies; DECIMAL -> object-
+    dtype hash mismatch, the r5 adjudication; map/struct/binary
+    untested by any driver row) and accept the full proven-atomic
+    set the 247 driver-green queries actually emit."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from tests.conftest import assert_driver_canonicalizable
+
+    ok = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tsn", T.TimestampNTZType()),
+        ]
+    )
+    assert_driver_canonicalizable(ok, "ok")
+    for bad in (
+        T.ArrayType(T.LongType()),
+        T.MapType(T.StringType(), T.LongType()),
+        T.StructType([T.StructField("x", T.LongType())]),
+        T.DecimalType(28, 4),
+        T.BinaryType(),
+        T.DayTimeIntervalType(),
+    ):
+        with _pytest.raises(AssertionError):
+            assert_driver_canonicalizable(
+                T.StructType([T.StructField("c", bad)]), "bad"
+            )
