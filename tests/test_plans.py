@@ -659,9 +659,13 @@ def test_r9_seed_pick_no_corpus_window(spark):
         df.explain()
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
-    win_at = plan.index("Window")
+    # Anchor to the Window OPERATOR line (ADVICE r10): a bare
+    # plan.index("Window") also matches WindowGroupLimit or a column
+    # named *window*, weakening the ordering assertion.
+    win_op = re.search(r"^[\s+:*(\d)-]*Window\b(?!GroupLimit)", plan, re.M)
+    assert win_op, plan
     tko_at = plan.index("TakeOrderedAndProject")
-    assert win_at < tko_at, plan  # window consumes the K-row limit
+    assert win_op.start() < tko_at, plan  # window consumes the K-row limit
 
     # 2. wiring: all three trainers call seed_pick
     for mod in (kmeans, pq, quantization):
@@ -708,4 +712,23 @@ def test_r10_ivf_assignment_is_shuffle_free(spark):
     plan = _plan(spark, "q_sim_ivf")
     assert "hashpartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_r11_ivf_served_plan_is_pruned_and_training_free(spark):
+    """q_sim_ivf_served (VERDICT r10 item 3): the serving plan must
+    (a) partition-prune the materialized assignment to the probed
+    cells (PartitionFilters IN-list — file-level skipping, the
+    q_layout_zorder shape), (b) contain NO training lineage (the
+    Lloyd iterations aggregate; serving must not — no HashAggregate,
+    no ObjectHashAggregate, no data shuffle), and (c) keep the final
+    top-k a TakeOrderedAndProject map-side heap."""
+    import re
+
+    plan = _plan(spark, "q_sim_ivf_served")
+    pf = re.search(r"PartitionFilters: \[cell#\d+ IN \([\d,]+\)\]", plan)
+    assert pf, plan
+    assert "HashAggregate" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan
