@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import h60
+from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 
 CHUNK_SIZE = 200
@@ -229,7 +229,50 @@ def q_pipe_rep(spark, sf_dir):
     )
 
 
-@query("q_pipe_pack")  # † rows-only: greedy packing is sequential per bucket
+_PACK_ORACLE = f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             ({_h60_duck("CAST(doc_id AS VARCHAR)")} % {{nb}}) AS bucket
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_chars, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id ASC)
+               AS rn
+      FROM d0
+    ),
+    -- the greedy first-fit-sequential fold, one row per bucket per
+    -- step (the q_evt_holt sequential-recurrence pattern): state =
+    -- (seq, fill, pos); a doc that does not fit opens a new pack.
+    -- All-integer arithmetic, so the trajectory is hash-exact.
+    steps AS (
+      SELECT bucket, rn, doc_id, n_chars,
+             CAST(0 AS BIGINT) AS seq, n_chars AS fill,
+             CAST(0 AS BIGINT) AS pos
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n_chars,
+             CASE WHEN s.fill + d.n_chars > {{cap}} THEN s.seq + 1
+                  ELSE s.seq END,
+             CASE WHEN s.fill + d.n_chars > {{cap}} THEN d.n_chars
+                  ELSE s.fill + d.n_chars END,
+             CASE WHEN s.fill + d.n_chars > {{cap}} THEN CAST(0 AS BIGINT)
+                  ELSE s.pos + 1 END
+      FROM steps s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+    )
+    SELECT doc_id, n_chars,
+           bucket * 4294967296 + seq AS pack_id,
+           pos AS pack_pos,
+           fill AS pack_fill
+    FROM steps
+    ORDER BY doc_id ASC NULLS LAST
+    """
+
+
+@query(
+    "q_pipe_pack",
+    oracle=_PACK_ORACLE.format(nb=PACK_BUCKETS, cap=PACK_CAPACITY),
+)
 def q_pipe_pack(spark, sf_dir):
     """Greedy first-fit-sequential sequence packing: assign documents
     to fixed-capacity contexts (PACK_CAPACITY chars) so pretraining
@@ -247,8 +290,15 @@ def q_pipe_pack(spark, sf_dir):
     Scale: parallelism = bucket count (set ∝ corpus / executor
     count), state per group = one open pack counter — applyInPandas
     streams each bucket's docs through pandas once. The only shuffle
-    is the bucket groupBy. Rows-only (†): the in-bucket sequential
-    scan has no SQL twin; invariants live in tests/test_chunking.py."""
+    is the bucket groupBy.
+
+    EXACT-oracled since r11 (VERDICT r10 item 4): the packing rule is
+    deterministic per (h60 shard, doc_id order) and all-integer, so
+    the greedy fold unrolls as a DuckDB recursive CTE stepping one
+    row per bucket per iteration (the q_evt_holt sequential-
+    recurrence pattern) — iterations = max bucket depth, buckets
+    advance in parallel. Structural invariants additionally live in
+    tests/test_chunking.py."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")

@@ -38,6 +38,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
@@ -266,21 +268,53 @@ def q_dedup_minhash(spark, sf_dir):
     return lsh_candidate_pairs(band_table(docs), band_cap=None)
 
 
-@query("q_dedup_minhash_capped")  # † rows-only: guard changes recall by design
+# Mega-band cap, snapshotted at import so the registered oracle and
+# the query always agree (r11 graduation: the oracle string is built
+# once at registration; a call-time env read could silently diverge).
+_BAND_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BAND_CAP", "1000"))
+
+_MINHASH_CAPPED_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sig AS (
+      SELECT doc_id, {_MIN_EXPRS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    kept AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS n_members
+        FROM bands)
+      WHERE n_members <= {_BAND_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_minhash_capped", oracle=_MINHASH_CAPPED_ORACLE)
 def q_dedup_minhash_capped(spark, sf_dir):
     """q_dedup_minhash with the mega-band guard ON: band keys above
-    SPARK_GRAFT_LSH_BAND_CAP members (default 1000) are dropped before
-    the self-join. At 100 TB this is the difference between a bounded
-    cap²-per-key join and one boilerplate cluster (a license header
-    shared by 10M docs) going quadratic. Approximate by contract —
-    boilerplate families are deliberately not paired — so rows-only;
-    the guard's semantics are pytest-checked on a skewed fixture
-    (tests/test_extensions.py::test_minhash_band_cap_drops_boilerplate)."""
-    import os
+    _BAND_CAP members (SPARK_GRAFT_LSH_BAND_CAP at import, default
+    1000) are dropped before the self-join. At 100 TB this is the
+    difference between a bounded cap²-per-key join and one
+    boilerplate cluster (a license header shared by 10M docs) going
+    quadratic.
 
-    cap = int(os.environ.get("SPARK_GRAFT_LSH_BAND_CAP", "1000"))
+    EXACT-oracled since r11 (VERDICT r10 item 4): "approximate by
+    contract" never meant nondeterministic — the guard is a
+    deterministic integer filter (member count per band key) over the
+    same md5-seeded minhash family as the EXACT q_dedup_minhash, so
+    the oracle states the identical cap as a COUNT() OVER filter
+    before the self-join. Recall-vs-cap semantics stay pytest-checked
+    on a skewed fixture (tests/test_extensions.py::
+    test_minhash_band_cap_drops_boilerplate)."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(band_table(docs), band_cap=cap)
+    return lsh_candidate_pairs(band_table(docs), band_cap=_BAND_CAP)
 
 
 # ---- 4. SimHash ---------------------------------------------------------
