@@ -227,7 +227,19 @@ def q_pipe_ipf(spark, sf_dir):
             (F.col("n") * 1.0 / F.col("ns")).alias("t_src"),
         )
     )
-    for _ in range(2):
+    w = ipf_scale(w, rounds=2)
+    return w.select("lang", "source", "cnt", F.col("w").alias("weight"))
+
+
+def ipf_scale(w, rounds: int = 2):
+    """The IPF double-scaling fold over a (lang, source, w, t_lang,
+    t_src) cell frame: each round scales rows to the lang target then
+    columns to the source target, re-ROUNDing weights to 6dp after
+    every scaling so both engines (and the pure-Python reference in
+    tests/test_property_fuzz.py — r11, VERDICT r10 item 6) step from
+    identical doubles. Module-level so the fuzz drives the EXACT
+    production fold."""
+    for _ in range(rounds):
         w = w.withColumn(
             "w",
             F.round(
@@ -245,7 +257,7 @@ def q_pipe_ipf(spark, sf_dir):
                 6,
             ),
         )
-    return w.select("lang", "source", "cnt", F.col("w").alias("weight"))
+    return w
 
 
 _DP_EPS = 0.5

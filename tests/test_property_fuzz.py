@@ -14,6 +14,8 @@ counts to keep the suite fast.
 from __future__ import annotations
 
 import math
+
+import pytest
 from datetime import date, datetime
 
 from hypothesis import given, settings, strategies as st, HealthCheck
@@ -673,3 +675,161 @@ def test_lloyd_step_matches_python_reference(spark, case):
         for cid, rows in members.items()
     }
     assert got_update == exp_update, f"case={case}"
+
+
+# ---- IPF double-scaling fold vs pure-Python reference (r11, -----------
+# VERDICT r10 item 6). Drives the EXACT production fold
+# (sampling.ipf_scale) over degenerate cell grids the documents
+# fixture never produces: single-stratum rows/columns, uniform
+# counts (scaling factors land exactly 1), and 10^6-scale skew.
+# Grids are capped at 2 langs x 2 sources so every window SUM has
+# <= 2 addends — IEEE addition of two doubles is commutative-exact,
+# making the pure-Python group sums order-independent and the
+# reference well-defined (3+ addends would make the reference depend
+# on Spark's internal row order).
+
+
+@st.composite
+def ipf_grid(draw):
+    nl = draw(st.integers(1, 2))
+    ns = draw(st.integers(1, 2))
+    cnt = st.one_of(
+        st.integers(1, 9),
+        st.integers(1, 1_000_000),
+        st.just(1),
+    )
+    return [
+        (f"l{i}", f"s{j}", draw(cnt))
+        for i in range(nl)
+        for j in range(ns)
+    ]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ipf_grid())
+def test_ipf_double_scaling_matches_python_fold(spark, cells):
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.operators.sampling import ipf_scale
+
+    n = sum(c for _, _, c in cells)
+    nl = len({l for l, _, _ in cells})
+    ns = len({s for _, s, _ in cells})
+    t_lang, t_src = n * 1.0 / nl, n * 1.0 / ns
+
+    w = spark.createDataFrame(
+        [(l, s, c, float(c), t_lang, t_src) for l, s, c in cells],
+        "lang string, source string, cnt long, w double, "
+        "t_lang double, t_src double",
+    )
+    got = {
+        (r["lang"], r["source"]): r["w"]
+        for r in ipf_scale(w, rounds=2).collect()
+    }
+
+    # pure-Python twin: same op order (w * t / sum), HALF_UP 6dp
+    # after every scaling, group sums over <= 2 order-exact addends
+    pw = {(l, s): float(c) for l, s, c in cells}
+    for _ in range(2):
+        for key_idx, target in ((0, t_lang), (1, t_src)):
+            sums = {}
+            for (l, s), v in pw.items():
+                k = (l, s)[key_idx]
+                sums[k] = sums.get(k, 0.0) + v
+            pw = {
+                ls: _spark_half_up6(v * target / sums[ls[key_idx]])
+                for ls, v in pw.items()
+            }
+    assert got == pw, f"cells={cells}"
+
+
+# ---- t-digest merge algebra (r11, VERDICT r10 item 6) -----------------
+# q_agg_tdigest is irreducibly rows-only (centroid layout depends on
+# partition splits — COVERAGE.md audit), so instead of an engine
+# oracle the EXACT production steps (stats_ext.td_chunk/td_compress/
+# td_quantile) are property-checked over adversarial value lists and
+# partition splits: conservation of weight, weighted-mean
+# preservation, compression bound, monotone means, and a rank-error
+# envelope on the quantile read-off.
+
+
+@st.composite
+def td_case(draw):
+    n = draw(st.integers(1, 120))
+    kind = draw(st.sampled_from(["mixed", "constant", "two_clusters"]))
+    if kind == "constant":
+        vals = [draw(st.floats(-1e6, 1e6, allow_nan=False))] * n
+    elif kind == "two_clusters":
+        a = draw(st.floats(-1e6, 0, allow_nan=False))
+        b = draw(st.floats(0, 1e6, allow_nan=False))
+        vals = [a if draw(st.booleans()) else b for _ in range(n)]
+    else:
+        vals = [
+            draw(st.floats(-1e6, 1e6, allow_nan=False)) for _ in range(n)
+        ]
+    n_parts = draw(st.integers(1, 4))
+    splits = sorted(
+        draw(st.integers(0, n)) for _ in range(n_parts - 1)
+    )
+    return vals, splits
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+)
+@given(td_case())
+def test_tdigest_merge_algebra(case):
+    import numpy as np
+
+    from datafusion_tpc_spark.queries.stats_ext import (
+        td_chunk,
+        td_compress,
+        td_quantile,
+    )
+
+    vals, splits = case
+    k = 8  # small width so compression actually engages
+    parts = np.split(np.asarray(vals, dtype=np.float64), splits)
+    cents = []
+    for p in parts:
+        if len(p):
+            chunk = td_chunk(np.sort(p), k)
+            # partial pass: weights cover the partition exactly
+            assert sum(w for _, w in chunk) == len(p)
+            assert len(chunk) <= k
+            cents.extend(chunk)
+    cents.sort(key=lambda mw: mw[0])
+    out, total = td_compress(cents, k)
+    # merge algebra: weight conserved exactly, weighted mean to
+    # float-sum accuracy, bounded width, monotone means
+    assert total == len(vals)
+    assert sum(w for _, w in out) == total
+    exact_sum = float(np.sum(np.asarray(vals, dtype=np.float64)))
+    merged_sum = sum(m * w for m, w in out)
+    assert merged_sum == pytest.approx(exact_sum, rel=1e-9, abs=1e-6)
+    assert len(out) <= k + 1  # trailing remainder bucket
+    assert all(a[0] <= b[0] + 1e-9 for a, b in zip(out, out[1:]))
+    # quantile read-off: estimate inside the value range and within a
+    # generous rank envelope (the tight 2% pin lives in
+    # tests/test_extensions.py on the real fixture)
+    sv = sorted(vals)
+    bound = 2.0 * total / k + 2
+    for q in (0.1, 0.5, 0.9):
+        est = td_quantile(out, total, q)
+        # chunk/compress means accumulate ulp-level drift (numpy
+        # pairwise sums) — tolerances must be RELATIVE to magnitude
+        tol = 1e-9 * (1.0 + abs(est))
+        assert sv[0] - tol <= est <= sv[-1] + tol
+        n_lt = sum(1 for v in sv if v < est - tol)
+        n_le = sum(1 for v in sv if v <= est + tol)
+        rank = q * total
+        assert n_lt - bound <= rank <= n_le + bound, (
+            f"q={q} est={est} n_lt={n_lt} n_le={n_le} case={case}"
+        )
