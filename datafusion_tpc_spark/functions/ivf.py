@@ -207,7 +207,7 @@ def ivf_candidates(spark, sf_dir):
                 F.round(F.expr(_D2_Q) * 1e6).cast("bigint") * 10 + F.col("cid")
             ).alias("enc"),
         )
-        .orderBy(F.col("enc").asc())
+        .orderBy(F.col("enc").asc_nulls_last())
         .limit(IVF_NPROBE)
         .select(F.col("cid").cast("int").alias("cell"))
     )
@@ -291,7 +291,7 @@ def batch_cell_ranks(qb, cents):
             F.round(F.expr(d2q) * 1e6).cast("bigint") * 10 + F.col("cid")
         ).alias("enc"),
     )
-    wp = Window.partitionBy("qid").orderBy(F.col("enc").asc())
+    wp = Window.partitionBy("qid").orderBy(F.col("enc").asc_nulls_last())
     return pd.withColumn("rnk", F.row_number().over(wp).cast("int")).select(
         "qid", F.col("cid").cast("int").alias("cell"), "rnk"
     )
@@ -348,7 +348,7 @@ def ivf_batch_duck_cte() -> str:
     probe AS (
       SELECT qid, CAST(cid AS INT) AS cell FROM (
         SELECT qid, cid,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC) AS rnk
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY enc ASC NULLS LAST) AS rnk
         FROM pd)
       WHERE rnk <= {IVF_NPROBE}
     ),
@@ -377,7 +377,7 @@ def ivf_duck_cte() -> str:
                       i -> (qn.qe[i] - c.e[i]) * (qn.qe[i] - c.e[i]))) * 1e6, 0)
                     AS BIGINT) * 10 + c.cid AS enc
         FROM cr{IVF_ITERS} c, qn)
-      ORDER BY enc ASC LIMIT {IVF_NPROBE}
+      ORDER BY enc ASC NULLS LAST LIMIT {IVF_NPROBE}
     ),
     cand AS (
       SELECT a.vec_id, a.label,

@@ -270,7 +270,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 # Mega-band cap, snapshotted at import so the registered oracle and
 # the query always agree (r11 graduation: the oracle string is built
-# once at registration; a call-time env read could silently diverge).
+# once at registration; a call-time env read could silently diverge
+# from it). Setting the env var AFTER import has NO effect on the
+# registered query by design — runtime configuration goes through
+# lsh_candidate_pairs(band_cap=...) directly (the pytest path).
 _BAND_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BAND_CAP", "1000"))
 
 _MINHASH_CAPPED_ORACLE = f"""

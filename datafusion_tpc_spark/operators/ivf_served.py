@@ -69,16 +69,21 @@ _K = 20  # top-k served (the q_sim_ivf convention)
 
 def _index_tag(sf_dir: str) -> str:
     """Cache key: sf tag + (mtime_ns, size) fingerprint of the source
-    parquet + the training constants — a testdata drop OR a quantizer
+    parquet + the TRAINING constants — a testdata drop OR a quantizer
     constant change (e.g. the r11 IVF_ITERS bump) rebuilds instead of
-    serving a stale index (the layout.py _source_tag pattern)."""
-    from datafusion_tpc_spark.functions.ivf import IVF_ITERS, IVF_K, IVF_NPROBE
+    serving a stale index (the layout.py _source_tag pattern).
+    IVF_NPROBE is deliberately NOT in the key (review r11): the
+    materialized assignment depends only on (source, K, ITERS) —
+    nprobe is a pure read-time parameter (the q_sim_ivf_sweep axis),
+    and keying on it would re-pay the corpus-sized ingest job for an
+    identical index on every serving-knob change."""
+    from datafusion_tpc_spark.functions.ivf import IVF_ITERS, IVF_K
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     fp = hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{IVF_K}:{IVF_ITERS}:{IVF_NPROBE}".encode()
+        f"{IVF_K}:{IVF_ITERS}".encode()
     ).hexdigest()[:12]
     return f"{tag}-{fp}"
 
@@ -118,9 +123,36 @@ def _ivf_index(spark, sf_dir: str) -> tuple[str, list]:
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
             prune_stale_cache_dirs(_CACHE_ROOT, _index_tag(sf_dir))
+            _sweep_orphan_tmp_dirs()
     with open(meta) as f:
-        codebook = [(int(cid), [float(x) for x in e]) for cid, e in json.load(f)]
+        # preserve NULL components (the zero-norm nullif edge) instead
+        # of crashing on float(None) — review r11
+        codebook = [
+            (int(cid), [None if x is None else float(x) for x in e])
+            for cid, e in json.load(f)
+        ]
     return path, codebook
+
+
+def _sweep_orphan_tmp_dirs(max_age_s: int = 21600) -> None:
+    """Reclaim tmp-<uuid> dirs orphaned by a killed build (review r11:
+    prune_stale_cache_dirs only matches '<sf-tag>-' siblings, so an
+    interrupted write would leak a corpus-sized copy per crash).
+    Unlike fingerprint entries, a tmp dir is NEVER read after its
+    rename attempt, so age-gating on its own mtime is safe — a live
+    concurrent build's tmp is necessarily younger than its run (the
+    6 h window matches the prune_stale_cache_dirs reader budget)."""
+    import time
+
+    cutoff = time.time() - max_age_s
+    try:
+        names = os.listdir(_CACHE_ROOT)
+    except OSError:
+        return
+    for name in names:
+        p = os.path.join(_CACHE_ROOT, name)
+        if name.startswith("tmp-") and os.path.getmtime(p) < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def ivf_served_candidates(spark, sf_dir: str):
@@ -153,7 +185,7 @@ def ivf_served_candidates(spark, sf_dir: str):
                 F.round(F.expr(_D2_Q) * 1e6).cast("bigint") * 10 + F.col("cid")
             ).alias("enc"),
         )
-        .orderBy(F.col("enc").asc())
+        .orderBy(F.col("enc").asc_nulls_last())
         .limit(IVF_NPROBE)
         .collect()  # bounded driver scalars: the nprobe-int IN-list
         # the PartitionFilter prunes on (the layout.py box_cover
