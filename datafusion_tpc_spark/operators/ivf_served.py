@@ -233,3 +233,102 @@ def q_sim_ivf_served(spark, sf_dir):
         )
         .limit(_K)
     )
+
+
+def _served_batch_oracle() -> str:
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
+
+    return f"""
+    WITH {ivf_batch_duck_cte()},
+    ranked AS (
+      SELECT qid, vec_id, cos_sim, cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
+               AS INT) AS rank
+      FROM cand QUALIFY rank <= {_BATCH_K}
+    )
+    SELECT qid, rank, vec_id, cos_sim, cell FROM ranked
+    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
+    """
+
+
+_BATCH_K = 5  # per-qid depth (the q_sim_ivf_batch convention)
+
+
+@query("q_sim_ivf_served_batch", oracle=_served_batch_oracle())
+def q_sim_ivf_served_batch(spark, sf_dir):
+    """Batched IVF served from the MATERIALIZED assignment: ONE
+    partition-pruned scan serves the whole 10-query batch — the
+    composition the single-query served path and q_sim_ivf_batch
+    point at. Per-qid probe cells come from the PERSISTED codebook
+    (an 80-row in-engine ranking collected to a bounded
+    |batch|·nprobe probe list — the box_cover precedent); the scan
+    prunes to the UNION of probed cells (PartitionFilters IN-list),
+    the broadcast (qid, cell) probe table fans candidates out per
+    qid, and the per-qid top-5 is a WindowGroupLimit. Zero training
+    lineage in the plan (plan-gated); must be row-identical to
+    q_sim_ivf_batch (tests/test_r11_ops.py); oracle = q_sim_ivf_batch's
+    unchanged (the in-SQL retrain).
+
+    100 TB with a 10k-query batch: one pruned scan of
+    |union cells|/k_cells of the files, a |batch|·nprobe-row
+    broadcast, per-qid map-side top-k truncation — per-query cost
+    amortizes with batch size on top of the 11× serving-scan win
+    (BASELINE.md r11 amortization table)."""
+    from pyspark.sql import Window
+
+    from datafusion_tpc_spark.functions.digest import cosine
+    from datafusion_tpc_spark.functions.ivf import (
+        BATCH_N,
+        IVF_NPROBE,
+        _norm_expr,
+        batch_cell_ranks,
+    )
+
+    path, codebook = _ivf_index(spark, sf_dir)
+    cents = spark.createDataFrame(codebook, "cid int, e array<double>")
+    qb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < BATCH_N)  # pushed-down batch read
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qemb"),
+        )
+        .withColumn("qe", F.expr(_norm_expr("qemb")))
+    )
+    probe_rows = (
+        batch_cell_ranks(qb.select("qid", "qe"), cents)
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select("qid", "cell")
+        .collect()  # bounded driver scalars: |batch|·nprobe pairs →
+        # the union IN-list the PartitionFilter prunes on + the
+        # broadcast probe table (the box_cover precedent)
+    )
+    cells = sorted({int(r["cell"]) for r in probe_rows})
+    probe = spark.createDataFrame(
+        [(int(r["qid"]), int(r["cell"])) for r in probe_rows],
+        "qid long, cell int",
+    )
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qb.select("qid", "qemb")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("qid", "rank", "vec_id", "cos_sim", "cell")
+        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
+    )

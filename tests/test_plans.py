@@ -732,3 +732,15 @@ def test_r11_ivf_served_plan_is_pruned_and_training_free(spark):
     assert "ObjectHashAggregate" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan
+    # batched twin: same pruned training-free scan, probe table
+    # broadcast, per-qid top-k as a WindowGroupLimit map-side heap.
+    # The filter list carries extra terms here (isnotnull + a
+    # dynamicpruningexpression from the broadcast probe join — DPP on
+    # top of the static IN-list), so no closing-bracket anchor; at
+    # sf0.01 the 10-query batch can legitimately probe all 8 cells.
+    plan = _plan(spark, "q_sim_ivf_served_batch")
+    pf = re.search(r"PartitionFilters: \[cell#\d+ IN \([\d,]+\)", plan)
+    assert pf, plan
+    assert "HashAggregate" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

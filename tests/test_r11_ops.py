@@ -55,3 +55,12 @@ def test_ivf_codebook_memo_hits(spark):
     v = None  # memo hit must not need the training frame
     key_hits = ivf._trained_codebook(spark, SF_DIR, v)
     assert key_hits is ivf._trained_codebook(spark, SF_DIR, v)
+
+
+def test_ivf_served_batch_equals_batched_search(spark):
+    """The batched served path composes the materialized index with
+    the q_sim_ivf_batch probe semantics: row-identical output."""
+    served = registry.QUERIES["q_sim_ivf_served_batch"](spark, SF_DIR).collect()
+    base = registry.QUERIES["q_sim_ivf_batch"](spark, SF_DIR).collect()
+    assert len(served) == len(base) == 50
+    assert [tuple(r) for r in served] == [tuple(r) for r in base]

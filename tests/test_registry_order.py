@@ -288,6 +288,7 @@ _BIRTH_ROUND = {
     "q_sim_ivfeval_batch": 10,
     "q_sim_ivf_sweep": 10,
     "q_sim_ivf_served": 11,
+    "q_sim_ivf_served_batch": 11,
 }
 
 
