@@ -77,6 +77,11 @@ HEADLINE = [
     # BASELINE.md
     "q_dedup_prefix",
     "q_agg_hll",
+    # round-11 family promoted: the materialized-assignment IVF
+    # serving read (the production ANN path — its regression would
+    # mean the partition-pruned serving plan degraded); solo-idle
+    # birth row in BASELINE.md
+    "q_sim_ivf_served",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",
