@@ -833,3 +833,81 @@ def test_tdigest_merge_algebra(case):
         assert n_lt - bound <= rank <= n_le + bound, (
             f"q={q} est={est} n_lt={n_lt} n_le={n_le} case={case}"
         )
+
+
+# ---- greedy-pack recursive-CTE oracle vs pure-Python (r11) ------------
+# q_pipe_pack graduated to EXACT by unrolling the greedy first-fit
+# fold as a DuckDB recursive CTE; the driver/mirror only exercise the
+# fixture, so this fuzz drives the ORACLE TEMPLATE itself (duckdb
+# in-memory, no Spark) against an independent pure-Python greedy over
+# degenerate shapes: oversized docs, docs exactly at capacity, fills
+# landing exactly on the boundary (fill + n == cap stays IN the pack
+# — the > comparison), single-doc buckets, duplicate sizes.
+
+
+@st.composite
+def pack_case(draw):
+    n = draw(st.integers(1, 40))
+    cap = draw(st.sampled_from([1, 7, 10, 50]))
+    ids = draw(
+        st.lists(
+            st.integers(0, 10_000), min_size=n, max_size=n, unique=True
+        )
+    )
+    sizes = [
+        draw(
+            st.one_of(
+                st.integers(1, cap),          # fits
+                st.just(cap),                 # exactly at capacity
+                st.integers(cap + 1, cap * 3 + 1),  # oversized
+            )
+        )
+        for _ in range(n)
+    ]
+    return cap, list(zip(ids, sizes))
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(pack_case())
+def test_pack_oracle_cte_matches_python_greedy(case):
+    import hashlib
+
+    import duckdb
+
+    from datafusion_tpc_spark.operators.chunking import _PACK_ORACLE
+
+    cap, docs = case
+    nb = 4
+
+    # pure-Python greedy (independent of BOTH engines): h60 bucket,
+    # doc_id order within bucket, new pack iff fill + n > cap
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    buckets = {}
+    for doc_id, n_chars in docs:
+        buckets.setdefault(h60_py(str(doc_id)) % nb, []).append(
+            (doc_id, n_chars)
+        )
+    for b, members in buckets.items():
+        seq, fill, pos, first = 0, 0, 0, True
+        for doc_id, n_chars in sorted(members):
+            if not first and fill + n_chars > cap:
+                seq, fill, pos = seq + 1, 0, 0
+            first = False
+            fill += n_chars
+            expected[doc_id] = (n_chars, (b << 32) + seq, pos, fill)
+            pos += 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            _PACK_ORACLE.format(nb=nb, cap=cap)
+        ).fetchall()
+    }
+    con.close()
+    assert got == expected, f"cap={cap} docs={docs}"
