@@ -123,3 +123,22 @@ def test_bucketed_sibling_tables_not_superseded(spark):
         d for d in os.listdir(bucketing._CACHE_ROOT) if d.endswith(".superseded")
     ]
     assert markers == [], markers
+
+
+def test_ivf_index_concurrent_cold(spark):
+    """(r11) Two threads racing the IVF materialized-index build from
+    a cold cache: the lock + uuid-temp + atomic-rename discipline must
+    publish exactly one index (no interleaved partial writes), both
+    served results must be identical, and no tmp-<uuid> build dir may
+    survive (the orphan sweep covers crashes; a clean race must not
+    leak at all)."""
+    from datafusion_tpc_spark.operators import ivf_served
+
+    shutil.rmtree(ivf_served._CACHE_ROOT, ignore_errors=True)
+    fn = registry.QUERIES["q_sim_ivf_served"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+    assert a == b and len(a) == 20
+    entries = os.listdir(ivf_served._CACHE_ROOT)
+    assert len([e for e in entries if not e.endswith(".superseded")]) == 1
+    assert not [e for e in entries if e.startswith("tmp-")]
