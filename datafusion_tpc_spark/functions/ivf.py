@@ -100,10 +100,10 @@ def _renorm(cents):
 
 
 # Trained-codebook memo (ADVICE r10): ivf_model trains eagerly
-# (cents.collect()) at DataFrame-construction time, and SIX consumers
-# (q_sim_ivf/_batch, q_sim_ivfeval/_batch, q_sim_ivf_sweep,
-# q_sim_ivf_served) build the identical index per session — without
-# the memo each re-runs the full Lloyd lineage. Keyed by the source
+# (cents.collect()) at DataFrame-construction time, and SEVEN
+# consumers (q_sim_ivf/_batch, q_sim_ivfeval/_batch, q_sim_ivf_sweep,
+# q_sim_ivf_served/_batch) build the identical index per session —
+# without the memo each re-runs the full Lloyd lineage. Keyed by the source
 # parquet's (path, mtime_ns, size) + the training constants, NOT
 # sf_dir alone (the derived-fixture staleness gotcha: testdata drops
 # replace files at the same path). Values are plain Python lists
@@ -324,6 +324,51 @@ def ivf_batch_candidates(spark, sf_dir):
             F.round(cosine(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
             "cell",
         )
+    )
+
+
+IVF_BATCH_K = 5  # per-qid depth (the q_sim_batch convention)
+
+
+def ivf_batch_ranked_oracle() -> str:
+    """The FULL batched-search oracle (per-qid cosine top-K over the
+    probe candidate stream) — the single source shared by
+    q_sim_ivf_batch AND its materialized-serving twin
+    q_sim_ivf_served_batch (review r11: the served twin promised
+    'oracle unchanged' but carried a verbatim copy; a K or tie-break
+    edit would have silently diverged them). Registration-free per
+    the functions/digest.py discipline."""
+    return f"""
+    WITH {ivf_batch_duck_cte()},
+    ranked AS (
+      SELECT qid, vec_id, cos_sim, cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
+               AS INT) AS rank
+      FROM cand QUALIFY rank <= {IVF_BATCH_K}
+    )
+    SELECT qid, rank, vec_id, cos_sim, cell FROM ranked
+    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
+    """
+
+
+def ranked_topk_batch(cand):
+    """The Spark twin of ivf_batch_ranked_oracle's tail: per-qid
+    cosine top-K via row_number (compiles to WindowGroupLimit —
+    map-side truncation before the qid exchange), global
+    (qid, rank) presentation order. Shared by q_sim_ivf_batch and
+    q_sim_ivf_served_batch."""
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVF_BATCH_K)
+        .select("qid", "rank", "vec_id", "cos_sim", "cell")
+        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
     )
 
 

@@ -236,24 +236,13 @@ def q_sim_ivf_served(spark, sf_dir):
 
 
 def _served_batch_oracle() -> str:
-    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
+    # the SINGLE batched-search oracle source, shared verbatim with
+    # q_sim_ivf_batch (review r11: a copy here would silently diverge
+    # on any K or tie-break edit) — 'oracle unchanged' is now
+    # structural, not a docstring promise.
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_ranked_oracle
 
-    return f"""
-    WITH {ivf_batch_duck_cte()},
-    ranked AS (
-      SELECT qid, vec_id, cos_sim, cell,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY qid
-               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
-               AS INT) AS rank
-      FROM cand QUALIFY rank <= {_BATCH_K}
-    )
-    SELECT qid, rank, vec_id, cos_sim, cell FROM ranked
-    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
-    """
-
-
-_BATCH_K = 5  # per-qid depth (the q_sim_ivf_batch convention)
+    return ivf_batch_ranked_oracle()
 
 
 @query("q_sim_ivf_served_batch", oracle=_served_batch_oracle())
@@ -276,14 +265,13 @@ def q_sim_ivf_served_batch(spark, sf_dir):
     broadcast, per-qid map-side top-k truncation — per-query cost
     amortizes with batch size on top of the 11× serving-scan win
     (BASELINE.md r11 amortization table)."""
-    from pyspark.sql import Window
-
     from datafusion_tpc_spark.functions.digest import cosine
     from datafusion_tpc_spark.functions.ivf import (
         BATCH_N,
         IVF_NPROBE,
         _norm_expr,
         batch_cell_ranks,
+        ranked_topk_batch,
     )
 
     path, codebook = _ivf_index(spark, sf_dir)
@@ -323,12 +311,4 @@ def q_sim_ivf_served_batch(spark, sf_dir):
             F.col("cell").cast("int").alias("cell"),
         )
     )
-    wr = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _BATCH_K)
-        .select("qid", "rank", "vec_id", "cos_sim", "cell")
-        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
-    )
+    return ranked_topk_batch(cand)

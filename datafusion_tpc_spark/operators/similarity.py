@@ -23,7 +23,7 @@ scales with data, per-bucket work stays bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.functions.digest import cosine
@@ -198,25 +198,14 @@ def q_sim_ivf(spark, sf_dir):
 
 
 _IVF_BATCH_N = 10  # qids 0..9 (the q_sim_batch convention)
-_IVF_BATCH_K = 5   # per-qid depth (q_sim_batch convention)
 
 
 def _ivf_batch_oracle() -> str:
-    from datafusion_tpc_spark.functions.ivf import ivf_batch_duck_cte
+    # single source for the batched-search oracle, shared with the
+    # materialized-serving twin q_sim_ivf_served_batch (review r11)
+    from datafusion_tpc_spark.functions.ivf import ivf_batch_ranked_oracle
 
-    return f"""
-    WITH {ivf_batch_duck_cte()},
-    ranked AS (
-      SELECT qid, vec_id, cos_sim, cell,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY qid
-               ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS LAST)
-               AS INT) AS rank
-      FROM cand QUALIFY rank <= {_IVF_BATCH_K}
-    )
-    SELECT qid, rank, vec_id, cos_sim, cell FROM ranked
-    ORDER BY qid ASC NULLS LAST, rank ASC NULLS LAST
-    """
+    return ivf_batch_ranked_oracle()
 
 
 @query("q_sim_ivf_batch", oracle=_ivf_batch_oracle())
@@ -247,19 +236,11 @@ def q_sim_ivf_batch(spark, sf_dir):
     from datafusion_tpc_spark.functions.ivf import (
         BATCH_N,
         ivf_batch_candidates,
+        ranked_topk_batch,
     )
 
     assert BATCH_N == _IVF_BATCH_N
-    cand = ivf_batch_candidates(spark, sf_dir)
-    wr = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _IVF_BATCH_K)
-        .select("qid", "rank", "vec_id", "cos_sim", "cell")
-        .orderBy(F.col("qid").asc_nulls_last(), F.col("rank").asc_nulls_last())
-    )
+    return ranked_topk_batch(ivf_batch_candidates(spark, sf_dir))
 
 
 def _ann_candidates(spark, sf_dir):
