@@ -816,3 +816,227 @@ def q_dedup_eval(spark, sf_dir):
         .otherwise(F.round(2.0 * F.col("tp") / (F.col("n_cand") + F.col("n_exact")), 6))
         .alias("f1"),
     )
+
+
+# ---- 7. exact substring (duplicated-span) dedup (r11) ---------------------
+
+_SUB_L = 32  # window length (chars — the Lee et al. 50-token analog at
+             # the fixture's character scale)
+_SUB_S = 16  # stride: windows start every S chars, bounding the hash
+             # stream at |corpus chars|/S rows regardless of L
+
+# Strided-window generators shared by the three span queries
+# (substr / spans / decontam) — one Spark array expr, one DuckDB
+# LATERAL twin producing the identical window set.
+_WIN_EXPR = (
+    f"CASE WHEN length(text) >= {_SUB_L} THEN "
+    f"transform(sequence(1, (length(text) - {_SUB_L}) div {_SUB_S} + 1), "
+    f"i -> substring(text, 1 + (i - 1) * {_SUB_S}, {_SUB_L})) "
+    f"ELSE array() END"
+)
+_WINS_DUCK = f"""
+      SELECT doc_id,
+             substr(text, 1 + (g.i - 1) * {_SUB_S}, {_SUB_L}) AS s
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1,
+                      GREATEST((length(text) - {_SUB_L}) // {_SUB_S} + 1, 0)))
+                    AS i) g
+"""
+
+
+@query(
+    "q_dedup_substr",
+    oracle=f"""
+    WITH w0 AS ({_WINS_DUCK}),
+    wins AS (
+      SELECT doc_id, {_h60_duck("s")} AS h FROM w0
+    ),
+    dup AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(d.h) AS BIGINT) AS n_dup,
+           ROUND(COUNT(d.h) * 1.0 / COUNT(*), 6) AS dup_frac
+    FROM wins w LEFT JOIN dup d USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q_dedup_substr(spark, sf_dir):
+    """Exact substring (duplicated-span) dedup — the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    primitive the pairwise family (minhash/simhash/ngram) does NOT
+    cover: find the fraction of each document made of spans that
+    appear VERBATIM in at least one other document (license headers,
+    templated boilerplate, quoted passages), independent of overall
+    document similarity. Strided fixed-length windows (L=32 chars
+    every S=16) are hashed with the h60 family; a window is
+    duplicated iff its hash occurs in ≥2 distinct docs. Output per
+    doc: window count, duplicated-window count, duplicated fraction
+    (the span-level removal signal a training pipeline thresholds).
+
+    Deterministic end-to-end (substr + md5 — identical on both
+    engines), so EXACT-oracled; documents shorter than L have no
+    windows and are absent from the output on both sides.
+
+    Scale: the stride bounds the hash stream at |corpus chars|/S rows
+    of (doc_id, 8-byte hash) — payload text never shuffles. Both aggs
+    are map-side-combinable groupBys on md5-uniform keys (skew-free
+    by construction); the dup-hash join is keyed on the same uniform
+    hash. The production suffix-array approach finds maximal spans;
+    this fixed-L windowing is its shuffle-friendly approximation —
+    any duplicated span ≥ L+S−1 chars is guaranteed to cover ≥1
+    window, shorter ones may straddle (recall, not precision, is
+    traded; precision is exact)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = d.select(
+        "doc_id", F.explode(F.expr(_WIN_EXPR)).alias("s")
+    ).select("doc_id", h60(F.col("s")).alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        wins.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.count("is_dup").cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") * 1.0 / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH wins AS ({_WINS_DUCK})
+    SELECT s AS span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM wins
+    GROUP BY s
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_spans(spark, sf_dir):
+    """Top duplicated spans — the REMEDIATION leg of q_dedup_substr:
+    surface the actual boilerplate strings (license headers, template
+    fragments, quoted passages) that account for the duplicated-span
+    mass, ranked by how many distinct documents carry them. This is
+    the list a curation pipeline turns into removal rules; the
+    fraction query says HOW MUCH is duplicated, this one says WHAT.
+
+    Same strided L=32/S=16 windowing as q_dedup_substr, but grouped
+    on the span text itself (32-char keys — same shuffle class as the
+    60-bit hash, and the output needs the string anyway). Total order
+    (n_docs DESC, n_occ DESC, span ASC) is strict because span is the
+    group key, so the top-20 set is deterministic — EXACT oracle.
+
+    Scale: one in-row transform+explode bounded at |corpus chars|/S
+    rows, one map-side-combinable groupBy on near-uniform 32-char
+    keys, then a global top-20 via TakeOrderedAndProject (map-side
+    heaps, no full sort, no single-reducer window)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = d.select(
+        "doc_id", F.explode(F.expr(_WIN_EXPR)).alias("s")
+    )
+    return (
+        wins.groupBy("s")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("s").alias("span"), "n_docs", "n_occ")
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span").asc()
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "q_dedup_decontam",
+    oracle=f"""
+    WITH w0 AS ({_WINS_DUCK}),
+    wins AS (
+      SELECT doc_id, {_h60_duck("s")} AS h,
+             ({_h60_duck("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+      FROM w0
+    ),
+    train_h AS (SELECT DISTINCT h FROM wins WHERE bucket < 90),
+    test_w AS (SELECT doc_id, h FROM wins WHERE bucket >= 95)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(t.h) AS BIGINT) AS n_contam,
+           ROUND(COUNT(t.h) * 1.0 / COUNT(*), 6) AS contam_frac
+    FROM test_w w LEFT JOIN train_h t USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q_dedup_decontam(spark, sf_dir):
+    """Span-level train/test decontamination — the eval-integrity
+    audit an LLM pipeline runs before trusting benchmark numbers
+    (the GPT-3/PaLM n-gram-overlap check): for every TEST-split
+    document, the fraction of its L=32-char spans that appear
+    verbatim anywhere in the TRAIN split. Doc-level exact/near dedup
+    (q_dedup_exact/minhash) misses this — a test doc quoting one
+    contaminated paragraph still leaks the benchmark.
+
+    Splits are the q_pipe_split convention (h60(doc_id)%100: train
+    <90, test >=95 — restated locally because operators/pipeline.py
+    registers queries and window modules must not cascade-import it);
+    spans are the q_dedup_substr strided windows, compared by h60.
+    Fully deterministic -> EXACT oracle. Test docs shorter than L
+    have no windows and are absent on both sides.
+
+    Scale: the train side reduces to DISTINCT 8-byte hashes (map-side
+    combined, uniform keys) before the join — payload text never
+    shuffles and the test side is 5% of the corpus. At 100 TB the
+    distinct-train-hash table exceeds broadcast range, so this is a
+    plain shuffle join on md5-uniform keys (skew-free); the bloom-
+    probe variant (q_join_bloom precedent) is the cheaper screen when
+    only the flag, not the exact fraction, is needed."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # q_pipe_split's bucket convention, restated (see docstring).
+    bucket = h60(F.col("doc_id").cast("string")) % 100
+    wins = d.select(
+        "doc_id",
+        F.explode(F.expr(_WIN_EXPR)).alias("s"),
+        bucket.alias("bucket"),
+    ).select("doc_id", h60(F.col("s")).alias("h"), "bucket")
+    train_h = (
+        wins.filter(F.col("bucket") < 90)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_w = wins.filter(F.col("bucket") >= 95).select("doc_id", "h")
+    return (
+        test_w.join(train_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.count("hit").cast("bigint").alias("n_contam"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_contam",
+            F.round(F.col("n_contam") * 1.0 / F.col("n_windows"), 6).alias(
+                "contam_frac"
+            ),
+        )
+    )

@@ -156,6 +156,10 @@ def load_all() -> None:
     # r11 birth (deadline r17): the IVF materialized-assignment
     # serving twin (VERDICT r10 item 3):
     from datafusion_tpc_spark.operators import ivf_served  # noqa: F401
+    # r11 birth (deadline r17): PSI distribution-drift audit (lives
+    # outside queries/diagnostics.py because that module is in the
+    # r11 window and window modules must not grow mid-round):
+    from datafusion_tpc_spark.queries import diagnostics_ext  # noqa: F401
     # r8-window modules, re-verified green in round 8 (deadline r14):
     from datafusion_tpc_spark.queries import (  # noqa: F401
         aggregates,

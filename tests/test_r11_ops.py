@@ -64,3 +64,77 @@ def test_ivf_served_batch_equals_batched_search(spark):
     base = registry.QUERIES["q_sim_ivf_batch"](spark, SF_DIR).collect()
     assert len(served) == len(base) == 50
     assert [tuple(r) for r in served] == [tuple(r) for r in base]
+
+
+# ---- span-dedup family + PSI drift (late r11) --------------------------
+
+
+def test_substr_spans_decontam_consistency(spark):
+    """Cross-operator invariants tying the three span queries to one
+    window universe (same L/S constants, same h60 hashes)."""
+    sub = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_dedup_substr"](spark, SF_DIR).collect()
+    }
+    # per-doc bounds + window count matches the closed form over text
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for doc_id, r in sub.items():
+        assert 0 <= r["n_dup"] <= r["n_windows"]
+        assert abs(r["dup_frac"] - round(r["n_dup"] / r["n_windows"], 6)) < 1e-9
+        n = len(docs[doc_id])
+        assert r["n_windows"] == (n - 32) // 16 + 1
+    # every doc with >= 32 chars appears exactly once
+    assert len(sub) == sum(1 for t in docs.values() if len(t) >= 32)
+
+    spans = registry.QUERIES["q_dedup_spans"](spark, SF_DIR).collect()
+    assert 0 < len(spans) <= 20
+    for r in spans:
+        assert r["n_docs"] >= 2 and r["n_occ"] >= r["n_docs"]
+        assert len(r["span"]) == 32
+    # ranked output: non-increasing (n_docs, n_occ) with span tiebreak
+    keys = [(-r["n_docs"], -r["n_occ"], r["span"]) for r in spans]
+    assert keys == sorted(keys)
+    # each top span's docs must show up as duplicated mass in substr
+    top = spans[0]["span"]
+    carriers = [d for d, t in docs.items() if top in t]
+    assert len(carriers) >= 2
+    # windowed carrier docs (span aligned to the stride grid in at
+    # least one doc) must report n_dup > 0 — weak but non-vacuous
+    assert any(sub[d]["n_dup"] > 0 for d in carriers if d in sub)
+
+    dec = registry.QUERIES["q_dedup_decontam"](spark, SF_DIR).collect()
+    assert dec, "test split is empty?"
+    import hashlib
+
+    def py_h60(s):  # pure-Python twin of functions.digest.h60
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in dec:
+        assert py_h60(str(r["doc_id"])) % 100 >= 95, "non-test doc in output"
+        assert 0 <= r["n_contam"] <= r["n_windows"]
+        # decontam windows are a subset of this doc's substr windows
+        assert r["n_windows"] == sub[r["doc_id"]]["n_windows"]
+    # fixture carries real contamination signal (31 windows at sf0.01)
+    assert sum(r["n_contam"] for r in dec) > 0
+
+
+def test_psi_nonnegative_and_single_scan(spark):
+    """PSI is a sum of (q-p)ln(q/p) terms, each >= 0 — and the plan
+    must read events exactly ONCE (the closed-form missing-bin fold
+    replaces the grid-completion join; VERDICT r5 re-scan lesson)."""
+    df = registry.QUERIES["q_dq_psi"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 5  # five event types in the fixture
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["n_a"] > 0 and r["n_b"] > 0
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == total
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE toString appends an "Initial Plan" echo — count the final
+    # plan section only.
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, "events must be scanned once"

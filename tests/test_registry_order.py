@@ -289,6 +289,10 @@ _BIRTH_ROUND = {
     "q_sim_ivf_sweep": 10,
     "q_sim_ivf_served": 11,
     "q_sim_ivf_served_batch": 11,
+    "q_dedup_substr": 11,
+    "q_dedup_spans": 11,
+    "q_dedup_decontam": 11,
+    "q_dq_psi": 11,
 }
 
 
