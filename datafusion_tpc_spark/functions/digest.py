@@ -26,6 +26,27 @@ def _h60_duck(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# Train/val/test split convention — SINGLE source of truth shared by
+# the split itself (operators/pipeline.py q_pipe_split/q_pipe_kept)
+# and its auditors (operators/dedup.py q_dedup_decontam). Hoisted here
+# (registration-free module) so neither side duplicates the thresholds:
+# a convention change desynchronizing the decontamination audit from
+# the split it audits would be silent (review r11).
+SPLIT_TRAIN_LT = 90  # h60(doc_id) % 100 < 90  → train
+SPLIT_VAL_LT = 95    # < 95 → val; else test
+
+
+def split_bucket():
+    """Spark column: the doc's 0-99 split bucket (pure function of
+    doc_id — stable across reruns, rescale, and repartitioning)."""
+    return h60(F.col("doc_id").cast("string")) % 100
+
+
+def split_bucket_duck(col: str = "doc_id") -> str:
+    """DuckDB twin of split_bucket(); ``col`` may be qualified."""
+    return f"({_h60_duck(f'CAST({col} AS VARCHAR)')} % 100)"
+
+
 def cosine(a, b):
     """Cosine similarity of two array<double> columns — sequential
     left-fold on both engines, bit-stable across Spark and DuckDB.

@@ -43,7 +43,15 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
-from datafusion_tpc_spark.functions.digest import h60, _h60_duck, cosine  # noqa: F401
+from datafusion_tpc_spark.functions.digest import (  # noqa: F401
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+    _h60_duck,
+    cosine,
+    h60,
+    split_bucket,
+    split_bucket_duck,
+)
 from datafusion_tpc_spark.registry import query
 
 # ---- shared deterministic hashing ------------------------------------
@@ -926,7 +934,8 @@ def q_dedup_substr(spark, sf_dir):
     FROM wins
     GROUP BY s
     HAVING COUNT(DISTINCT doc_id) >= 2
-    ORDER BY n_docs DESC, n_occ DESC, span ASC
+    ORDER BY n_docs DESC NULLS LAST, n_occ DESC NULLS LAST,
+             span ASC NULLS LAST
     LIMIT 20
     """,
 )
@@ -961,7 +970,9 @@ def q_dedup_spans(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .select(F.col("s").alias("span"), "n_docs", "n_occ")
         .orderBy(
-            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span").asc()
+            F.col("n_docs").desc_nulls_last(),
+            F.col("n_occ").desc_nulls_last(),
+            F.col("span").asc_nulls_last(),
         )
         .limit(20)
     )
@@ -973,11 +984,13 @@ def q_dedup_spans(spark, sf_dir):
     WITH w0 AS ({_WINS_DUCK}),
     wins AS (
       SELECT doc_id, {_h60_duck("s")} AS h,
-             ({_h60_duck("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+             {split_bucket_duck()} AS bucket
       FROM w0
     ),
-    train_h AS (SELECT DISTINCT h FROM wins WHERE bucket < 90),
-    test_w AS (SELECT doc_id, h FROM wins WHERE bucket >= 95)
+    train_h AS (SELECT DISTINCT h FROM wins
+                WHERE bucket < {SPLIT_TRAIN_LT}),
+    test_w AS (SELECT doc_id, h FROM wins
+               WHERE bucket >= {SPLIT_VAL_LT})
     SELECT w.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(COUNT(t.h) AS BIGINT) AS n_contam,
@@ -995,10 +1008,11 @@ def q_dedup_decontam(spark, sf_dir):
     (q_dedup_exact/minhash) misses this — a test doc quoting one
     contaminated paragraph still leaks the benchmark.
 
-    Splits are the q_pipe_split convention (h60(doc_id)%100: train
-    <90, test >=95 — restated locally because operators/pipeline.py
-    registers queries and window modules must not cascade-import it);
-    spans are the q_dedup_substr strided windows, compared by h60.
+    Splits are the q_pipe_split convention, read from its single
+    source of truth (functions/digest.py split_bucket — hoisted there
+    because operators/pipeline.py registers queries and must not be
+    cascade-imported); spans are the q_dedup_substr strided windows,
+    compared by h60.
     Fully deterministic -> EXACT oracle. Test docs shorter than L
     have no windows and are absent on both sides.
 
@@ -1010,20 +1024,20 @@ def q_dedup_decontam(spark, sf_dir):
     probe variant (q_join_bloom precedent) is the cheaper screen when
     only the flag, not the exact fraction, is needed."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # q_pipe_split's bucket convention, restated (see docstring).
-    bucket = h60(F.col("doc_id").cast("string")) % 100
     wins = d.select(
         "doc_id",
         F.explode(F.expr(_WIN_EXPR)).alias("s"),
-        bucket.alias("bucket"),
+        split_bucket().alias("bucket"),
     ).select("doc_id", h60(F.col("s")).alias("h"), "bucket")
     train_h = (
-        wins.filter(F.col("bucket") < 90)
+        wins.filter(F.col("bucket") < SPLIT_TRAIN_LT)
         .select("h")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    test_w = wins.filter(F.col("bucket") >= 95).select("doc_id", "h")
+    test_w = wins.filter(F.col("bucket") >= SPLIT_VAL_LT).select(
+        "doc_id", "h"
+    )
     return (
         test_w.join(train_h, "h", "left")
         .groupBy("doc_id")

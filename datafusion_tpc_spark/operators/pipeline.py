@@ -40,6 +40,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.digest import (
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+    split_bucket,
+    split_bucket_duck,
+)
 from datafusion_tpc_spark.operators.dedup import (
     _BAND_SELECTS,
     _MIN_EXPRS,
@@ -54,15 +60,16 @@ from datafusion_tpc_spark.registry import query
 # ---- deterministic hash sampling / splitting --------------------------
 
 # md5-derived bucket in [0, 100) — identical on both engines via the
-# shared h60 family (dedup.py:62). Production pipelines key this on a
-# stable doc URL/id so re-runs and incremental loads keep membership.
-# (Function, not module constant: Column construction needs a live
-# SparkContext, and this module imports before any session exists.)
-def _bucket():
-    return h60(F.col("doc_id").cast("string")) % 100
-
-
-_BUCKET_DUCK = f"({_h60_duck('CAST(doc_id AS VARCHAR)')} % 100)"
+# shared h60 family. The convention (expression + 90/5/5 thresholds)
+# lives in functions/digest.py so the decontamination auditor
+# (operators/dedup.py q_dedup_decontam) can share it without importing
+# this module's registrations (review r11). Production pipelines key
+# this on a stable doc URL/id so re-runs and incremental loads keep
+# membership. (_bucket is a function, not a module constant: Column
+# construction needs a live SparkContext, and this module imports
+# before any session exists.)
+_bucket = split_bucket
+_BUCKET_DUCK = split_bucket_duck()
 
 
 @query(
@@ -89,8 +96,8 @@ def q_pipe_sample(spark, sf_dir):
     "q_pipe_split",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN {_BUCKET_DUCK} < 90 THEN 'train'
-                WHEN {_BUCKET_DUCK} < 95 THEN 'val'
+           CASE WHEN {_BUCKET_DUCK} < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN {_BUCKET_DUCK} < {SPLIT_VAL_LT} THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -103,8 +110,8 @@ def q_pipe_split(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.when(_bucket() < 90, "train")
-        .when(_bucket() < 95, "val")
+        F.when(_bucket() < SPLIT_TRAIN_LT, "train")
+        .when(_bucket() < SPLIT_VAL_LT, "val")
         .otherwise("test")
         .alias("split"),
     )
@@ -536,8 +543,8 @@ def q_pipe_canonical(spark, sf_dir):
       )
     )
     SELECT d.doc_id AS doc_id,
-           CASE WHEN ({_h60_duck('CAST(d.doc_id AS VARCHAR)')} % 100) < 90 THEN 'train'
-                WHEN ({_h60_duck('CAST(d.doc_id AS VARCHAR)')} % 100) < 95 THEN 'val'
+           CASE WHEN {split_bucket_duck('d.doc_id')} < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN {split_bucket_duck('d.doc_id')} < {SPLIT_VAL_LT} THEN 'val'
                 ELSE 'test' END AS split
     FROM documents d
     JOIN quality q ON q.doc_id = d.doc_id
@@ -581,8 +588,8 @@ def q_pipe_kept(spark, sf_dir):
         .join(dup_losers, "doc_id", "left_anti")
         .select(
             "doc_id",
-            F.when(_bucket() < 90, "train")
-            .when(_bucket() < 95, "val")
+            F.when(_bucket() < SPLIT_TRAIN_LT, "train")
+            .when(_bucket() < SPLIT_VAL_LT, "val")
             .otherwise("test")
             .alias("split"),
         )

@@ -15,10 +15,13 @@ from pyspark.sql import Window, functions as F
 from datafusion_tpc_spark.catalog import load_table
 from datafusion_tpc_spark.registry import query
 
-# Fixed-width value bins: W=25 over value ∈ (0, ~500] → bins 0..9 with
-# an overflow top bin. Data-independent edges keep the binning a pure
-# row-local function (no quantile pass, no cross-engine percentile
-# semantics); x/25.0 and floor are IEEE-exact on both engines.
+# Fixed-width value bins: W=25 over value ∈ (0, ~500] → bins 0..9,
+# clamped on BOTH sides (bin 9 absorbs overflow, bin 0 underflow — a
+# future testdata drop with negative values must not mint bins outside
+# [0, B) or the closed-form missing-bin fold breaks; review r11).
+# Data-independent edges keep the binning a pure row-local function
+# (no quantile pass, no cross-engine percentile semantics); x/25.0 and
+# floor are IEEE-exact on both engines.
 _B = 10
 _W = 25.0
 _S = _B / 2.0  # Laplace total correction: +0.5 per bin × B bins
@@ -29,7 +32,8 @@ _S = _B / 2.0  # Laplace total correction: +0.5 per bin × B bins
     oracle=f"""
     WITH b AS (
       SELECT event_type,
-             LEAST({_B - 1}, CAST(FLOOR(value / {_W}) AS INT)) AS bin,
+             GREATEST(0, LEAST({_B - 1},
+                               CAST(FLOOR(value / {_W}) AS INT))) AS bin,
              CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS ia
       FROM events
     ),
@@ -69,8 +73,12 @@ def q_dq_psi(spark, sf_dir):
     value distribution of days 1-15 (reference, A) vs days 16-31
     (current, B): PSI = Σ_bins (p_B − p_A) · ln(p_B / p_A).
 
-    Companion to q_text_kl (vocabulary drift, text side) — this is
-    the numeric-feature side. Fixed-width bins + Laplace smoothing
+    Position in the drift family: q_dq_drift (queries/diagnostics.py)
+    is the per-BIN contribution REPORT for one feature and one vintage
+    pair (10 rows, where did it move); this is the per-SEGMENT
+    aggregated STATISTIC (one row per event_type, the number a
+    monitoring gate thresholds) over event-time slices, and q_text_kl
+    is the text-vocabulary analog. Fixed-width bins + Laplace smoothing
     (+0.5 per bin, +B/2 per total) keep empty bins defined; bins
     absent from BOTH slices all contribute the identical smoothed
     term ((q₀−p₀)·ln(q₀/p₀) with p₀ = 0.5/(n_A+B/2)), so instead of a
@@ -88,8 +96,11 @@ def q_dq_psi(spark, sf_dir):
     transcendental → ROUND(…, 6) per repo convention."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.least(
-            F.lit(_B - 1), F.floor(F.col("value") / _W).cast("int")
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(_B - 1), F.floor(F.col("value") / _W).cast("int")
+            ),
         ).alias("bin"),
         F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("ia"),
     )
