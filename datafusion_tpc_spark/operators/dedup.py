@@ -1,7 +1,7 @@
 """Deduplication operators — north-star extension (SURVEY.md §7/M5;
 no reference counterpart: the reference is a pure SQL engine harness).
 
-Five dedup strategies over the `documents` fixture, each expressed as
+Dedup strategies over the `documents` fixture, each expressed as
 shuffle-bounded DataFrame transforms (no driver-side loops):
 
 - exact          content-hash groupBy (md5)
@@ -9,6 +9,12 @@ shuffle-bounded DataFrame transforms (no driver-side loops):
 - minhash (LSH)  md5-seeded minhash signatures → banded LSH buckets
 - simhash        60-bit sign-vote fingerprint
 - embedding      pairwise cosine near-duplicates
+- substr family  strided-window duplicated-span fraction (r11), the
+                 top-span extraction and the span-level train/test
+                 decontamination riding the same window stream
+- winnow         MOSS winnowing fingerprint sets (r11) — the
+                 position-robust partial-overlap granularity between
+                 whole-doc minhash and char spans
 
 Determinism: all hashing derives from md5 (h60(x) = first 15 hex chars
 of md5 as a 60-bit int), reproducible bit-for-bit in DuckDB via
@@ -1051,6 +1057,125 @@ def q_dedup_decontam(spark, sf_dir):
             "n_contam",
             F.round(F.col("n_contam") * 1.0 / F.col("n_windows"), 6).alias(
                 "contam_frac"
+            ),
+        )
+    )
+
+
+# ---- 8. winnowing fingerprints (r11) ----------------------------------
+
+_WNW_K = 5  # shingle width in words (k=3 drowns in the fixture's
+            # ~31-word vocabulary: 52% of fingerprints shared by
+            # chance vs 9% at k=5 — measured, TESTDATA quirk)
+_WNW_W = 4  # winnow window: min-hash selected per W consecutive
+            # shingle positions → expected density 2/(W+1)
+
+
+@query(
+    "q_dedup_winnow",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    hsl AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(w) - {_WNW_K - 1}, 1)),
+               i -> {_h60_duck("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")}
+             ) AS hs
+      FROM tok
+    ),
+    fpt AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {_WNW_W - 1}, 1)),
+               j -> list_min(hs[j:j+{_WNW_W - 1}])))) AS fp
+      FROM hsl
+    ),
+    dup AS (
+      SELECT fp FROM fpt GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(COUNT(d.fp) AS BIGINT) AS n_shared,
+           ROUND(COUNT(d.fp) * 1.0 / COUNT(*), 6) AS share_frac
+    FROM fpt f LEFT JOIN dup d USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per doc, the SET of local
+    min-hashes — one selected from every window of W=4 consecutive
+    k=5-word shingle hashes. Unlike
+    q_text_fingerprint's single whole-doc min-hash (detects
+    whole-document similarity only), the winnowed set is
+    position-robust with a GUARANTEE: any shared word run of at
+    least W+k−1 = 8 words produces at least one shared fingerprint,
+    at a bounded fingerprint density of ~2/(W+1) per shingle. Output
+    per doc: fingerprint count, fingerprints shared with ≥1 other
+    doc, shared fraction — the partial-overlap signal between the
+    whole-doc (fingerprint/minhash) and char-span (q_dedup_substr)
+    granularities.
+
+    Selection records fingerprint VALUES (position-free, the MOSS
+    usage), so window ties need no rightmost rule and the set is
+    deterministic — EXACT oracle; k=5 because the fixture's tiny
+    vocabulary makes 3-word shingles collide by chance (52% → 9%
+    measured shared rate, see _WNW_K note).
+
+    Scale: shingling, hashing, winnowing, and dedup of the selected
+    set are ALL row-local array folds inside the scan projection
+    (the q_text_fingerprint zero-shuffle shape) — only the winnowed
+    (doc_id, 8-byte fp) pairs (~0.4/shingle) ever shuffle, into two
+    map-side-combinable groupBys on md5-uniform keys; payload text
+    never moves."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {_WNW_K - 1}, 1)),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+    )
+    # Window-min as a zip_with fold over W shifted slices — O(n·log W)
+    # work instead of the definitional O(n·W) slice-per-window scan
+    # (equivalent values: min over identical ints; measured equal-set
+    # + ~10% at sf0.1, and the advantage grows with W). Short docs
+    # (fewer than W hashes): the shifted slices run empty, zip_with
+    # null-pads, and least() skips nulls → min of all hashes, matching
+    # the oracle's clamped list_min(hs[j:j+W-1]).
+    nw = f"greatest(size(hs) - {_WNW_W - 1}, 1)"
+    fps = F.array_distinct(
+        F.expr(
+            f"zip_with(zip_with(slice(hs, 1, {nw}), slice(hs, 2, {nw}),"
+            " (x, y) -> least(x, y)),"
+            f" zip_with(slice(hs, 3, {nw}), slice(hs, 4, {nw}),"
+            " (x, y) -> least(x, y)),"
+            " (x, y) -> least(x, y))"
+        )
+    )
+    fpt = (
+        d.withColumn("w", F.split("text", " "))
+        .withColumn("hs", F.transform(sh, h60))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+    dup = (
+        fpt.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    return (
+        fpt.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.count("is_dup").cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_shared",
+            F.round(F.col("n_shared") * 1.0 / F.col("n_fp"), 6).alias(
+                "share_frac"
             ),
         )
     )

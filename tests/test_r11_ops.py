@@ -138,3 +138,39 @@ def test_psi_nonnegative_and_single_scan(spark):
     # plan section only.
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 1, "events must be scanned once"
+
+
+def test_winnow_matches_python_reference(spark):
+    """Per-doc winnowed fingerprint sets recomputed in pure Python
+    (md5 h60, k=5 shingles, W=4 windows) must match the Spark/SQL
+    fold exactly for a sample of docs — plus global bounds."""
+    import hashlib
+
+    rows = registry.QUERIES["q_dedup_winnow"](spark, SF_DIR).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    sample = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert len(by_doc) == spark.read.parquet(
+        f"{SF_DIR}/documents.parquet"
+    ).count()
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for row in sample:
+        w = row["text"].split(" ")
+        n_sh = max(len(w) - 4, 1)
+        hs = [
+            h60py(" ".join(x for x in w[i : i + 5] if x is not None))
+            for i in range(n_sh)
+        ]
+        n_win = max(len(hs) - 3, 1)
+        fps = {min(hs[j : j + 4]) for j in range(n_win)}
+        r = by_doc[row["doc_id"]]
+        assert r["n_fp"] == len(fps), row["doc_id"]
+        assert 0 <= r["n_shared"] <= r["n_fp"]
+        assert abs(r["share_frac"] - round(r["n_shared"] / r["n_fp"], 6)) < 1e-9
