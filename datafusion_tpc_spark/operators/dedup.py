@@ -894,30 +894,34 @@ def q_dedup_substr(spark, sf_dir):
     windows and are absent from the output on both sides.
 
     Scale: the stride bounds the hash stream at |corpus chars|/S rows
-    of (doc_id, 8-byte hash) — payload text never shuffles. Both aggs
-    are map-side-combinable groupBys on md5-uniform keys (skew-free
-    by construction); the dup-hash join is keyed on the same uniform
-    hash. The production suffix-array approach finds maximal spans;
-    this fixed-L windowing is its shuffle-friendly approximation —
-    any duplicated span ≥ L+S−1 chars is guaranteed to cover ≥1
-    window, shorter ones may straddle (recall, not precision, is
-    traded; precision is exact)."""
+    of (doc_id, 8-byte hash) — payload text never shuffles, and the
+    corpus is scanned exactly ONCE (plan-gated): the distinct-doc
+    count per hash is two window passes over a single md5-uniform
+    h-exchange (dense_rank then its partition max — the window twin
+    of COUNT(DISTINCT), which Spark windows don't support directly)
+    instead of the groupBy-then-join-back form whose two consumers
+    re-execute the whole scan lineage. The production suffix-array
+    approach finds maximal spans; this fixed-L windowing is its
+    shuffle-friendly approximation — any duplicated span ≥ L+S−1
+    chars is guaranteed to cover ≥1 window, shorter ones may straddle
+    (recall, not precision, is traded; precision is exact)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wins = d.select(
         "doc_id", F.explode(F.expr(_WIN_EXPR)).alias("s")
     ).select("doc_id", h60(F.col("s")).alias("h"))
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
+    dr = F.dense_rank().over(Window.partitionBy("h").orderBy("doc_id"))
+    nd = F.max(F.col("dr")).over(Window.partitionBy("h"))
     return (
-        wins.join(dup, "h", "left")
+        wins.withColumn("dr", dr)
+        .withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.count("is_dup").cast("bigint").alias("n_dup"),
+            F.count(F.when(F.col("nd") >= 2, 1))
+            .cast("bigint")
+            .alias("n_dup"),
         )
         .select(
             "doc_id",
@@ -1022,34 +1026,33 @@ def q_dedup_decontam(spark, sf_dir):
     Fully deterministic -> EXACT oracle. Test docs shorter than L
     have no windows and are absent on both sides.
 
-    Scale: the train side reduces to DISTINCT 8-byte hashes (map-side
-    combined, uniform keys) before the join — payload text never
-    shuffles and the test side is 5% of the corpus. At 100 TB the
-    distinct-train-hash table exceeds broadcast range, so this is a
-    plain shuffle join on md5-uniform keys (skew-free); the bloom-
-    probe variant (q_join_bloom precedent) is the cheaper screen when
-    only the flag, not the exact fraction, is needed."""
+    Scale: payload text never shuffles — only (doc_id, 8-byte hash,
+    bucket) rows — and the corpus is scanned exactly ONCE
+    (plan-gated): a per-hash boolean window flag (MAX over the
+    md5-uniform h-partition of "is a train row") marks test windows
+    in the same pass that produced them, instead of materializing the
+    distinct-train-hash table and joining back, whose two consumers
+    re-execute the whole scan lineage. The bloom-probe variant
+    (q_join_bloom precedent) is the cheaper screen when only the
+    flag, not the exact fraction, is needed."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wins = d.select(
         "doc_id",
         F.explode(F.expr(_WIN_EXPR)).alias("s"),
         split_bucket().alias("bucket"),
     ).select("doc_id", h60(F.col("s")).alias("h"), "bucket")
-    train_h = (
-        wins.filter(F.col("bucket") < SPLIT_TRAIN_LT)
-        .select("h")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    test_w = wins.filter(F.col("bucket") >= SPLIT_VAL_LT).select(
-        "doc_id", "h"
-    )
+    hit = F.max(
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, 1).otherwise(0)
+    ).over(Window.partitionBy("h"))
     return (
-        test_w.join(train_h, "h", "left")
+        wins.withColumn("hit", hit)
+        .filter(F.col("bucket") >= SPLIT_VAL_LT)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.count("hit").cast("bigint").alias("n_contam"),
+            F.sum("hit").cast("bigint").alias("n_contam"),
         )
         .select(
             "doc_id",
@@ -1127,9 +1130,12 @@ def q_dedup_winnow(spark, sf_dir):
     Scale: shingling, hashing, winnowing, and dedup of the selected
     set are ALL row-local array folds inside the scan projection
     (the q_text_fingerprint zero-shuffle shape) — only the winnowed
-    (doc_id, 8-byte fp) pairs (~0.4/shingle) ever shuffle, into two
-    map-side-combinable groupBys on md5-uniform keys; payload text
-    never moves."""
+    (doc_id, 8-byte fp) pairs (~0.4/shingle) ever shuffle, and the
+    corpus is scanned exactly ONCE (plan-gated): per-doc fp sets are
+    already distinct, so a plain COUNT window over the md5-uniform
+    fp-exchange gives the sharing-doc count without the
+    groupBy-then-join-back whose two consumers re-execute the scan
+    lineage; payload text never moves."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = F.expr(
         f"transform(sequence(1, greatest(size(w) - {_WNW_K - 1}, 1)),"
@@ -1152,23 +1158,24 @@ def q_dedup_winnow(spark, sf_dir):
             " (x, y) -> least(x, y))"
         )
     )
+    from pyspark.sql import Window
+
     fpt = (
         d.withColumn("w", F.split("text", " "))
         .withColumn("hs", F.transform(sh, h60))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
-    dup = (
-        fpt.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp", F.lit(1).alias("is_dup"))
-    )
+    # (doc_id, fp) is distinct per doc (array_distinct above), so the
+    # partition row count IS the distinct-doc count for the fp.
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return (
-        fpt.join(dup, "fp", "left")
+        fpt.select("doc_id", nd.alias("nd"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_fp"),
-            F.count("is_dup").cast("bigint").alias("n_shared"),
+            F.count(F.when(F.col("nd") >= 2, 1))
+            .cast("bigint")
+            .alias("n_shared"),
         )
         .select(
             "doc_id",

@@ -174,3 +174,17 @@ def test_winnow_matches_python_reference(spark):
         assert r["n_fp"] == len(fps), row["doc_id"]
         assert 0 <= r["n_shared"] <= r["n_fp"]
         assert abs(r["share_frac"] - round(r["n_shared"] / r["n_fp"], 6)) < 1e-9
+
+
+def test_span_family_single_scan(spark):
+    """The substr/decontam/winnow rollups derive their cross-doc
+    counts from window functions over one exchange — the corpus must
+    be scanned exactly ONCE per query (the groupBy-then-join-back
+    form re-executes the scan lineage per consumer; VERDICT r5
+    re-scan lesson)."""
+    for name in ("q_dedup_substr", "q_dedup_decontam", "q_dedup_winnow"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Scan parquet") == 1, f"{name}: scans != 1"
