@@ -1074,10 +1074,8 @@ _WNW_W = 4  # winnow window: min-hash selected per W consecutive
             # shingle positions → expected density 2/(W+1)
 
 
-@query(
-    "q_dedup_winnow",
-    oracle=f"""
-    WITH tok AS (
+_WNW_FPT_DUCK = f"""
+    tok AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     hsl AS (
@@ -1094,7 +1092,46 @@ _WNW_W = 4  # winnow window: min-hash selected per W consecutive
                generate_series(1, greatest(len(hs) - {_WNW_W - 1}, 1)),
                j -> list_min(hs[j:j+{_WNW_W - 1}])))) AS fp
       FROM hsl
-    ),
+    )"""
+
+
+def _winnow_fpt(spark, sf_dir):
+    """The winnowed (doc_id, fp) stream shared by q_dedup_winnow and
+    q_dedup_winnow_pairs — entirely row-local folds in the scan
+    projection; per-doc fp sets are DISTINCT by construction
+    (array_distinct). Window-min is a zip_with fold over W shifted
+    slices — O(n·log W) work instead of the definitional O(n·W)
+    slice-per-window scan (equivalent values: min over identical
+    ints; measured equal-set + ~10% at sf0.1, advantage grows with
+    W). Short docs (fewer than W hashes): the shifted slices run
+    empty, zip_with null-pads, and least() skips nulls → min of all
+    hashes, matching the oracle's clamped list_min(hs[j:j+W-1])."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {_WNW_K - 1}, 1)),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+    )
+    nw = f"greatest(size(hs) - {_WNW_W - 1}, 1)"
+    fps = F.array_distinct(
+        F.expr(
+            f"zip_with(zip_with(slice(hs, 1, {nw}), slice(hs, 2, {nw}),"
+            " (x, y) -> least(x, y)),"
+            f" zip_with(slice(hs, 3, {nw}), slice(hs, 4, {nw}),"
+            " (x, y) -> least(x, y)),"
+            " (x, y) -> least(x, y))"
+        )
+    )
+    return (
+        d.withColumn("w", F.split("text", " "))
+        .withColumn("hs", F.transform(sh, h60))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+@query(
+    "q_dedup_winnow",
+    oracle=f"""
+    WITH {_WNW_FPT_DUCK},
     dup AS (
       SELECT fp FROM fpt GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
     )
@@ -1136,36 +1173,10 @@ def q_dedup_winnow(spark, sf_dir):
     fp-exchange gives the sharing-doc count without the
     groupBy-then-join-back whose two consumers re-execute the scan
     lineage; payload text never moves."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {_WNW_K - 1}, 1)),"
-        " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
-    )
-    # Window-min as a zip_with fold over W shifted slices — O(n·log W)
-    # work instead of the definitional O(n·W) slice-per-window scan
-    # (equivalent values: min over identical ints; measured equal-set
-    # + ~10% at sf0.1, and the advantage grows with W). Short docs
-    # (fewer than W hashes): the shifted slices run empty, zip_with
-    # null-pads, and least() skips nulls → min of all hashes, matching
-    # the oracle's clamped list_min(hs[j:j+W-1]).
-    nw = f"greatest(size(hs) - {_WNW_W - 1}, 1)"
-    fps = F.array_distinct(
-        F.expr(
-            f"zip_with(zip_with(slice(hs, 1, {nw}), slice(hs, 2, {nw}),"
-            " (x, y) -> least(x, y)),"
-            f" zip_with(slice(hs, 3, {nw}), slice(hs, 4, {nw}),"
-            " (x, y) -> least(x, y)),"
-            " (x, y) -> least(x, y))"
-        )
-    )
     from pyspark.sql import Window
 
-    fpt = (
-        d.withColumn("w", F.split("text", " "))
-        .withColumn("hs", F.transform(sh, h60))
-        .select("doc_id", F.explode(fps).alias("fp"))
-    )
-    # (doc_id, fp) is distinct per doc (array_distinct above), so the
+    fpt = _winnow_fpt(spark, sf_dir)
+    # (doc_id, fp) is distinct per doc (array_distinct in the shared
     # partition row count IS the distinct-doc count for the fp.
     nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return (
@@ -1185,4 +1196,84 @@ def q_dedup_winnow(spark, sf_dir):
                 "share_frac"
             ),
         )
+    )
+
+
+_WNW_CAP = 64  # fp frequency cap: fingerprints carried by more docs
+               # are boilerplate, dropped before pairing (the MOSS
+               # "ignore very common fingerprints" practice; bounds
+               # in-row pair expansion at CAP² — the LSH band_cap
+               # precedent)
+
+
+@query(
+    "q_dedup_winnow_pairs",
+    oracle=f"""
+    WITH {_WNW_FPT_DUCK},
+    keep AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
+        FROM fpt
+      ) WHERE nd BETWEEN 2 AND {_WNW_CAP}
+    ),
+    pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM keep x JOIN keep y
+        ON x.fp = y.fp AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs
+    GROUP BY doc_a, doc_b
+    ORDER BY n_shared DESC NULLS LAST, doc_a ASC NULLS LAST,
+             doc_b ASC NULLS LAST
+    LIMIT 20
+    """,
+)
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """The MOSS matcher: top candidate pairs ranked by shared winnowed
+    fingerprints — the CONTAINMENT-sensitive pair detector the
+    Jaccard-based legs (minhash/ngram/prefix) structurally miss: a
+    short document quoted inside a long one shares most of its
+    fingerprints (high match) while its Jaccard similarity stays far
+    below any dedup threshold. Fingerprints carried by more than
+    _WNW_CAP docs are boilerplate and dropped before pairing (the
+    published MOSS practice, and the repo's LSH band_cap precedent).
+    Deterministic: strict total order (n_shared, doc_a, doc_b) on
+    unique pairs — EXACT oracle (the oracle self-joins; the Spark
+    side expands pairs in-row, same values).
+
+    Scale: ONE corpus scan (plan-gated). The frequency filter is the
+    same COUNT window as q_dedup_winnow; surviving fps group their
+    ≤CAP-doc sorted lists on the SAME fp partitioning (exchange
+    reused), pairs expand IN-ROW via an indexed-transform over the
+    list (the q_graph_triangles wedge-basket idiom — no self-join, no
+    second lineage instantiation), bounded at CAP²/2 per fp, and the
+    global top-20 is TakeOrderedAndProject. Payload text never
+    shuffles."""
+    from pyspark.sql import Window
+
+    fpt = _winnow_fpt(spark, sf_dir)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    keep = fpt.select("doc_id", "fp", nd.alias("nd")).filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= _WNW_CAP)
+    )
+    baskets = keep.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc_nulls_last(),
+            F.col("doc_a").asc_nulls_last(),
+            F.col("doc_b").asc_nulls_last(),
+        )
+        .limit(20)
     )

@@ -182,9 +182,38 @@ def test_span_family_single_scan(spark):
     be scanned exactly ONCE per query (the groupBy-then-join-back
     form re-executes the scan lineage per consumer; VERDICT r5
     re-scan lesson)."""
-    for name in ("q_dedup_substr", "q_dedup_decontam", "q_dedup_winnow"):
+    for name in (
+        "q_dedup_substr",
+        "q_dedup_decontam",
+        "q_dedup_winnow",
+        "q_dedup_winnow_pairs",
+    ):
         df = registry.QUERIES[name](spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("Initial Plan")[0]
         assert final.count("Scan parquet") == 1, f"{name}: scans != 1"
+
+
+def test_winnow_pairs_consistent_with_winnow(spark):
+    """Every reported pair is ordered, deduplicated, and both members
+    must show shared mass in q_dedup_winnow (a pair exists only via
+    fps with 2 <= nd <= CAP, which winnow counts as shared)."""
+    pairs = registry.QUERIES["q_dedup_winnow_pairs"](spark, SF_DIR).collect()
+    assert 0 < len(pairs) <= 20
+    shared = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry.QUERIES["q_dedup_winnow"](spark, SF_DIR).collect()
+    }
+    seen = set()
+    prev = None
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["n_shared"] >= 1
+        assert shared[r["doc_a"]] >= r["n_shared"]
+        assert shared[r["doc_b"]] >= r["n_shared"]
+        key = (-r["n_shared"], r["doc_a"], r["doc_b"])
+        assert prev is None or prev <= key  # ranked output
+        prev = key

@@ -294,6 +294,7 @@ _BIRTH_ROUND = {
     "q_dedup_decontam": 11,
     "q_dq_psi": 11,
     "q_dedup_winnow": 11,
+    "q_dedup_winnow_pairs": 11,
 }
 
 
