@@ -198,7 +198,18 @@ _K1, _B = 1.2, 0.75
 
 def _token_tf(spark, sf_dir):
     """(doc_id, term, c) term frequencies — one shuffle, map-side
-    combined (shuffle bytes ∝ distinct doc-term pairs, not tokens)."""
+    combined (shuffle bytes ∝ distinct doc-term pairs, not tokens).
+
+    Deliberately NOT cache()d, though its consumers re-execute the
+    explode+groupBy lineage (r11 scan audit: tfidf reads the corpus
+    3×, bm25 5×): caching was implemented and MEASURED WORSE at sf0.1
+    — tfidf 0.86→0.80 but bm25 0.60→1.00 median (2.2× its baseline
+    row): the InMemoryRelation reads break whole-stage codegen and
+    cost more than re-running the pipelined scan at this rollup size.
+    At a scale where the corpus scan dominates, persist this rollup
+    once and serve both queries from it (the q_sim_ivf_served
+    materialization pattern) rather than re-introducing a blanket
+    cache()."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     return tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))

@@ -42,6 +42,40 @@ KNOWN_MULTI = {
     "q_dedup_semantic": "cluster centroid + member join",
 }
 
+# r11 full-sweep results, reviewed query by query — each flagged
+# multi-scan is one of these justified shapes (kept flagging so any
+# NEW query joining this list gets reviewed too):
+#
+# - sketch-vs-exact contracts (q_agg_hll/cms/kmv/theta/freq/
+#   bootstrap/winsorize): the output pairs a sketch with its exact
+#   ground truth — two aggregations of one table IS the query.
+# - DQ audits comparing derived views (q_dq_checks/reconcile/skew/
+#   drift/calibration): constraint suites and reconciliations read
+#   the table per independent check by contract.
+# - set-operation legs (q_intersect/_all, q_except_all): the two
+#   legs of the declared set op.
+# - type/slice-filtered chains (q_evt_funnel/retention/rfm/locf/
+#   survival/cusum/anomaly, q_join_pit/asof): each scan carries a
+#   pushed-down event_type/slice predicate — selective reads that
+#   partition/row-group pruning keeps cheap at scale; a single-scan
+#   window rewrite was evaluated for funnel and rejected (the
+#   per-step shrinking join inputs beat one wide window state).
+# - build+probe (q_join_bloom: filter build + probe; q_geo_nearest,
+#   q_join_theta/nullsafe: dim × fact legs of the declared join).
+# - training + serving lineages with documented plan-build caveats
+#   (q_sim_ivf*/kmeans/ann/batch/anneval_batch/hardneg: BASELINE.md
+#   rows note the codebook/assignment collect at call time).
+# - multi-set pipeline semantics (q_pipe_contamination/diff/forget/
+#   kept/near_split/domain_cap/rep/lm: the query compares or anti-
+#   joins two declared document sets).
+# - q_pipe_tfidf/bm25: shared _token_tf rollup re-derived per
+#   consumer — cache() was implemented and MEASURED WORSE at sf0.1
+#   (bm25 0.60→1.00 median; InMemoryRelation reads break codegen);
+#   see _token_tf's docstring for the at-scale materialization path.
+# - fixture-builder reads (q_layout_compact, q_scan_corrupt,
+#   q_agg_incr/q_dedup_incr snapshots): the query's subject is the
+#   written artifact, read back.
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
