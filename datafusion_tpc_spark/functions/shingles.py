@@ -17,7 +17,7 @@ from datafusion_tpc_spark.catalog import load_table
 
 SHINGLES = (
     "transform(sequence(1, greatest(size(w) - 2, 1)),"
-    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+    " i -> concat_ws(' ', get(w, i-1), get(w, i), get(w, i+1)))"
 )
 SHINGLES_DUCK = """
     SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s

@@ -1107,9 +1107,17 @@ def _winnow_fpt(spark, sf_dir):
     empty, zip_with null-pads, and least() skips nulls → min of all
     hashes, matching the oracle's clamped list_min(hs[j:j+W-1])."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _winnow_fpt_from(d)
+
+
+def _winnow_fpt_from(d):
+    """_winnow_fpt over an explicit (doc_id, text) DataFrame — split
+    out so the hypothesis fuzz can drive the exact production fold
+    over synthetic degenerate docs (tests/test_property_fuzz.py)."""
     sh = F.expr(
         f"transform(sequence(1, greatest(size(w) - {_WNW_K - 1}, 1)),"
-        " i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))"
+        " i -> concat_ws(' ', get(w, i-1), get(w, i), get(w, i+1),"
+        " get(w, i+2), get(w, i+3)))"
     )
     nw = f"greatest(size(hs) - {_WNW_W - 1}, 1)"
     fps = F.array_distinct(

@@ -155,7 +155,7 @@ def q_text_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sh = F.expr(
         "transform(sequence(1, greatest(size(w) - 2, 1)),"
-        " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+        " i -> concat_ws(' ', get(w, i-1), get(w, i), get(w, i+1)))"
     )
     return (
         d.withColumn("w", F.split("text", " "))

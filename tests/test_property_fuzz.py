@@ -911,3 +911,52 @@ def test_pack_oracle_cte_matches_python_greedy(case):
     }
     con.close()
     assert got == expected, f"cap={cap} docs={docs}"
+
+
+# ---- winnowing fold vs pure-Python reference (late r11) ----------------
+# Drives the EXACT production fold (dedup._winnow_fpt_from: k=5-word
+# shingles, W=4 zip_with window-min, array_distinct) over degenerate
+# docs the fixture never produces: single-word docs (fewer words than
+# k — concat_ws over nulls), docs with fewer shingles than W (the
+# null-padded zip_with clamp), consecutive-space empty tokens, and
+# heavily repeated tokens (duplicate shingle hashes collapsing under
+# array_distinct).
+
+
+@st.composite
+def winnow_doc(draw):
+    vocab = ["a", "bb", "ccc", ""]  # "" = consecutive-space token
+    n = draw(st.integers(1, 14))
+    return " ".join(draw(st.sampled_from(vocab)) for _ in range(n))
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(winnow_doc(), min_size=1, max_size=4))
+def test_winnow_fold_matches_python(spark, texts):
+    import hashlib
+
+    from datafusion_tpc_spark.operators.dedup import _winnow_fpt_from
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in _winnow_fpt_from(d).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        n_sh = max(len(w) - 4, 1)
+        # concat_ws skips the nulls Spark reads past the end of w
+        hs = [h60py(" ".join(w[i2 : i2 + 5])) for i2 in range(n_sh)]
+        n_win = max(len(hs) - 3, 1)
+        fps = {min(hs[j : j + 4]) for j in range(n_win)}
+        assert got[i] == fps, (i, t)

@@ -217,3 +217,37 @@ def test_winnow_pairs_consistent_with_winnow(spark):
         key = (-r["n_shared"], r["doc_a"], r["doc_b"])
         assert prev is None or prev <= key  # ranked output
         prev = key
+
+
+def test_short_doc_shingles_do_not_throw(spark):
+    """Regression for the r11 fuzz finding: under ANSI mode (Spark 4
+    default), bracket indexing w[i+k] THREW on docs shorter than the
+    shingle width — get() returns NULL there (concat_ws skips it),
+    matching DuckDB's out-of-bounds bracket semantics. The fixture
+    never has short docs, so only a synthetic doc exercises this."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.functions.shingles import SHINGLES
+    from datafusion_tpc_spark.operators.dedup import _winnow_fpt_from
+
+    d = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .select("doc_id", F.expr(SHINGLES).alias("sh"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["sh"] for r in sh}
+    assert got[1] == ["solo"]          # 1 word -> the word itself
+    assert got[2] == ["two words"]     # 2 words -> one short shingle
+    assert got[3][0] == "a b c"        # full-width shingles unchanged
+
+    fps = {r["doc_id"] for r in _winnow_fpt_from(d).collect()}
+    assert fps == {1, 2, 3}            # winnow survives short docs
+    h = int(hashlib.md5(b"solo").hexdigest()[:15], 16)
+    one = [r["fp"] for r in _winnow_fpt_from(d).collect() if r["doc_id"] == 1]
+    assert one == [h]                  # 1 shingle -> its own min-hash
