@@ -32,6 +32,7 @@ are reclaimed by catalog.prune_stale_cache_dirs.
 
 from __future__ import annotations
 
+import re
 import hashlib
 import os
 import threading
@@ -49,7 +50,14 @@ _BKT_LOCK = threading.Lock()
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    """Identifier-safe tag for sf_dir. The raw rsplit('sf') remainder
+    is kept for the driver's sf* dirs (preserves existing table names
+    and caches), but sanitized to [A-Za-z0-9_]: an arbitrary corpus
+    path (no 'sf' segment → the whole path) otherwise leaks '/'
+    and '-' into a saveAsTable identifier — a ParseException the r11
+    degenerate sweep hit."""
+    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
 
 
 def _bucketed_table(spark, sf_dir: str, table: str, key: str) -> str:

@@ -500,7 +500,11 @@ def q_text_compress(spark, sf_dir):
         "doc_id",
         "n_bytes",
         "comp_bytes",
-        F.round(F.col("comp_bytes") / F.col("n_bytes"), 6).alias("ratio"),
+        # NULLIF guard (degenerate-sweep r11): an empty document has
+        # n_bytes = 0 — under ANSI the bare division THROWS.
+        F.round(
+            F.col("comp_bytes") / F.nullif(F.col("n_bytes"), F.lit(0)), 6
+        ).alias("ratio"),
         (F.col("comp_bytes") * 10 < F.col("n_bytes") * 3).alias(
             "flag_repetitive"
         ),

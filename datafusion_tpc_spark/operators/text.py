@@ -52,7 +52,7 @@ def _lang_score_sql(lang: str) -> str:
            CAST(length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS BIGINT)
              AS n_punct,
            ROUND((length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')))
-                 * 1.0 / length(text), 6) AS punct_ratio,
+                 * 1.0 / NULLIF(length(text), 0), 6) AS punct_ratio,
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
              AS n_digits,
            CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
@@ -74,7 +74,11 @@ def q_text_stats(spark, sf_dir):
         F.size(words).cast("bigint").alias("n_words"),
         F.round(n_chars / F.size(words), 6).alias("avg_word_len"),
         (n_chars - F.length(stripped_punct)).cast("bigint").alias("n_punct"),
-        F.round((n_chars - F.length(stripped_punct)) / n_chars, 6).alias("punct_ratio"),
+        F.round(
+            (n_chars - F.length(stripped_punct))
+            / F.nullif(n_chars, F.lit(0)),
+            6,
+        ).alias("punct_ratio"),
         (n_chars - F.length(stripped_digit)).cast("bigint").alias("n_digits"),
         F.size(F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)"))
         .cast("bigint")

@@ -55,9 +55,9 @@ from datafusion_tpc_spark.registry import query
     )
     SELECT lang, n_docs, words, sents, syls,
            ROUND(words * 1.0 / sents, 6) AS words_per_sent,
-           ROUND(syls * 1.0 / words, 6) AS syls_per_word,
+           ROUND(syls * 1.0 / NULLIF(words, 0), 6) AS syls_per_word,
            ROUND(206.835 - 1.015 * (words * 1.0 / sents)
-                 - 84.6 * (syls * 1.0 / words), 6) AS flesch
+                 - 84.6 * (syls * 1.0 / NULLIF(words, 0)), 6) AS flesch
     FROM g
     ORDER BY lang ASC NULLS LAST
     """,
@@ -91,7 +91,10 @@ def q_text_readability(spark, sf_dir):
         F.sum("y").cast("bigint").alias("syls"),
     )
     wps = F.col("words") * 1.0 / F.col("sents")
-    spw = F.col("syls") * 1.0 / F.col("words")
+    # NULLIF guard (degenerate-sweep r11): a language slice whose docs
+    # contain no [a-z]+ words (e.g. all-empty docs) has words = 0 —
+    # under ANSI the bare division THROWS; NULL flesch is the contract.
+    spw = F.col("syls") * 1.0 / F.nullif(F.col("words"), F.lit(0))
     return g.select(
         "lang",
         "n_docs",
