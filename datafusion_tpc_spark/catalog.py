@@ -43,6 +43,25 @@ TABLES = (
 )
 
 
+def sanitized_sf_tag(sf_dir: str) -> str:
+    """Identifier- AND path-safe tag for an sf_dir — the SINGLE
+    implementation shared by every module deriving SQL table names or
+    cache directory names from the corpus path (bucketing, layout,
+    ivf_served). The raw rsplit('sf') remainder is kept for the
+    driver's sf* dirs (preserves pre-r11 table names and cache keys:
+    '0.01' → '0_01'), but sanitized to [0-9A-Za-z_]: an arbitrary
+    corpus path (no 'sf' segment → the WHOLE path, absolute) would
+    otherwise leak '/' into a saveAsTable identifier (ParseException)
+    and — worse — make os.path.join(CACHE_ROOT, tag) DISCARD the
+    cache root and write outside it (the r11 degenerate sweep's
+    committed-junk incident). The fix was first pasted per-site and
+    the third copy got missed (review r11) — change it HERE only."""
+    import re
+
+    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes events.ts ns→µs timestamp.
 

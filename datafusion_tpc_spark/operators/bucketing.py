@@ -32,14 +32,17 @@ are reclaimed by catalog.prune_stale_cache_dirs.
 
 from __future__ import annotations
 
-import re
 import hashlib
 import os
 import threading
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
+from datafusion_tpc_spark.catalog import (
+    load_table,
+    prune_stale_cache_dirs,
+    sanitized_sf_tag,
+)
 from datafusion_tpc_spark.registry import query
 
 _N_BUCKETS = 8
@@ -49,15 +52,9 @@ _CACHE_ROOT = os.path.join(
 _BKT_LOCK = threading.Lock()
 
 
-def _sf_tag(sf_dir: str) -> str:
-    """Identifier-safe tag for sf_dir. The raw rsplit('sf') remainder
-    is kept for the driver's sf* dirs (preserves existing table names
-    and caches), but sanitized to [A-Za-z0-9_]: an arbitrary corpus
-    path (no 'sf' segment → the whole path) otherwise leaks '/'
-    and '-' into a saveAsTable identifier — a ParseException the r11
-    degenerate sweep hit."""
-    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
+# Single shared implementation (review r11: the per-site copies
+# drifted and ivf_served kept the unsanitized form) — see catalog.
+_sf_tag = sanitized_sf_tag
 
 
 def _bucketed_table(spark, sf_dir: str, table: str, key: str) -> str:

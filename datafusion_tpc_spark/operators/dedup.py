@@ -1185,7 +1185,8 @@ def q_dedup_winnow(spark, sf_dir):
 
     fpt = _winnow_fpt(spark, sf_dir)
     # (doc_id, fp) is distinct per doc (array_distinct in the shared
-    # partition row count IS the distinct-doc count for the fp.
+    # _winnow_fpt_from fold), so the partition row count IS the
+    # distinct-doc count for the fp.
     nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return (
         fpt.select("doc_id", nd.alias("nd"))

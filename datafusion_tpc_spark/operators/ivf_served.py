@@ -55,7 +55,11 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
+from datafusion_tpc_spark.catalog import (
+    load_table,
+    prune_stale_cache_dirs,
+    sanitized_sf_tag,
+)
 from datafusion_tpc_spark.registry import query
 
 _CACHE_ROOT = os.path.join(
@@ -79,7 +83,7 @@ def _index_tag(sf_dir: str) -> str:
     identical index on every serving-knob change."""
     from datafusion_tpc_spark.functions.ivf import IVF_ITERS, IVF_K
 
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = sanitized_sf_tag(sf_dir)  # shared path-safe tag (review r11)
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     fp = hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"

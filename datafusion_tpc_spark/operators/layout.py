@@ -32,13 +32,16 @@ Python cell enumerator.
 from __future__ import annotations
 
 import hashlib
-import re
 import json
 import os
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table, prune_stale_cache_dirs
+from datafusion_tpc_spark.catalog import (
+    load_table,
+    prune_stale_cache_dirs,
+    sanitized_sf_tag,
+)
 from datafusion_tpc_spark.registry import query
 
 
@@ -49,12 +52,11 @@ def _source_tag(sf_dir: str, table: str = "lineitem") -> str:
     serve a stale cached layout against a fresh oracle — the
     _evolve_dirs pattern (sinks.py, review r5; ADVICE r5 flagged this
     module still keying by sf tag alone)."""
-    # Sanitized like bucketing._sf_tag (r11 degenerate sweep): an
-    # arbitrary corpus path otherwise leaks '/' into the cache path,
-    # nesting partitioned dirs under unpartitioned levels —
-    # CONFLICTING_DIRECTORY_STRUCTURES at read time.
-    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    tag = re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
+    # Path-safe shared tag (review r11): an arbitrary corpus path
+    # otherwise leaks '/' into the cache path — nested partitioned
+    # dirs (CONFLICTING_DIRECTORY_STRUCTURES) or, absolute, an
+    # os.path.join escape outside the cache root.
+    tag = sanitized_sf_tag(sf_dir)
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     fp = hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()

@@ -50,7 +50,11 @@ _DEGENERATE_DOCS = [
 
 
 def _fingerprint() -> str:
-    parts = []
+    # Keyed on the SOURCE files AND the fixture definition (review
+    # r11): fingerprinting only the sources would silently serve a
+    # stale cached fixture after an edit to _DEGENERATE_DOCS/_LIMITS —
+    # the new shape never enters the fixture and the sweep "passes".
+    parts = [repr(_LIMITS), repr(_DEGENERATE_DOCS)]
     for t in list(_LIMITS) + ["documents"]:
         st = os.stat(f"{_SRC}/{t}.parquet")
         parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")

@@ -34,7 +34,7 @@ KNOWN_MULTI = {
     "q_dedup_minhash": "LSH band self-join",
     "q_dedup_minhash_capped": "LSH band self-join",
     "q_dedup_clusters": "label-prop rounds + pair join",
-    "q_dedup_near_split": "cluster join over pair rounds",
+    "q_pipe_near_split": "cluster join over pair rounds",
     "q_dedup_eval": "candidate vs exact pair sets",
     "q_dedup_embed": "pairwise self-join",
     "q_dedup_embed_lsh": "bucketed self-join",
