@@ -251,3 +251,24 @@ def test_short_doc_shingles_do_not_throw(spark):
     h = int(hashlib.md5(b"solo").hexdigest()[:15], 16)
     one = [r["fp"] for r in _winnow_fpt_from(d).collect() if r["doc_id"] == 1]
     assert one == [h]                  # 1 shingle -> its own min-hash
+
+
+def test_spans_and_pairs_plan_shapes(spark):
+    """Ranked outputs must plan as TakeOrderedAndProject (map-side
+    heaps — no global sort), and the pairs matcher must contain NO
+    join at all (in-row basket expansion replaced the fp self-join)."""
+    for name in ("q_dedup_spans", "q_dedup_winnow_pairs"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "TakeOrderedAndProject" in final, name
+        assert "CartesianProduct" not in final, name
+    pairs_plan = (
+        registry.QUERIES["q_dedup_winnow_pairs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+    assert "Join" not in pairs_plan, "pairs must be join-free"
