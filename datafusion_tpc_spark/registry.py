@@ -48,57 +48,124 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The round-12 driver window: the driver verifies exactly these 50
+# query ids, in this order (forcing computation + free-slot rationale
+# in load_all's docstring; contents pinned by tests/
+# test_registry_order.py, staleness audited by test_window_staleness).
+DRIVER_WINDOW: tuple[str, ...] = (
+    # 44 forced anchor-r6 greens (deadline r12 under cap 5):
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_cte_recursive",
+    "q_join_lateral",
+    "q_join_nullsafe",
+    "q_union_evo",
+    "q_unpivot",
+    "q_join_fuzzy",
+    "q_join_overlap",
+    "q_join_overlap_banded",
+    "q_fn_interval",
+    "q_fn_binary",
+    "q_profile",
+    "q_fn_variant",
+    "q_sink_avro",
+    "q_scan_corrupt",
+    "q_scan_meta",
+    "q_scan_evolve",
+    "q_agg_freq",
+    "q_pipe_bpe",
+    "q_pipe_classify",
+    "q_text_zipf",
+    "q_agg_kmv",
+    "q_text_kl",
+    "q_text_compress",
+    "q_text_ttr",
+    "q_pipe_sample_weighted",
+    "q_pipe_mixture",
+    "q_pipe_ipf",
+    "q_agg_dp",
+    "q_layout_zorder",
+    "q_layout_compact",
+    "q_join_bloom",
+    "q_join_bucketed",
+    # 6 free slots — never-driver-hashed EXACT oracles first
+    # (VERDICT r11 item 2):
+    "q_pipe_pack",
+    "q_dedup_minhash_capped",
+    "q_sim_ivf_served",
+    "q_sim_ivf_served_batch",
+    "q_dedup_substr",
+    "q_dedup_spans",
+)
+
+
+def _promote_window(window: tuple[str, ...]) -> None:
+    """Reorder QUERIES in place so `window` occupies the first
+    len(window) insertion slots — the driver verifies dict order, so
+    this IS the per-round verification window. Raises if the window
+    names an unregistered id (a typo here would silently shrink
+    driver coverage otherwise)."""
+    missing = [q for q in window if q not in QUERIES]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names unregistered queries: {missing}")
+    head = {q: QUERIES[q] for q in window}
+    tail = {q: fn for q, fn in QUERIES.items() if q not in head}
+    QUERIES.clear()
+    QUERIES.update(head)
+    QUERIES.update(tail)
+
+
 def load_all() -> None:
-    """Import every query module so registration side-effects run.
+    """Import every query module, then pin the driver window.
 
-    ORDER MATTERS: the external driver verifies queries in dict
-    insertion order with a bounded window (exactly 50 rows in rounds
-    1-10), so the window is re-pointed each round at (a) every query
-    NEVER driver-verified, (b) modules changed this round, (c) the
-    stalest green rows.
+    The external driver verifies the FIRST 50 queries in QUERIES dict
+    insertion order. Through round 11 the window was controlled by
+    module IMPORT order, which forced module-granularity rotations
+    (and module splits like diagnostics_ext whenever one query from a
+    large module needed a slot). Since round 12 the window is an
+    EXPLICIT per-query list (``DRIVER_WINDOW``, below): load_all
+    imports every module (order now only a readability concern),
+    then reorders QUERIES so the window ids occupy slots 1-50.
+    Everything else queues behind in stable import order.
 
-    ROUND-11 FORCING COMPUTATION (VERDICT r10 items 1-2 — recomputed
-    from the committed CORRECTNESS_r01-r10 artifacts, not from the
-    stale end-of-r9 plan): the post-r10 anchor distribution is
-    r6:50, r7:76, r8:56, r9:50, r10:55 — i.e. **zero queries have
-    anchor <= r5**, so NOTHING is EDF-forced into the r11 window
-    (staleness cap 5 at inventory 287; a query is forced only at
-    anchor <= current_round - 6 = r5). The pre-staged "46 anchor-r5
-    greens" block was based on their r5 anchors, but every one of
-    them was re-verified in r6 (deadline r12, not r11). The r11
-    window therefore takes the judge's priority order: ALL 40
-    never-verified queries + the three rows-only -> EXACT oracle
-    graduations (q_sim_ann / q_sim_ivf in similarity; q_sim_ivfeval
-    in raneval) + the anchor-r6 audit trio to shave r12's load:
-    events_ext(3) prefix_join(1) splits(4) pq(1) diagnostics(9)
-    sketches_ext(2) forecast(4) semdedup(1) batching(1) cdc(1)
-    mmr(1) similarity(5) raneval(7) readability(1) quantization(2)
-    retrieval(4) audit(3) = exactly 50.
+    ROUND-12 FORCING COMPUTATION (recomputed from the committed
+    CORRECTNESS_r01-r11 artifacts + _BIRTH_ROUND, cap 5 at inventory
+    295): post-r11 anchor distribution is r6:44, r7:43, r8:50, r9:50,
+    r10:50, r11:58. Forced into r12 (anchor <= 12-6 = r6): exactly
+    the 44 anchor-r6 greens (tpch_full 6, tpch_more 6, sql_shapes 8,
+    typefns 4, sinks 4, sketches 8, sampling 4, layout 2, bloom 1,
+    bucketing 1). The 6 free slots go to new-oracle evidence
+    (VERDICT r11 item 2), NOT the unforced anchor-r7 fillers: the two
+    rows-only -> EXACT oracle graduations never driver-hashed
+    (q_pipe_pack — recursive-CTE fold, chunking.py; and
+    q_dedup_minhash_capped — COUNT() OVER cap, dedup.py) plus four
+    r11 births led by the round's flagship claims (q_sim_ivf_served,
+    q_sim_ivf_served_batch — the materialized-index serving path;
+    q_dedup_substr, q_dedup_spans — the span-dedup family).
 
-    FORWARD EDF FEASIBILITY (checked by simulation): r12 = the 44
-    remaining anchor-r6 greens (tpch_full 6, tpch_more 6, sql_shapes
-    8, typefns 4, sinks 4, sketches 8, sampling 4, layout 2, bloom 1,
-    bucketing 1) + 6 anchor-r7 one-query modules (scalar_ext,
-    udfs_ext, geo, skyline, kmeans, sinks_ext) = 50. r13 = remaining
-    anchor-r7 (76 - 26 NV-verified-r11 - 7 similarity/retrieval
-    greens - 6 fillers = 37) + 13 anchor-r8 pulls. r14/r15/r16 =
-    the anchor-r8/r9/r10 blocks (50/50/50 after the r13 pulls).
-    Every deadline met; r11 births (deadline r17) absorb the slack.
-
-    Import-cascade discipline: window modules must not transitively
-    import query-registering modules (that drags the imported
-    module's registrations ahead of the window plan) — shared
-    helpers live in functions/digest.py (h60, cosine) and streaming/
-    events_source.py (drain, _events_streaming) for exactly this
-    reason.
+    FORWARD EDF FEASIBILITY (checked by simulation,
+    tools/edf_check.py): r13 = the 43 anchor-r7 greens (all forced)
+    + 7 free; r14/r15/r16 = the anchor-r8/r9/r10 blocks (50 each);
+    the remaining r11/r12 births (deadline r17/r18) absorb the
+    slack. Every deadline met.
 
     tests/test_registry_order.py pins the window contents so silent
-    shifts fail loudly.
+    shifts fail loudly, and test_window_staleness re-runs the
+    forcing computation every session.
     """
-    # Round-11 window (the r10-VERDICT priority order — see the
-    # forcing computation in the docstring): ALL 40 never-verified
-    # ids + the q_sim_ann/q_sim_ivf/q_sim_ivfeval oracle graduations
-    # + the audit trio = exactly 50.
+    # Module imports (grouped by the round whose window they last
+    # occupied — order below no longer controls the driver window,
+    # DRIVER_WINDOW does; it only fixes the below-window tail order).
     from datafusion_tpc_spark.queries import events_ext  # noqa: F401
     from datafusion_tpc_spark.operators import (  # noqa: F401
         prefix_join,
@@ -115,9 +182,7 @@ def load_all() -> None:
     from datafusion_tpc_spark.operators import quantization, retrieval  # noqa: F401
     from datafusion_tpc_spark.operators import audit  # noqa: F401
 
-    # --- window boundary (50) — everything below queues behind ---
-    # r12 pre-staged block (exactly 50): the 44 remaining anchor-r6
-    # greens (deadline r12) + 6 anchor-r7 one-query modules:
+    # anchor-r6 modules (all 44 queries in the r12 window):
     from datafusion_tpc_spark.queries import (  # noqa: F401
         tpch_full,
         tpch_more,
@@ -207,3 +272,6 @@ def load_all() -> None:
         text,
     )
     from datafusion_tpc_spark.queries import aggregates_ext  # noqa: F401
+
+    # Pin the driver window (slots 1-50) — see DRIVER_WINDOW above.
+    _promote_window(DRIVER_WINDOW)
