@@ -21,11 +21,12 @@ pipeline runs:
   Greedy packing is inherently sequential, so it shards: documents
   hash-bucket deterministically (h60 % NB), each bucket packs its
   docs in doc_id order inside one `applyInPandas` group. Parallelism
-  = bucket count; state = one open pack per bucket. Rows-only (†):
-  the sequential scan inside each bucket is not SQL-expressible
-  without recursive CTEs — invariants are pinned in
-  tests/test_chunking.py instead (every doc packed exactly once,
-  no pack over capacity unless single-doc, bit-identical re-runs).
+  = bucket count; state = one open pack per bucket. EXACT-oracled
+  since r11: the per-bucket greedy fold IS SQL-expressible as a
+  DuckDB recursive CTE stepping one doc per iteration (see
+  q_pipe_pack's oracle below); tests/test_chunking.py additionally
+  pins the invariants (every doc packed exactly once, no pack over
+  capacity unless single-doc, bit-identical re-runs).
 """
 
 from __future__ import annotations

@@ -853,9 +853,16 @@ _WINS_DUCK = f"""
              substr(text, 1 + (g.i - 1) * {_SUB_S}, {_SUB_L}) AS s
       FROM documents,
            LATERAL (SELECT unnest(generate_series(1,
-                      GREATEST((length(text) - {_SUB_L}) // {_SUB_S} + 1, 0)))
+                      CASE WHEN length(text) >= {_SUB_L}
+                           THEN (length(text) - {_SUB_L}) // {_SUB_S} + 1
+                           ELSE 0 END))
                     AS i) g
 """
+# The CASE mirrors the Spark _WIN_EXPR guard exactly (ADVICE r11):
+# the earlier GREATEST((len-L)//S + 1, 0) form diverged on docs of
+# length [L-S+1, L-1] = 17-31 chars — DuckDB's // truncates toward
+# zero, so (len-32)//16 = 0 there and the oracle emitted ONE
+# truncated <L-char window while Spark's length>=L guard emits none.
 
 
 @query(

@@ -155,7 +155,16 @@ def _sweep_orphan_tmp_dirs(max_age_s: int = 21600) -> None:
         return
     for name in names:
         p = os.path.join(_CACHE_ROOT, name)
-        if name.startswith("tmp-") and os.path.getmtime(p) < cutoff:
+        if not name.startswith("tmp-"):
+            continue
+        try:
+            # a concurrent sweeper can remove the entry between
+            # listdir and getmtime (ADVICE r11) — losing the race is
+            # fine, the dir is gone either way
+            stale = os.path.getmtime(p) < cutoff
+        except OSError:
+            continue
+        if stale:
             shutil.rmtree(p, ignore_errors=True)
 
 

@@ -40,12 +40,18 @@ _LIMITS = {
 
 # (doc_id, text, lang, source, n_chars) — the degenerate shapes.
 # lang 'xx' holds ONLY the empty doc, so per-language rollups see a
-# slice with zero words/sentences/chars.
+# slice with zero words/sentences/chars. The 20- and 31-char docs sit
+# in the [L-S+1, L-1] = 17-31 band where the strided span-window
+# generators (dedup._WIN_EXPR vs _WINS_DUCK) actually diverged in r11
+# (ADVICE: DuckDB // truncates toward zero, emitting one short window
+# Spark never emits) — lengths 0/4/9/13 could not catch it.
 _DEGENERATE_DOCS = [
     (999001, "solo", "en", "tiny", 4),
     (999002, "two words", "en", "tiny", 9),
     (999003, "", "xx", "tiny", 0),
     (999004, "a b c d e f g", "de", "tiny", 13),
+    (999005, "twenty characters ok", "en", "tiny", 20),
+    (999006, "thirty one characters exactly x", "en", "tiny", 31),
 ]
 
 

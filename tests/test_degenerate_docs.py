@@ -69,7 +69,17 @@ def test_degenerate_guards_match_oracle(spark, deg_dir):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{deg_dir}/{t}.parquet')"
         )
-    for name in ("q_text_stats", "q_text_readability"):
+    # q_dedup_substr/spans/decontam: the fixture's 20- and 31-char
+    # docs sit in the [L-S+1, L-1] band where the Spark/Duck strided
+    # window generators diverged in r11 (ADVICE — DuckDB // truncates
+    # toward zero); oracle parity HERE is what pins that fix.
+    for name in (
+        "q_text_stats",
+        "q_text_readability",
+        "q_dedup_substr",
+        "q_dedup_spans",
+        "q_dedup_decontam",
+    ):
         df = registry.QUERIES[name](spark, deg_dir)
         assert_matches_oracle(df, con, registry.ORACLE[name], name)
     # and the guarded NULLs actually appear (the guard is exercised)
