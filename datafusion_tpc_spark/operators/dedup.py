@@ -1293,3 +1293,113 @@ def q_dedup_winnow_pairs(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@query(
+    "q_dedup_winnow_contain",
+    oracle=f"""
+    WITH {_WNW_FPT_DUCK},
+    nfp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      FROM fpt GROUP BY doc_id
+    ),
+    keep AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
+        FROM fpt
+      ) WHERE nd BETWEEN 2 AND {_WNW_CAP}
+    ),
+    agg AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep x JOIN keep y
+        ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT a.doc_a, a.doc_b, a.n_shared,
+           LEAST(fa.n_fp, fb.n_fp) AS n_fp_min,
+           ROUND(a.n_shared * 1.0 / LEAST(fa.n_fp, fb.n_fp), 6)
+             AS containment
+    FROM agg a
+    JOIN nfp fa ON fa.doc_id = a.doc_a
+    JOIN nfp fb ON fb.doc_id = a.doc_b
+    ORDER BY containment DESC NULLS LAST, n_shared DESC NULLS LAST,
+             doc_a ASC NULLS LAST, doc_b ASC NULLS LAST
+    LIMIT 20
+    """,
+)
+def q_dedup_winnow_contain(spark, sf_dir):
+    """The MOSS matcher's REPORTED score (VERDICT r11 item 4):
+    candidate pairs ranked by CONTAINMENT — shared winnowed
+    fingerprints over the SMALLER document's full fingerprint-set
+    size — instead of q_dedup_winnow_pairs's raw shared count, which
+    structurally favors long documents. Containment is what makes
+    the quoted-inside case rank: a short doc fully embedded in a long
+    one scores ~1.0 here while its raw shared count (and its Jaccard)
+    stays unremarkable. Denominators are the FULL per-doc set sizes
+    (the MOSS practice: the >cap boilerplate filter trims the MATCH
+    stream, not the per-doc fingerprint totals).
+
+    Deterministic: strict total order (rounded containment DESC,
+    n_shared DESC, doc_a, doc_b — pairs are unique) — EXACT oracle
+    (the oracle self-joins + joins the totals back; the Spark side
+    computes both windows and the in-row expansion on one stream,
+    same values).
+
+    Scale: still ONE corpus scan (plan-gated). The per-doc total is
+    one more COUNT window — a doc_id-partition exchange ahead of the
+    fp-partition exchange — and the totals ride the winnowed stream
+    into the baskets as struct fields, so no join back onto a second
+    lineage. Pair expansion stays in-row (≤CAP²/2 per fp), per-pair
+    denominators come out of the basket structs (MIN aggregates of
+    per-side constants), and the global top-20 is
+    TakeOrderedAndProject. Payload text never shuffles."""
+    from pyspark.sql import Window
+
+    fpt = _winnow_fpt(spark, sf_dir)
+    n_fp = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    keep = (
+        fpt.select("doc_id", "fp", n_fp.alias("n_fp"))
+        .select("doc_id", "fp", "n_fp", nd.alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _WNW_CAP))
+    )
+    baskets = keep.groupBy("fp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_fp"))
+        ).alias("ds")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " x.n_fp AS na, y.n_fp AS nb))))"
+    )
+    return (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            # na/nb are per-side constants within a pair group; MIN is
+            # just a deterministic way to read them out of the agg
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.least("na", "nb").cast("bigint").alias("n_fp_min"),
+            F.round(
+                F.col("n_shared") * 1.0 / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .orderBy(
+            F.col("containment").desc_nulls_last(),
+            F.col("n_shared").desc_nulls_last(),
+            F.col("doc_a").asc_nulls_last(),
+            F.col("doc_b").asc_nulls_last(),
+        )
+        .limit(20)
+    )

@@ -1,0 +1,149 @@
+"""Round-12 operator invariants: the winnow containment matcher
+(VERDICT r11 item 4) and the t-digest-bounded winsorize scale twin
+(VERDICT r11 item 5)."""
+
+from __future__ import annotations
+
+from datafusion_tpc_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_winnow_contain_single_scan(spark):
+    """Containment adds one more window (per-doc totals) onto the SAME
+    winnowed stream — the corpus must still be scanned exactly ONCE
+    (the join-back-onto-nfp form would re-execute the scan lineage,
+    which is exactly what the oracle does and the Spark side must
+    not)."""
+    df = registry.QUERIES["q_dedup_winnow_contain"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, "scans != 1"
+
+
+def test_winnow_contain_consistent_with_pairs(spark):
+    """Containment re-ranks the SAME candidate set q_dedup_winnow_pairs
+    draws from: every containment row's n_shared must equal the pair's
+    shared-fp count (cross-checked where the pair appears in the raw
+    top-20), containment must be n_shared/n_fp_min to 6dp and in
+    (0, 1], and n_fp_min must equal the smaller doc's q_dedup_winnow
+    n_fp total (the FULL set size, not the capped match stream)."""
+    contain = registry.QUERIES["q_dedup_winnow_contain"](
+        spark, SF_DIR
+    ).collect()
+    assert 0 < len(contain) <= 20
+    raw = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in registry.QUERIES["q_dedup_winnow_pairs"](
+            spark, SF_DIR
+        ).collect()
+    }
+    totals = {
+        r["doc_id"]: r["n_fp"]
+        for r in registry.QUERIES["q_dedup_winnow"](spark, SF_DIR).collect()
+    }
+    seen = set()
+    prev = None
+    for r in contain:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["n_fp_min"] == min(totals[r["doc_a"]], totals[r["doc_b"]])
+        assert 0 < r["containment"] <= 1.0
+        assert (
+            abs(r["containment"] - round(r["n_shared"] / r["n_fp_min"], 6))
+            < 1e-9
+        )
+        if (r["doc_a"], r["doc_b"]) in raw:
+            assert raw[(r["doc_a"], r["doc_b"])] == r["n_shared"]
+        key = (-r["containment"], -r["n_shared"], r["doc_a"], r["doc_b"])
+        assert prev is None or prev <= key  # ranked output
+        prev = key
+
+
+def test_ivf_served_pruned_fraction_measured(spark):
+    """The serving win MEASURED as file skipping, not just plan-shaped
+    (VERDICT r11 item 7, the test_zorder_box_skips_files_measured
+    precedent): count distinct `_metadata.file_path` actually read by
+    the single-query pruned scan vs the index's total file
+    population. The single-query path probes IVF_NPROBE=2 of the
+    populated cells, so wherever the fixture populates more cells
+    than nprobe the read set must be a strict, ~nprobe/k fraction of
+    the files. (The 10x2-probe BATCH union can legitimately cover all
+    cells on the tiny fixture — that caveat is recorded in
+    BASELINE.md's pruning-curve table, tools/bench_served_pruning.py,
+    and is exactly why this gate pins the single-query leg.)"""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.functions.ivf import IVF_NPROBE
+    from datafusion_tpc_spark.operators import ivf_served
+
+    path, _ = ivf_served._ivf_index(spark, SF_DIR)
+    idx = spark.read.parquet(path)
+    total_files = (
+        idx.select(F.col("_metadata.file_path").alias("f")).distinct().count()
+    )
+    cells_total = idx.select("cell").distinct().count()
+    probed = sorted(
+        int(r["cell"])
+        for r in ivf_served.ivf_served_candidates(spark, SF_DIR)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert 1 <= len(probed) <= IVF_NPROBE
+    read_files = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .count()
+    )
+    assert cells_total > IVF_NPROBE, (
+        f"fixture degenerated to {cells_total} populated cells — "
+        "pruning unmeasurable"
+    )
+    assert 0 < read_files < total_files, (read_files, total_files)
+    # nprobe/k of the files, with slack for per-cell file-count skew
+    assert read_files <= max(
+        1, round(total_files * (len(probed) / cells_total + 0.25))
+    ), (read_files, total_files, probed, cells_total)
+
+
+def test_winsorize_td_tracks_exact_variant(spark):
+    """The sketch-bounded twin must agree with the exact variant on
+    everything the bounds don't touch (groups, n, raw_mean) and stay
+    inside the t-digest error budget on what they do: the clip band
+    moves by <= the +-2% rank-error bound pinned for q_agg_tdigest, so
+    each group's clip count may shift by at most ~4% of the group
+    (2% per tail) plus slack for value ties at the threshold, and the
+    winsorized mean is clamp-bounded so it moves far less than the
+    clip count does."""
+    exact = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["q_agg_winsorize"](spark, SF_DIR).collect()
+    }
+    td = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["q_agg_winsorize_td"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(td)
+    for g, e in exact.items():
+        t = td[g]
+        assert t["n"] == e["n"]
+        assert t["raw_mean"] == e["raw_mean"]
+        # clip-count invariant: within 5% of the group size of the
+        # exact variant's count (2% rank error per tail + tie slack)
+        assert abs(t["n_clipped"] - e["n_clipped"]) <= max(
+            3, 0.05 * e["n"]
+        ), g
+        # the clamp means can differ only via the ~10% clipped mass
+        # moving within the band edge — sub-percent in practice
+        assert (
+            abs(t["winsorized_mean"] - e["winsorized_mean"])
+            <= 0.01 * abs(e["winsorized_mean"])
+        ), g
