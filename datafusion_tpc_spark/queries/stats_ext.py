@@ -417,6 +417,81 @@ def q_agg_tdigest(spark, sf_dir):
     )
 
 
+@query("q_agg_winsorize_td")  # † rows-only: sketch-derived clip bounds
+def q_agg_winsorize_td(spark, sf_dir):
+    """q_agg_winsorize's documented 100 TB twin (VERDICT r11 item 5):
+    identical clamp-and-average plan, but the global [p5, p95] clip
+    band comes from the q_agg_tdigest sketch (td_chunk partials →
+    one td_compress merge → td_quantile read-off) instead of an exact
+    global percentile sort. At 100 TB the exact variant's
+    percentile() is the one non-mergeable piece — the sketch replaces
+    it with O(centroids) per-partition state and an associative
+    merge, moving the clip threshold by its ±2% rank-error bound
+    while the plan from the broadcast cross join down is UNCHANGED
+    (least/greatest clamp in codegen, map-side-combinable group agg).
+
+    Rows-only (†): the bounds depend on partition splits (same reason
+    q_agg_tdigest is †); tests/test_r12_ops.py pins the clip-count
+    and mean invariants against the exact q_agg_winsorize."""
+    import pandas as pd
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals = [pdf["o_totalprice"] for pdf in batches]
+        if not vals:
+            return
+        v = pd.concat(vals).sort_values().to_numpy()
+        if len(v) == 0:
+            return
+        yield pd.DataFrame(
+            td_chunk(v, _TD_CENTROIDS), columns=["mean", "weight"]
+        )
+
+    def merge(key, pdf):
+        pdf = pdf.sort_values("mean").reset_index(drop=True)
+        out, total = td_compress(
+            list(zip(pdf["mean"], pdf["weight"])), _TD_CENTROIDS
+        )
+        return pd.DataFrame(
+            [
+                (
+                    float(td_quantile(out, total, 0.05)),
+                    float(td_quantile(out, total, 0.95)),
+                )
+            ],
+            columns=["lo", "hi"],
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    partials = o.select("o_totalprice").mapInPandas(
+        partial, "mean double, weight long"
+    )
+    bounds = (
+        partials.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge, "lo double, hi double")
+        .drop("g")
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    outlier = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.sum(F.when(outlier, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
 _THETA_K = 64
 _THETA_TWO60 = float(1 << 60)
 
