@@ -941,6 +941,155 @@ def q_dedup_substr(spark, sf_dir):
     )
 
 
+# Positional variant of the strided window generators: same window
+# set, carrying the 0-based char offset each window starts at. The
+# Spark expr runs behind a length(text) >= L pushed-down filter (no
+# CASE needed — empty-array typing of struct arrays is awkward in
+# expr text); the Duck twin reuses _WINS_DUCK's guarded series.
+_WIN_POS_EXPR = (
+    f"transform(sequence(1, (length(text) - {_SUB_L}) div {_SUB_S} + 1), "
+    f"i -> struct((i - 1) * {_SUB_S} AS start, "
+    f"substring(text, 1 + (i - 1) * {_SUB_S}, {_SUB_L}) AS s))"
+)
+_WINS_POS_DUCK = f"""
+      SELECT doc_id,
+             (g.i - 1) * {_SUB_S} AS start,
+             substr(text, 1 + (g.i - 1) * {_SUB_S}, {_SUB_L}) AS s
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1,
+                      CASE WHEN length(text) >= {_SUB_L}
+                           THEN (length(text) - {_SUB_L}) // {_SUB_S} + 1
+                           ELSE 0 END))
+                    AS i) g
+"""
+
+
+@query(
+    "q_dedup_substr_maximal",
+    oracle=f"""
+    WITH w0 AS ({_WINS_POS_DUCK}),
+    wins AS (
+      SELECT doc_id, start, {_h60_duck("s")} AS h FROM w0
+    ),
+    dup_h AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT w.doc_id, w.start FROM wins w JOIN dup_h USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM (
+        SELECT doc_id, start,
+               MAX(start + {_SUB_L}) OVER (
+                 PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM dup
+      )
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             MIN(start) AS span_start,
+             MAX(start) + {_SUB_L} AS span_end
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS dup_chars,
+           string_agg(CAST(span_start AS VARCHAR) || '-'
+                      || CAST(span_end AS VARCHAR),
+                      '|' ORDER BY span_start) AS spans
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_dedup_substr_maximal(spark, sf_dir):
+    """MAXIMAL duplicated spans per document — the actionable output
+    of the Lee et al. 2022 span-dedup pass: where q_dedup_substr
+    reports how MUCH of each doc is duplicated and q_dedup_spans
+    reports WHAT strings recur, this emits the actual char ranges a
+    removal pass would cut — adjacent/overlapping duplicated L=32
+    windows merged into maximal [start, end) intervals
+    (gaps-and-islands over the window start offsets; two windows at
+    starts a < b overlap iff b - a < L, i.e. b <= prev_end - 1).
+    Output per doc: span count, duplicated chars, and the spans
+    themselves string-joined "start-end|..." (ranges, not text — the
+    removal pass slices the source; and no bare array column, per the
+    driver-canonicalizer contract).
+
+    Deterministic end-to-end (integer offsets, md5 window hashing,
+    string_agg ordered by unique span_start) — EXACT oracle.
+
+    Scale: the same |corpus chars|/S-bounded (doc_id, start, 8-byte
+    hash) stream as q_dedup_substr — payload text never shuffles, ONE
+    corpus scan (plan-gated): the cross-doc dup flag is the
+    dense_rank/partition-max window pair over the md5-uniform
+    h-exchange, and the island merge is two windows over ONE
+    (doc_id, start) exchange whose per-doc row count is bounded by
+    the doc's own window count. The true suffix-array maximal-span
+    output needs global suffix order; this is its shuffle-friendly
+    stride approximation (boundaries snap to the S=16 grid, spans
+    under L+S-1 chars may be missed — recall traded, precision
+    exact)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = (
+        d.filter(F.length("text") >= _SUB_L)
+        .select("doc_id", F.explode(F.expr(_WIN_POS_EXPR)).alias("w"))
+        .select("doc_id", F.col("w.start").alias("start"), h60(F.col("w.s")).alias("h"))
+    )
+    dr = F.dense_rank().over(Window.partitionBy("h").orderBy("doc_id"))
+    nd = F.max(F.col("dr")).over(Window.partitionBy("h"))
+    dup = (
+        wins.withColumn("dr", dr)
+        .withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "start")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + _SUB_L).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_isl = F.when(
+        prev_end.isNull() | (F.col("start") > prev_end), 1
+    ).otherwise(0)
+    isl = dup.select(
+        "doc_id",
+        "start",
+        F.sum(new_isl).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + _SUB_L).alias("span_end"),
+    )
+    span_str = (
+        "transform(array_sort(sp), p -> concat("
+        "cast(p.span_start as string), '-', cast(p.span_end as string)))"
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("dup_chars"),
+            F.collect_list(F.struct("span_start", "span_end")).alias("sp"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_chars",
+            F.array_join(F.expr(span_str), "|").alias("spans"),
+        )
+    )
+
+
 @query(
     "q_dedup_spans",
     oracle=f"""

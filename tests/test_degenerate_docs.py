@@ -35,6 +35,7 @@ _REGRESSION_SET = [
     "q_dedup_winnow",
     "q_dedup_winnow_pairs",
     "q_dedup_substr",
+    "q_dedup_substr_maximal",
     "q_dedup_ngram",
     "q_dedup_minhash",
 ]
@@ -79,6 +80,7 @@ def test_degenerate_guards_match_oracle(spark, deg_dir):
         "q_dedup_substr",
         "q_dedup_spans",
         "q_dedup_decontam",
+        "q_dedup_substr_maximal",
     ):
         df = registry.QUERIES[name](spark, deg_dir)
         assert_matches_oracle(df, con, registry.ORACLE[name], name)

@@ -63,6 +63,41 @@ def test_winnow_contain_consistent_with_pairs(spark):
         prev = key
 
 
+def test_substr_maximal_single_scan_and_consistent(spark):
+    """q_dedup_substr_maximal must (a) scan the corpus exactly once
+    (same gate as the rest of the span family), and (b) agree with
+    q_dedup_substr: identical doc set (docs with any cross-doc dup
+    window), n_spans <= n_dup, dup_chars >= n_spans*L, and the spans
+    string must parse to n_spans sorted non-overlapping [start, end)
+    ranges of length >= L summing to dup_chars."""
+    from datafusion_tpc_spark.operators.dedup import _SUB_L
+
+    df = registry.QUERIES["q_dedup_substr_maximal"](spark, SF_DIR)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, "scans != 1"
+
+    substr = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_dedup_substr"](spark, SF_DIR).collect()
+    }
+    dup_docs = {d for d, r in substr.items() if r["n_dup"] > 0}
+    assert {r["doc_id"] for r in rows} == dup_docs
+    for r in rows:
+        assert 1 <= r["n_spans"] <= substr[r["doc_id"]]["n_dup"]
+        parts = [tuple(map(int, p.split("-"))) for p in r["spans"].split("|")]
+        assert len(parts) == r["n_spans"]
+        prev_end = None
+        total = 0
+        for a, b in parts:
+            assert b - a >= _SUB_L
+            assert prev_end is None or a > prev_end  # maximal: a gap
+            prev_end = b
+            total += b - a
+        assert total == r["dup_chars"]
+
+
 def test_ivf_served_pruned_fraction_measured(spark):
     """The serving win MEASURED as file skipping, not just plan-shaped
     (VERDICT r11 item 7, the test_zorder_box_skips_files_measured

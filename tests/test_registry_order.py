@@ -297,6 +297,7 @@ _BIRTH_ROUND = {
     "q_dedup_winnow_pairs": 11,
     "q_dedup_winnow_contain": 12,
     "q_agg_winsorize_td": 12,
+    "q_dedup_substr_maximal": 12,
 }
 
 
