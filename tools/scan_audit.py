@@ -47,8 +47,9 @@ KNOWN_MULTI = {
 # NEW query joining this list gets reviewed too):
 #
 # - sketch-vs-exact contracts (q_agg_hll/cms/kmv/theta/freq/
-#   bootstrap/winsorize): the output pairs a sketch with its exact
-#   ground truth — two aggregations of one table IS the query.
+#   bootstrap/winsorize, and r12's winsorize_td): the output pairs a
+#   sketch (or a global bounds aggregate) with the per-group exact
+#   pass — two aggregations of one table IS the query.
 # - DQ audits comparing derived views (q_dq_checks/reconcile/skew/
 #   drift/calibration): constraint suites and reconciliations read
 #   the table per independent check by contract.
