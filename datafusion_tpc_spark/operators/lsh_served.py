@@ -1,0 +1,186 @@
+"""Near-duplicate SERVING from a materialized LSH band index — the
+dedup analog of operators/ivf_served.py (reference has no serving or
+write path at all: src/object_store/file.rs:215-228 is todo!()).
+
+The batch pipeline (q_dedup_minhash) recomputes shingles → minhash
+signatures → banded buckets for the WHOLE corpus on every run. A
+production ingest instead materializes the band table ONCE —
+(doc_id, band, bkey) written `bucketBy(N, bkey)` — and answers "which
+corpus docs are near-dup candidates of THIS document?" as a
+bucket-pruned point lookup: compute the probe's 4 band keys (one doc,
+in-engine), collect them as bounded literals, and read only the
+buckets those keys hash to (`SelectedBucketsCount` ≤ 4 of N in the
+scan — plan-gated). Zero corpus-side shingle/minhash lineage in the
+serving plan.
+
+At 100 TB: the band table is 4 rows × ~24 bytes per doc regardless of
+document size (payload text never enters the index), the bucket count
+is sized to O(cluster cores), and each incoming doc costs one local
+minhash + a ≤4-bucket read — this is how streaming dedup admission
+control actually runs, and composes with q_dedup_incr's digest store
+for the exact-dup tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+from datafusion_tpc_spark.catalog import (
+    load_table,
+    prune_stale_cache_dirs,
+    sanitized_sf_tag,
+)
+from datafusion_tpc_spark.functions.digest import h60
+from datafusion_tpc_spark.functions.shingles import SHINGLES, SHINGLES_DUCK
+from datafusion_tpc_spark.registry import query
+
+# Same hash family / banding as q_dedup_minhash (operators/dedup.py) —
+# the index must find exactly the candidates the batch pipeline finds;
+# row-identity is pinned in tests/test_r12_ops.py.
+from datafusion_tpc_spark.operators.dedup import (  # noqa: E402
+    _BANDS,
+    _K,
+    _MIN_EXPRS,
+)
+
+PROBE_DOC = 8  # fixture doc with LSH candidates at sf0.01 AND sf0.1
+_SRV_BUCKETS = 16
+_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    ".cache",
+    "lsh_served",
+)
+_LSH_LOCK = threading.Lock()
+
+
+def _band_projection(docs):
+    """(doc_id, band, bkey) from a (doc_id, text) DataFrame — the
+    q_dedup_minhash banding (k=8 md5-seeded minhashes, 4 bands x 2
+    rows) WITHOUT dedup.band_table's .cache() (an index write / a
+    1-row probe must not leave session-lifetime cached blocks)."""
+    sh = docs.withColumn("w", F.split("text", " ")).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES))).alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(h60(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_K)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
+def _lsh_index(spark, sf_dir: str) -> str:
+    """Ensure the bucketed band table exists for this source
+    fingerprint; return its catalog name. Same once-per-(session, sf,
+    fingerprint) build/race/staleness story as operators/bucketing.py
+    (lock around exists-check+build, per-PID dir, per-prefix prune)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{_K}:{_BANDS}:{_SRV_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    tag = sanitized_sf_tag(sf_dir)
+    name = f"lsh_bands_{tag}_{fp}"
+    with _LSH_LOCK:
+        if not spark.catalog.tableExists(name):
+            dir_key = f"{tag}_lsh-{fp}-{os.getpid()}"
+            path = os.path.join(_CACHE_ROOT, dir_key, "bands")
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            (
+                _band_projection(docs)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(_SRV_BUCKETS, "bkey")
+                .sortBy("bkey")
+                .saveAsTable(name)
+            )
+            prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
+    return name
+
+
+_LSH_SERVED_ORACLE = f"""
+    WITH sh AS ({SHINGLES_DUCK}),
+    sig AS (SELECT doc_id, {_MIN_EXPRS} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN concat(m0, '_', m1)
+               WHEN 1 THEN concat(m2, '_', m3)
+               WHEN 2 THEN concat(m4, '_', m5)
+               ELSE concat(m6, '_', m7)
+             END AS bkey
+      FROM sig, LATERAL (SELECT unnest(range({_BANDS})) AS band) b
+    ),
+    probe AS (
+      SELECT band, bkey FROM bands WHERE doc_id = {PROBE_DOC}
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands b JOIN probe p ON b.band = p.band AND b.bkey = p.bkey
+    WHERE b.doc_id <> {PROBE_DOC}
+    GROUP BY b.doc_id
+    ORDER BY n_shared_bands DESC NULLS LAST, doc_id ASC NULLS LAST
+"""
+
+
+@query("q_dedup_lsh_served", oracle=_LSH_SERVED_ORACLE)
+def q_dedup_lsh_served(spark, sf_dir):
+    """Near-dup candidates of one document served from the
+    MATERIALIZED band index: compute the probe doc's 4 (band, bkey)
+    pairs in-engine from a pushed-down point read of documents,
+    collect them (bounded: exactly _BANDS rows — the ivf_served
+    probe-list precedent), and read the bucketed band table pruned to
+    the buckets those keys hash to. The serving plan scans ONLY the
+    index (`SelectedBucketsCount` ≤ 4 of {_SRV_BUCKETS} — plan-gated)
+    with zero corpus shingle/minhash lineage; candidates are exactly
+    q_dedup_minhash's pairs containing the probe (pinned in
+    tests/test_r12_ops.py). Oracle recomputes the banding in SQL (the
+    layout is a physical change only)."""
+    name = _lsh_index(spark, sf_dir)
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == PROBE_DOC)  # pushed-down point read
+        .select("doc_id", "text")
+    )
+    probe_rows = _band_projection(probe).collect()  # ≤ _BANDS rows
+    keys = sorted({r["bkey"] for r in probe_rows})
+    pair_lits = sorted(f"{r['band']}:{r['bkey']}" for r in probe_rows)
+    bt = spark.table(name)
+    return (
+        bt.filter(F.col("bkey").isin(keys))  # bucket-pruning literal
+        .filter(
+            F.concat_ws(
+                ":", F.col("band").cast("string"), F.col("bkey")
+            ).isin(pair_lits)
+        )
+        .filter(F.col("doc_id") != PROBE_DOC)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+        .orderBy(
+            F.col("n_shared_bands").desc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        )
+    )

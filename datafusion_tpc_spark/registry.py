@@ -221,6 +221,10 @@ def load_all() -> None:
     # r11 birth (deadline r17): the IVF materialized-assignment
     # serving twin (VERDICT r10 item 3):
     from datafusion_tpc_spark.operators import ivf_served  # noqa: F401
+
+    # r12 birth (deadline r18): the LSH band-index serving twin —
+    # near-dup admission control from a bucketed materialized index:
+    from datafusion_tpc_spark.operators import lsh_served  # noqa: F401
     # r11 birth (deadline r17): PSI distribution-drift audit (lives
     # outside queries/diagnostics.py because that module is in the
     # r11 window and window modules must not grow mid-round):

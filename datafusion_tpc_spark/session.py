@@ -88,6 +88,15 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.parquet.filterPushdown", "true"),
+        # DisableUnnecessaryBucketedScan drops the bucketed read when
+        # no operator needs the hash distribution — but bucket-FILTER
+        # pruning (q_dedup_lsh_served's SelectedBucketsCount point
+        # lookup) rides the bucketed read, and the planner rule does
+        # not account for it. The only bucketed tables here are the
+        # q_join_bucketed copies (whose join requires the
+        # distribution, so the rule never disabled theirs) and the
+        # LSH band index (which exists to be bucket-pruned).
+        ("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"),
     ):
         try:
             spark.conf.set(key, value)

@@ -147,6 +147,51 @@ def test_ivf_served_pruned_fraction_measured(spark):
     ), (read_files, total_files, probed, cells_total)
 
 
+def test_lsh_served_plan_is_bucket_pruned_and_mining_free(spark):
+    """q_dedup_lsh_served: the serving plan must (a) read the band
+    index bucket-pruned to the probe's keys (SelectedBucketsCount
+    <= _BANDS of _SRV_BUCKETS — file-level skipping, the ivf_served
+    PartitionFilters analog for hash-bucketed layout), (b) contain
+    ZERO corpus mining lineage (no Generate/explode — shingling ran
+    once at index write; the probe's own shingles were computed and
+    collected before this plan), and (c) scan only the index."""
+    import re
+
+    from datafusion_tpc_spark.operators.dedup import _BANDS
+    from datafusion_tpc_spark.operators.lsh_served import _SRV_BUCKETS
+
+    df = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", final)
+    assert m, final
+    assert int(m.group(1)) <= _BANDS
+    assert int(m.group(2)) == _SRV_BUCKETS
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final, "corpus mining lineage in serving plan"
+
+
+def test_lsh_served_matches_batch_pipeline(spark):
+    """The index is a physical change only: served candidates must be
+    exactly q_dedup_minhash's pairs containing PROBE_DOC, and each
+    candidate's n_shared_bands must be within [1, _BANDS]."""
+    from datafusion_tpc_spark.operators.dedup import _BANDS
+    from datafusion_tpc_spark.operators.lsh_served import PROBE_DOC
+
+    served = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR).collect()
+    pairs = registry.QUERIES["q_dedup_minhash"](spark, SF_DIR).collect()
+    expected = {
+        r["doc_b"] if r["doc_a"] == PROBE_DOC else r["doc_a"]
+        for r in pairs
+        if PROBE_DOC in (r["doc_a"], r["doc_b"])
+    }
+    assert {r["doc_id"] for r in served} == expected
+    assert expected, "probe doc has no candidates — fixture degenerated"
+    for r in served:
+        assert 1 <= r["n_shared_bands"] <= _BANDS
+
+
 def test_winsorize_td_tracks_exact_variant(spark):
     """The sketch-bounded twin must agree with the exact variant on
     everything the bounds don't touch (groups, n, raw_mean) and stay

@@ -298,6 +298,7 @@ _BIRTH_ROUND = {
     "q_dedup_winnow_contain": 12,
     "q_agg_winsorize_td": 12,
     "q_dedup_substr_maximal": 12,
+    "q_dedup_lsh_served": 12,
 }
 
 
