@@ -1034,9 +1034,18 @@ def q_dedup_substr_maximal(spark, sf_dir):
     stride approximation (boundaries snap to the S=16 grid, spans
     under L+S-1 chars may be missed — recall traded, precision
     exact)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _substr_maximal_from(d)
+
+
+def _substr_maximal_from(d):
+    """q_dedup_substr_maximal over an explicit (doc_id, text)
+    DataFrame — split out (the _winnow_fpt_from precedent) so the
+    hypothesis fuzz can drive the EXACT production windowing +
+    island-merge fold over synthetic degenerate corpora
+    (tests/test_property_fuzz.py)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wins = (
         d.filter(F.length("text") >= _SUB_L)
         .select("doc_id", F.explode(F.expr(_WIN_POS_EXPR)).alias("w"))

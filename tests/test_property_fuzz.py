@@ -960,3 +960,86 @@ def test_winnow_fold_matches_python(spark, texts):
         n_win = max(len(hs) - 3, 1)
         fps = {min(hs[j : j + 4]) for j in range(n_win)}
         assert got[i] == fps, (i, t)
+
+
+# ---- maximal-span island merge vs pure-Python reference (r12) ----------
+# Drives the EXACT production fold (dedup._substr_maximal_from:
+# strided L=32/S=16 positional windows, dense_rank/max cross-doc dup
+# flag, gaps-and-islands merge) over synthetic corpora with planted
+# shared blocks at arbitrary offsets — shapes the fixture's prose
+# corpus produces only incidentally: duplicated runs that touch
+# (gap == L), straddle (gap in (S, L)), restart at doc edges, and
+# docs in the [L-S+1, L-1] no-window band.
+
+
+@st.composite
+def span_corpus(draw):
+    # build each doc from 8-char blocks; a small block vocabulary
+    # forces cross-doc window collisions at controllable offsets
+    blocks = ["aaaaaaaa", "bbbbbbbb", "cccccccc", "dddddddd", "eeeeeeee"]
+    docs = []
+    for i in range(draw(st.integers(2, 4))):
+        n = draw(st.integers(0, 12))
+        docs.append("".join(draw(st.sampled_from(blocks)) for _ in range(n)))
+    return docs
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(span_corpus())
+def test_substr_maximal_matches_python(spark, texts):
+    import hashlib
+
+    from datafusion_tpc_spark.operators.dedup import (
+        _SUB_L,
+        _SUB_S,
+        _substr_maximal_from,
+    )
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"], r["spans"])
+        for r in _substr_maximal_from(d).collect()
+    }
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # reference: windows -> cross-doc dup hashes -> merge
+    wins = {}  # doc -> [(start, h)]
+    for i, t in enumerate(texts):
+        if len(t) < _SUB_L:
+            wins[i] = []
+            continue
+        nw = (len(t) - _SUB_L) // _SUB_S + 1
+        wins[i] = [
+            (k * _SUB_S, h60py(t[k * _SUB_S : k * _SUB_S + _SUB_L]))
+            for k in range(nw)
+        ]
+    by_h = {}
+    for i, ws in wins.items():
+        for _, h in ws:
+            by_h.setdefault(h, set()).add(i)
+    expected = {}
+    for i, ws in wins.items():
+        starts = sorted(s for s, h in ws if len(by_h[h]) >= 2)
+        if not starts:
+            continue
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:  # touch/overlap merges
+                spans[-1][1] = max(spans[-1][1], s + _SUB_L)
+            else:
+                spans.append([s, s + _SUB_L])
+        expected[i] = (
+            len(spans),
+            sum(b - a for a, b in spans),
+            "|".join(f"{a}-{b}" for a, b in spans),
+        )
+    assert got == expected, texts
