@@ -48,6 +48,8 @@ from datafusion_tpc_spark.operators.dedup import (  # noqa: E402
 )
 
 PROBE_DOC = 8  # fixture doc with LSH candidates at sf0.01 AND sf0.1
+BATCH_N = 10   # batched-admission probe set: doc_id < BATCH_N (the
+               # functions/ivf.py BATCH_N convention)
 _SRV_BUCKETS = 16
 _CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
@@ -180,6 +182,82 @@ def q_dedup_lsh_served(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
         .orderBy(
+            F.col("n_shared_bands").desc_nulls_last(),
+            F.col("doc_id").asc_nulls_last(),
+        )
+    )
+
+
+_LSH_SERVED_BATCH_ORACLE = f"""
+    WITH sh AS ({SHINGLES_DUCK}),
+    sig AS (SELECT doc_id, {_MIN_EXPRS} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN concat(m0, '_', m1)
+               WHEN 1 THEN concat(m2, '_', m3)
+               WHEN 2 THEN concat(m4, '_', m5)
+               ELSE concat(m6, '_', m7)
+             END AS bkey
+      FROM sig, LATERAL (SELECT unnest(range({_BANDS})) AS band) b
+    ),
+    probe AS (
+      SELECT doc_id AS qid, band, bkey FROM bands
+      WHERE doc_id < {BATCH_N}
+    )
+    SELECT p.qid, b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands b JOIN probe p
+      ON b.band = p.band AND b.bkey = p.bkey AND b.doc_id <> p.qid
+    GROUP BY p.qid, b.doc_id
+    ORDER BY qid ASC NULLS LAST, n_shared_bands DESC NULLS LAST,
+             doc_id ASC NULLS LAST
+"""
+
+
+@query("q_dedup_lsh_served_batch", oracle=_LSH_SERVED_BATCH_ORACLE)
+def q_dedup_lsh_served_batch(spark, sf_dir):
+    """Batched near-dup admission from the materialized band index:
+    ONE bucket-pruned index read serves a {BATCH_N}-document probe
+    batch — the composition the single-probe path and
+    q_sim_ivf_served_batch point at. The batch's band keys come from
+    one pushed-down doc_id < {BATCH_N} read (collected: bounded at
+    |batch| x _BANDS rows, the ivf_served_batch probe-list
+    precedent); the scan prunes to the UNION of the keys' buckets
+    (SelectedBucketsCount — on the tiny fixture the 40-key union can
+    cover all {_SRV_BUCKETS} buckets, the same honest degeneration as
+    the ivf batch leg; at production bucket counts sized to
+    O(cluster cores) the union stays a small fraction), and the
+    broadcast (qid, band, bkey) probe table fans candidates out per
+    probe. Zero corpus mining lineage in the serving plan
+    (plan-gated); per-probe candidate sets are row-identical to
+    running the single-probe path per doc (pinned in
+    tests/test_r12_ops.py)."""
+    name = _lsh_index(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BATCH_N)  # pushed-down batch read
+        .select("doc_id", "text")
+    )
+    probe_rows = _band_projection(probes).collect()  # ≤ BATCH_N·_BANDS
+    keys = sorted({r["bkey"] for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(r["doc_id"], r["band"], r["bkey"]) for r in probe_rows],
+        "qid long, band int, bkey string",
+    )
+    bt = spark.table(name)
+    return (
+        bt.filter(F.col("bkey").isin(keys))  # bucket-pruning literal
+        .join(
+            F.broadcast(probe_df),
+            (bt.band == probe_df.band)
+            & (bt.bkey == probe_df.bkey)
+            & (bt.doc_id != probe_df.qid),
+        )
+        .groupBy("qid", bt.doc_id)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+        .orderBy(
+            F.col("qid").asc_nulls_last(),
             F.col("n_shared_bands").desc_nulls_last(),
             F.col("doc_id").asc_nulls_last(),
         )

@@ -192,6 +192,37 @@ def test_lsh_served_matches_batch_pipeline(spark):
         assert 1 <= r["n_shared_bands"] <= _BANDS
 
 
+def test_lsh_served_batch_plan_and_identity(spark):
+    """The batched admission leg: ONE bucket-pruned index scan (still
+    SelectedBucketsCount-gated, still zero Generate/mining lineage)
+    joined to the broadcast probe table; the qid == PROBE_DOC slice
+    must be row-identical to the single-probe path's result."""
+    import re
+
+    from datafusion_tpc_spark.operators.lsh_served import PROBE_DOC
+
+    df = registry.QUERIES["q_dedup_lsh_served_batch"](spark, SF_DIR)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert re.search(r"SelectedBucketsCount: \d+ out of \d+", final), final
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "BroadcastHashJoin" in final
+    single = [
+        (r["doc_id"], r["n_shared_bands"])
+        for r in registry.QUERIES["q_dedup_lsh_served"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    batch_slice = [
+        (r["doc_id"], r["n_shared_bands"])
+        for r in rows
+        if r["qid"] == PROBE_DOC
+    ]
+    assert batch_slice == single
+
+
 def test_winsorize_td_tracks_exact_variant(spark):
     """The sketch-bounded twin must agree with the exact variant on
     everything the bounds don't touch (groups, n, raw_mean) and stay

@@ -299,6 +299,7 @@ _BIRTH_ROUND = {
     "q_agg_winsorize_td": 12,
     "q_dedup_substr_maximal": 12,
     "q_dedup_lsh_served": 12,
+    "q_dedup_lsh_served_batch": 12,
 }
 
 
