@@ -188,12 +188,16 @@ _MINHASH_ORACLE = f"""
     """
 
 
-def band_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH band table from a (doc_id, text)
-    DataFrame — k=8 md5-seeded minhashes, 4 bands × 2 rows. Cached:
-    it is tiny (4 rows/doc) and both sides of the candidate self-join
-    read it — uncached, the whole shingle→hash→min pipeline would
-    execute twice."""
+def band_projection(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH banding from a (doc_id, text)
+    DataFrame — k=8 md5-seeded minhashes, 4 bands × 2 rows. UNCACHED:
+    the single construction shared by the batch pipeline (band_table,
+    which caches it for the candidate self-join) and the serving
+    index / probe computation (operators/lsh_served.py, which must
+    not leave session-lifetime cached blocks). One implementation on
+    purpose (review r12): the serving index must find exactly the
+    candidates the batch pipeline finds, so the hash family / band
+    count / bkey format can only change HERE."""
     sh = docs.withColumn("w", F.split("text", " ")).select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("s")
     )
@@ -203,28 +207,31 @@ def band_table(docs: DataFrame) -> DataFrame:
             for i in range(_K)
         ]
     )
-    return (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "_",
-                                F.col(f"m{2 * b}").cast("string"),
-                                F.col(f"m{2 * b + 1}").cast("string"),
-                            ).alias("bkey"),
-                        )
-                        for b in range(_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("doc_id", "bb.band", "bb.bkey")
-        .cache()
-    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("bkey"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
+def band_table(docs: DataFrame) -> DataFrame:
+    """Cached band_projection — both sides of the batch pipeline's
+    candidate self-join read it; uncached, the whole shingle→hash→min
+    pipeline would execute twice."""
+    return band_projection(docs).cache()
 
 
 def lsh_candidate_pairs(bands: DataFrame, band_cap: int | None = None) -> DataFrame:

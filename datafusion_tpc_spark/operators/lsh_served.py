@@ -34,8 +34,7 @@ from datafusion_tpc_spark.catalog import (
     prune_stale_cache_dirs,
     sanitized_sf_tag,
 )
-from datafusion_tpc_spark.functions.digest import h60
-from datafusion_tpc_spark.functions.shingles import SHINGLES, SHINGLES_DUCK
+from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK
 from datafusion_tpc_spark.registry import query
 
 # Same hash family / banding as q_dedup_minhash (operators/dedup.py) —
@@ -45,6 +44,7 @@ from datafusion_tpc_spark.operators.dedup import (  # noqa: E402
     _BANDS,
     _K,
     _MIN_EXPRS,
+    band_projection as _band_projection,  # the ONE banding impl
 )
 
 PROBE_DOC = 8  # fixture doc with LSH candidates at sf0.01 AND sf0.1
@@ -57,40 +57,6 @@ _CACHE_ROOT = os.path.join(
     "lsh_served",
 )
 _LSH_LOCK = threading.Lock()
-
-
-def _band_projection(docs):
-    """(doc_id, band, bkey) from a (doc_id, text) DataFrame — the
-    q_dedup_minhash banding (k=8 md5-seeded minhashes, 4 bands x 2
-    rows) WITHOUT dedup.band_table's .cache() (an index write / a
-    1-row probe must not leave session-lifetime cached blocks)."""
-    sh = docs.withColumn("w", F.split("text", " ")).select(
-        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES))).alias("s")
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(h60(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
-            for i in range(_K)
-        ]
-    )
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"m{2 * b}").cast("string"),
-                            F.col(f"m{2 * b + 1}").cast("string"),
-                        ).alias("bkey"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
 
 
 def _lsh_index(spark, sf_dir: str) -> str:

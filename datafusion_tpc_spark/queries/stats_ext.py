@@ -469,7 +469,6 @@ def q_agg_winsorize_td(spark, sf_dir):
         partials.withColumn("g", F.lit(1))
         .groupBy("g")
         .applyInPandas(merge, "lo double, hi double")
-        .drop("g")
     )
     clamped = F.least(
         F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")

@@ -61,14 +61,52 @@ def main() -> None:
         ):
             if leg == "single":
                 cand = ivf_served.ivf_served_candidates(spark, sf_dir)
+                probed = sorted(
+                    int(r["cell"])
+                    for r in cand.select("cell").distinct().collect()
+                )
             else:
-                # the batch scan's probed-cell union, measured from the
-                # result's cell column (same pruned read)
-                cand = registry.QUERIES[qname](spark, sf_dir)
-            probed = sorted(
-                int(r["cell"])
-                for r in cand.select("cell").distinct().collect()
-            )
+                # the batch scan's probed-cell union, recomputed the
+                # way the query itself computes it (review r12: the
+                # earlier read of the RESULT's cell column undercounts
+                # — a probed cell whose candidates miss every qid's
+                # top-K is absent from the output, overstating the
+                # pruned fraction in the numbers of record)
+                from datafusion_tpc_spark.catalog import load_table
+                from datafusion_tpc_spark.functions.ivf import (
+                    BATCH_N,
+                    IVF_NPROBE,
+                    _norm_expr,
+                    batch_cell_ranks,
+                )
+
+                cents = spark.createDataFrame(
+                    ivf_served._ivf_index(spark, sf_dir)[1],
+                    "cid int, e array<double>",
+                )
+                qb = (
+                    load_table(spark, sf_dir, "embeddings")
+                    .filter(F.col("vec_id") < BATCH_N)
+                    .select(
+                        F.col("vec_id").alias("qid"),
+                        F.col("embedding")
+                        .cast("array<double>")
+                        .alias("qemb"),
+                    )
+                    .withColumn("qe", F.expr(_norm_expr("qemb")))
+                )
+                probed = sorted(
+                    {
+                        int(r["cell"])
+                        for r in batch_cell_ranks(
+                            qb.select("qid", "qe"), cents
+                        )
+                        .filter(F.col("rnk") <= IVF_NPROBE)
+                        .select("cell")
+                        .distinct()
+                        .collect()
+                    }
+                )
             read_files = (
                 spark.read.parquet(path)
                 .filter(F.col("cell").isin(probed))
