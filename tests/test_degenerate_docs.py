@@ -38,6 +38,10 @@ _REGRESSION_SET = [
     "q_dedup_substr_maximal",
     "q_dedup_ngram",
     "q_dedup_minhash",
+    # served legs: the probe docs are absent from the fixture (ids
+    # 0-7 + 999xxx) — empty probe key set must yield empty, not throw
+    "q_dedup_lsh_served",
+    "q_dedup_lsh_served_batch",
 ]
 
 
