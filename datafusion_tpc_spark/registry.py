@@ -108,6 +108,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_dedup_spans",
 )
 
+# PRE-STAGED R13 PLAN (recompute with tools/edf_check.py at rotation —
+# the numbers below assume the r12 window verifies green): forced =
+# the 43 anchor-r7 greens (aggregates_more 6, events_behavior 10,
+# geo 1, graph 3, kmeans 1, merge 1, multimodal 5, pipeline_ext 3,
+# py_sink 1, py_source 1, scalar_ext 1, sinks_ext 1, skyline 1,
+# stream_enrich 2, stream_quantile 1, udfs_ext 1, windows_ext 4).
+# The 7 free slots: the four r11 births (q_dedup_decontam,
+# q_dedup_winnow, q_dedup_winnow_pairs, q_dq_psi — deadline r17) +
+# three r12 births, never-hashed EXACT oracles first
+# (q_dedup_winnow_contain, q_dedup_substr_maximal,
+# q_dedup_lsh_served). Spill to r14's free slots: q_dedup_lsh_served_batch,
+# q_agg_winsorize_td (rows-only — weakest evidence claim, lowest
+# priority). Give any NEW r13 query a _BIRTH_ROUND pin.
+
 
 def _promote_window(window: tuple[str, ...]) -> None:
     """Reorder QUERIES in place so `window` occupies the first
