@@ -142,3 +142,34 @@ def test_ivf_index_concurrent_cold(spark):
     entries = os.listdir(ivf_served._CACHE_ROOT)
     assert len([e for e in entries if not e.endswith(".superseded")]) == 1
     assert not [e for e in entries if e.startswith("tmp-")]
+
+
+def test_lsh_index_concurrent_cold(spark):
+    """(r12) Two threads racing the LSH band-index build from a cold
+    cache: _LSH_LOCK serializes the exists-check+build, so exactly
+    one bucketed table is written (saveAsTable is NOT atomic across
+    processes — in-process threads must never double-build one
+    name), both served results must be identical, and the catalog
+    entry must survive for reuse."""
+    from datafusion_tpc_spark.operators import lsh_served
+
+    # cold: drop the catalog entry and the data dir (session-scoped
+    # catalog + on-disk cache)
+    st = os.stat(os.path.join(SF_DIR, "documents.parquet"))
+    import hashlib as _h
+
+    fp = _h.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{lsh_served._K}:"
+        f"{lsh_served._BANDS}:{lsh_served._SRV_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    from datafusion_tpc_spark.catalog import sanitized_sf_tag
+
+    name = f"lsh_bands_{sanitized_sf_tag(SF_DIR)}_{fp}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(lsh_served._CACHE_ROOT, ignore_errors=True)
+
+    fn = registry.QUERIES["q_dedup_lsh_served"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+    assert a == b and len(a) >= 1
+    assert spark.catalog.tableExists(name)
