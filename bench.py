@@ -82,6 +82,10 @@ HEADLINE = [
     # mean the partition-pruned serving plan degraded); solo-idle
     # birth row in BASELINE.md
     "q_sim_ivf_served",
+    # round-12 promotion (the r11 precedent): the bucket-pruned LSH
+    # admission read — its regression would mean the
+    # SelectedBucketsCount serving plan degraded
+    "q_dedup_lsh_served",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",
