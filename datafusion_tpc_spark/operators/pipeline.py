@@ -201,8 +201,9 @@ def _token_tf(spark, sf_dir):
     combined (shuffle bytes ∝ distinct doc-term pairs, not tokens).
 
     Deliberately NOT cache()d, though its consumers re-execute the
-    explode+groupBy lineage (r11 scan audit: tfidf reads the corpus
-    3×, bm25 5×): caching was implemented and MEASURED WORSE at sf0.1
+    explode+groupBy lineage (r11 scan audit: bm25 reads the corpus
+    5×; tfidf read it 3× until the r12 window-df rewrite cut its
+    derived branch): caching was implemented and MEASURED WORSE at sf0.1
     — tfidf 0.86→0.80 but bm25 0.60→1.00 median (2.2× its baseline
     row): the InMemoryRelation reads break whole-stage codegen and
     cost more than re-running the pipelined scan at this rollup size.
@@ -241,18 +242,31 @@ def _token_tf(spark, sf_dir):
 )
 def q_pipe_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction). TF is the
-    one real shuffle; document frequency collapses to vocabulary
-    cardinality and is broadcast back; the final top-3 is a window over
-    doc_id — already co-partitioned with TF, so no extra exchange.
-    Ranking compares ROUND(…, 6) scores (term ASC tiebreak) so order is
-    engine-exact across libm ln() implementations."""
+    one real shuffle; document frequency is a COUNT window over the
+    term partition of the SAME tf stream — (doc_id, term) is unique in
+    tf, so the partition row count IS df(term) (the r11 span-family
+    single-scan pattern) — replacing the broadcast-dfreq join whose
+    derived branch re-executed the whole corpus scan+explode lineage
+    (r12: 3 corpus scans → 2, 0.89 → 0.69 s measured same-session,
+    row-identical). The final top-3 is a window over doc_id; ranking
+    compares ROUND(…, 6) scores (term ASC tiebreak) so order is
+    engine-exact across libm ln() implementations.
+
+    100 TB trade-off, stated honestly: the term-partition window
+    buffers df(term) rows per partition, so a stopword-grade term
+    concentrates ~|docs| rows in one spilling window task — against
+    the old form's full second corpus scan + explode. For Zipfian
+    vocabularies with standard stopword handling the window wins;
+    past that, the production answer is neither: persist the tf
+    rollup once and derive dfreq from the materialized table (the
+    _token_tf docstring's q_sim_ivf_served pattern)."""
     tf = _token_tf(spark, sf_dir)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
     nn = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("nn")
     )
+    d = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("d", d)
         .join(F.broadcast(nn))
         .select(
             "doc_id",

@@ -112,11 +112,17 @@ def test_pipeline_rowlocal_ops_stay_in_codegen(spark):
 
 
 def test_pipeline_tfidf_broadcasts_df_side(spark):
-    """TF-IDF/BM25: the document-frequency side (vocabulary-sized)
-    broadcasts; the corpus is never shuffled twice for it."""
-    for name in ("q_pipe_tfidf", "q_pipe_bm25"):
-        plan = _plan(spark, name)
-        assert "BroadcastHashJoin" in plan, name
+    """BM25: the document-frequency side (vocabulary-sized)
+    broadcasts; the corpus is never shuffled twice for it. TF-IDF
+    (r12): df is a COUNT window over the tf stream's term partition —
+    no dfreq join at all; the only join left is the broadcast 1-row
+    N, and nothing may plan a sort-merge join."""
+    plan = _plan(spark, "q_pipe_bm25")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, "q_pipe_tfidf")
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    assert "Broadcast" in plan  # the 1-row N
 
 
 def test_contamination_broadcasts_eval_set(spark):
@@ -330,6 +336,19 @@ def test_forget_purge_is_broadcast_anti(spark):
     plan = _plan(spark, "q_pipe_forget")
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_two_scans_max(spark):
+    """(r12) q_pipe_tfidf's document frequency is a COUNT window over
+    the term partition of the tf stream — the broadcast-dfreq form
+    re-executed the corpus scan+explode lineage (3 scans, measured
+    ~23% slower). Allowed scans: the token stream + the 1-row N
+    count; a third scan means the join-back shape crept back."""
+    df = registry.QUERIES["q_pipe_tfidf"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") <= 2, "tfidf re-scans the corpus"
 
 
 def test_sharding_and_curriculum_windows_are_partitioned(spark):

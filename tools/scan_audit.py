@@ -69,10 +69,14 @@ KNOWN_MULTI = {
 # - multi-set pipeline semantics (q_pipe_contamination/diff/forget/
 #   kept/near_split/domain_cap/rep/lm: the query compares or anti-
 #   joins two declared document sets).
-# - q_pipe_tfidf/bm25: shared _token_tf rollup re-derived per
-#   consumer — cache() was implemented and MEASURED WORSE at sf0.1
-#   (bm25 0.60→1.00 median; InMemoryRelation reads break codegen);
-#   see _token_tf's docstring for the at-scale materialization path.
+# - q_pipe_bm25: shared _token_tf rollup re-derived per consumer —
+#   cache() was implemented and MEASURED WORSE at sf0.1 (bm25
+#   0.60→1.00 median; InMemoryRelation reads break codegen); see
+#   _token_tf's docstring for the at-scale materialization path.
+#   q_pipe_tfidf left this list in r12 (df became a term-partition
+#   COUNT window on the tf stream, 3 scans → 2, plan-gated
+#   test_tfidf_two_scans_max; the residual 2nd scan is the 1-row
+#   document count).
 # - fixture-builder reads (q_layout_compact, q_scan_corrupt,
 #   q_agg_incr/q_dedup_incr snapshots): the query's subject is the
 #   written artifact, read back.
