@@ -76,7 +76,13 @@ KNOWN_MULTI = {
 #   q_pipe_tfidf left this list in r12 (df became a term-partition
 #   COUNT window on the tf stream, 3 scans → 2, plan-gated
 #   test_tfidf_two_scans_max; the residual 2nd scan is the 1-row
-#   document count).
+#   document count). The SAME window rewrite was prototyped for bm25
+#   and MEASURED WORSE (r12: 1.16 → 1.42 median at sf0.1,
+#   row-identical, 5 scans → 2): bm25's query-term filter prunes tf
+#   to 4 terms BEFORE its joins, so the re-derived branches shuffle
+#   tiny map-side-combined aggregates, while the window form
+#   shuffles the full unaggregated tf stream twice. Scan count is a
+#   proxy, not the objective — measure before "fixing".
 # - fixture-builder reads (q_layout_compact, q_scan_corrupt,
 #   q_agg_incr/q_dedup_incr snapshots): the query's subject is the
 #   written artifact, read back.
