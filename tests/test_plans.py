@@ -763,3 +763,16 @@ def test_r11_ivf_served_plan_is_pruned_and_training_free(spark):
     assert "HashAggregate" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_two_scans_max(spark):
+    """(r12) q_pipe_lm's bigram count is a window over the gram
+    stream; allowed scans are the gram stream + the unigram pass
+    (n(w) counts doc-final words that never appear as w1, so it is
+    genuinely a second pass). A third scan means the bi-table
+    join-back crept back."""
+    df = registry.QUERIES["q_pipe_lm"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") <= 2, "lm re-scans the corpus"
