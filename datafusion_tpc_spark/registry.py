@@ -48,79 +48,73 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The round-12 driver window: the driver verifies exactly these 50
-# query ids, in this order (forcing computation + free-slot rationale
-# in load_all's docstring; contents pinned by tests/
-# test_registry_order.py, staleness audited by test_window_staleness).
+# The round-13 driver window: the driver verifies exactly these 50
+# query ids, in this order (forcing computation via tools/edf_check.py;
+# contents pinned by tests/test_registry_order.py, staleness audited
+# by test_window_staleness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # 44 forced anchor-r6 greens (deadline r12 under cap 5):
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_cte_recursive",
-    "q_join_lateral",
-    "q_join_nullsafe",
-    "q_union_evo",
-    "q_unpivot",
-    "q_join_fuzzy",
-    "q_join_overlap",
-    "q_join_overlap_banded",
-    "q_fn_interval",
-    "q_fn_binary",
-    "q_profile",
-    "q_fn_variant",
-    "q_sink_avro",
-    "q_scan_corrupt",
-    "q_scan_meta",
-    "q_scan_evolve",
-    "q_agg_freq",
-    "q_pipe_bpe",
-    "q_pipe_classify",
-    "q_text_zipf",
-    "q_agg_kmv",
-    "q_text_kl",
-    "q_text_compress",
-    "q_text_ttr",
-    "q_pipe_sample_weighted",
-    "q_pipe_mixture",
-    "q_pipe_ipf",
-    "q_agg_dp",
-    "q_layout_zorder",
-    "q_layout_compact",
-    "q_join_bloom",
-    "q_join_bucketed",
-    # 6 free slots — never-driver-hashed EXACT oracles first
-    # (VERDICT r11 item 2):
-    "q_pipe_pack",
-    "q_dedup_minhash_capped",
-    "q_sim_ivf_served",
-    "q_sim_ivf_served_batch",
-    "q_dedup_substr",
-    "q_dedup_spans",
+    # 43 forced anchor-r7 greens (deadline r13 under cap 5 —
+    # tools/edf_check.py output at rotation time):
+    "q_agg_abtest",
+    "q_agg_bitwise",
+    "q_agg_condagg",
+    "q_agg_gini",
+    "q_agg_histeq",
+    "q_agg_regr",
+    "q_evt_anomaly",
+    "q_evt_attrib",
+    "q_evt_cusum",
+    "q_evt_funnel",
+    "q_evt_locf",
+    "q_evt_markov",
+    "q_evt_paths",
+    "q_evt_retention",
+    "q_evt_rollup",
+    "q_evt_seasonality",
+    "q_fn_url",
+    "q_geo_nearest",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_mm_decode",
+    "q_mm_dedup",
+    "q_mm_frames",
+    "q_mm_meta",
+    "q_mm_resize",
+    "q_pipe_diff",
+    "q_pipe_lm",
+    "q_sim_kmeans",
+    "q_sink_json",
+    "q_skyline",
+    "q_stream_enrich",
+    "q_stream_join_outer",
+    "q_stream_merge",
+    "q_stream_pysink",
+    "q_stream_pysource",
+    "q_stream_quantile",
+    "q_text_index",
+    "q_udf_arrow",
+    "q_win_ema",
+    "q_win_ratio",
+    "q_win_rolling_distinct",
+    "q_win_sessionize",
+    # 7 free slots — the never-driver-verified backlog, EXACT oracles
+    # (4 r11 births, deadline r17, + 3 r12 births, deadline r18):
+    "q_dedup_decontam",
+    "q_dedup_winnow",
+    "q_dedup_winnow_pairs",
+    "q_dq_psi",
+    "q_dedup_winnow_contain",
+    "q_dedup_substr_maximal",
+    "q_dedup_lsh_served",
 )
 
-# PRE-STAGED R13 PLAN (recompute with tools/edf_check.py at rotation —
-# the numbers below assume the r12 window verifies green): forced =
-# the 43 anchor-r7 greens (aggregates_more 6, events_behavior 10,
-# geo 1, graph 3, kmeans 1, merge 1, multimodal 5, pipeline_ext 3,
-# py_sink 1, py_source 1, scalar_ext 1, sinks_ext 1, skyline 1,
-# stream_enrich 2, stream_quantile 1, udfs_ext 1, windows_ext 4).
-# The 7 free slots: the four r11 births (q_dedup_decontam,
-# q_dedup_winnow, q_dedup_winnow_pairs, q_dq_psi — deadline r17) +
-# three r12 births, never-hashed EXACT oracles first
-# (q_dedup_winnow_contain, q_dedup_substr_maximal,
-# q_dedup_lsh_served). Spill to r14's free slots: q_dedup_lsh_served_batch,
-# q_agg_winsorize_td (rows-only — weakest evidence claim, lowest
-# priority). Give any NEW r13 query a _BIRTH_ROUND pin.
+# PRE-STAGED R14 PLAN (recompute with tools/edf_check.py at rotation —
+# assumes the r13 window verifies green): forced = the 49 anchor-r8
+# greens; the remaining free slot(s) go to the last never-verified
+# births q_dedup_lsh_served_batch then q_agg_winsorize_td (rows-only,
+# weakest evidence claim, r15 if capacity is 1). Give any NEW r14
+# query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:

@@ -28,66 +28,67 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-12 driver window (VERDICT r11 items 1-2): the 44 forced
-# anchor-r6 greens (post-r11 anchor distribution r6:44 r7:43 r8:50
-# r9:50 r10:50 r11:58; cap 5 at inventory 295 forces anchor <= r6)
-# plus 6 free slots spent on never-driver-hashed EXACT oracles — the
-# two r11 rows-only -> EXACT graduations (q_pipe_pack,
-# q_dedup_minhash_capped) and four r11 births (ivf_served x2,
-# span-dedup substr/spans). Pinned INDEPENDENTLY of
+# The round-13 driver window (VERDICT r12 item 1): the 43 forced
+# anchor-r7 greens (post-r12 anchor distribution r7:43 r8:49 r9:50
+# r10:49 r11:54 r12:55; cap 5 at inventory 300 forces anchor <= r7)
+# plus 7 free slots spent on the entire never-driver-verified
+# backlog: the four r11 births (q_dedup_decontam, q_dedup_winnow,
+# q_dedup_winnow_pairs, q_dq_psi — deadline r17) and three r12
+# births (q_dedup_winnow_contain, q_dedup_substr_maximal,
+# q_dedup_lsh_served). Pinned INDEPENDENTLY of
 # registry.DRIVER_WINDOW on purpose: a silent edit there must fail
 # here, prompting a deliberate re-point.
 EXPECTED_WINDOW_50 = [
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_cte_recursive",
-    "q_join_lateral",
-    "q_join_nullsafe",
-    "q_union_evo",
-    "q_unpivot",
-    "q_join_fuzzy",
-    "q_join_overlap",
-    "q_join_overlap_banded",
-    "q_fn_interval",
-    "q_fn_binary",
-    "q_profile",
-    "q_fn_variant",
-    "q_sink_avro",
-    "q_scan_corrupt",
-    "q_scan_meta",
-    "q_scan_evolve",
-    "q_agg_freq",
-    "q_pipe_bpe",
-    "q_pipe_classify",
-    "q_text_zipf",
-    "q_agg_kmv",
-    "q_text_kl",
-    "q_text_compress",
-    "q_text_ttr",
-    "q_pipe_sample_weighted",
-    "q_pipe_mixture",
-    "q_pipe_ipf",
-    "q_agg_dp",
-    "q_layout_zorder",
-    "q_layout_compact",
-    "q_join_bloom",
-    "q_join_bucketed",
-    "q_pipe_pack",
-    "q_dedup_minhash_capped",
-    "q_sim_ivf_served",
-    "q_sim_ivf_served_batch",
-    "q_dedup_substr",
-    "q_dedup_spans",
+    "q_agg_abtest",
+    "q_agg_bitwise",
+    "q_agg_condagg",
+    "q_agg_gini",
+    "q_agg_histeq",
+    "q_agg_regr",
+    "q_evt_anomaly",
+    "q_evt_attrib",
+    "q_evt_cusum",
+    "q_evt_funnel",
+    "q_evt_locf",
+    "q_evt_markov",
+    "q_evt_paths",
+    "q_evt_retention",
+    "q_evt_rollup",
+    "q_evt_seasonality",
+    "q_fn_url",
+    "q_geo_nearest",
+    "q_graph_bfs",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_mm_decode",
+    "q_mm_dedup",
+    "q_mm_frames",
+    "q_mm_meta",
+    "q_mm_resize",
+    "q_pipe_diff",
+    "q_pipe_lm",
+    "q_sim_kmeans",
+    "q_sink_json",
+    "q_skyline",
+    "q_stream_enrich",
+    "q_stream_join_outer",
+    "q_stream_merge",
+    "q_stream_pysink",
+    "q_stream_pysource",
+    "q_stream_quantile",
+    "q_text_index",
+    "q_udf_arrow",
+    "q_win_ema",
+    "q_win_ratio",
+    "q_win_rolling_distinct",
+    "q_win_sessionize",
+    "q_dedup_decontam",
+    "q_dedup_winnow",
+    "q_dedup_winnow_pairs",
+    "q_dq_psi",
+    "q_dedup_winnow_contain",
+    "q_dedup_substr_maximal",
+    "q_dedup_lsh_served",
 ]
 
 
