@@ -41,6 +41,7 @@ from datafusion_tpc_spark.registry import query
 # the index must find exactly the candidates the batch pipeline finds;
 # row-identity is pinned in tests/test_r12_ops.py.
 from datafusion_tpc_spark.operators.dedup import (  # noqa: E402
+    _BAND_SELECTS,
     _BANDS,
     _K,
     _MIN_EXPRS,
@@ -93,14 +94,7 @@ _LSH_SERVED_ORACLE = f"""
     WITH sh AS ({SHINGLES_DUCK}),
     sig AS (SELECT doc_id, {_MIN_EXPRS} FROM sh GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, b.band,
-             CASE b.band
-               WHEN 0 THEN concat(m0, '_', m1)
-               WHEN 1 THEN concat(m2, '_', m3)
-               WHEN 2 THEN concat(m4, '_', m5)
-               ELSE concat(m6, '_', m7)
-             END AS bkey
-      FROM sig, LATERAL (SELECT unnest(range({_BANDS})) AS band) b
+      {_BAND_SELECTS}
     ),
     probe AS (
       SELECT band, bkey FROM bands WHERE doc_id = {PROBE_DOC}
@@ -158,14 +152,7 @@ _LSH_SERVED_BATCH_ORACLE = f"""
     WITH sh AS ({SHINGLES_DUCK}),
     sig AS (SELECT doc_id, {_MIN_EXPRS} FROM sh GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, b.band,
-             CASE b.band
-               WHEN 0 THEN concat(m0, '_', m1)
-               WHEN 1 THEN concat(m2, '_', m3)
-               WHEN 2 THEN concat(m4, '_', m5)
-               ELSE concat(m6, '_', m7)
-             END AS bkey
-      FROM sig, LATERAL (SELECT unnest(range({_BANDS})) AS band) b
+      {_BAND_SELECTS}
     ),
     probe AS (
       SELECT doc_id AS qid, band, bkey FROM bands

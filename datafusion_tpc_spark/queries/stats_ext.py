@@ -363,6 +363,33 @@ def td_quantile(centroids, total, q):
 _TD_QUANTILES = (0.5, 0.9, 0.99)
 
 
+def td_partial_fold(batches, col, k):
+    """Per-partition t-digest partial with CONSTANT memory: chunk
+    each Arrow batch to ≤ k centroids as it arrives and re-compress
+    the accumulated centroid union whenever it exceeds 8k, so
+    per-partition state is O(k + batch) — never the whole partition.
+    (ADVICE r12: the previous concat-then-sort materialized the full
+    partition before chunking, contradicting the O(centroids)
+    per-partition claim in the docstrings.) Returns the final
+    mean-sorted ≤ k+1 centroid list (empty if no rows). Shared by
+    q_agg_tdigest and q_agg_winsorize_td."""
+    cents: list = []
+    for pdf in batches:
+        v = pdf[col].sort_values().to_numpy()
+        if len(v) == 0:
+            continue
+        cents.extend(td_chunk(v, k))
+        if len(cents) > 8 * k:
+            cents.sort(key=lambda c: c[0])
+            cents, _ = td_compress(cents, k)
+            cents = list(cents)
+    if not cents:
+        return []
+    cents.sort(key=lambda c: c[0])
+    out, _ = td_compress(cents, k)
+    return out
+
+
 @query("q_agg_tdigest")  # † rows-only: sketch (error bound pytest-pinned)
 def q_agg_tdigest(spark, sf_dir):
     """Mergeable quantile sketch over o_totalprice — the t-digest
@@ -386,16 +413,9 @@ def q_agg_tdigest(spark, sf_dir):
     import pandas as pd
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        vals = []
-        for pdf in batches:
-            vals.append(pdf["o_totalprice"])
-        if not vals:
-            return
-        v = pd.concat(vals).sort_values().to_numpy()
-        if len(v) == 0:
-            return
-        rows = td_chunk(v, _TD_CENTROIDS)
-        yield pd.DataFrame(rows, columns=["mean", "weight"])
+        rows = td_partial_fold(batches, "o_totalprice", _TD_CENTROIDS)
+        if rows:
+            yield pd.DataFrame(rows, columns=["mean", "weight"])
 
     def merge(key, pdf):
         pdf = pdf.sort_values("mean").reset_index(drop=True)
@@ -436,15 +456,9 @@ def q_agg_winsorize_td(spark, sf_dir):
     import pandas as pd
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        vals = [pdf["o_totalprice"] for pdf in batches]
-        if not vals:
-            return
-        v = pd.concat(vals).sort_values().to_numpy()
-        if len(v) == 0:
-            return
-        yield pd.DataFrame(
-            td_chunk(v, _TD_CENTROIDS), columns=["mean", "weight"]
-        )
+        rows = td_partial_fold(batches, "o_totalprice", _TD_CENTROIDS)
+        if rows:
+            yield pd.DataFrame(rows, columns=["mean", "weight"])
 
     def merge(key, pdf):
         pdf = pdf.sort_values("mean").reset_index(drop=True)

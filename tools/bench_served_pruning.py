@@ -22,7 +22,8 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 os.environ.setdefault("SPARK_GRAFT_OPT_CACHE", "1")  # bench convention:
 # timings of record read the layout-optimized copies (CLAUDE.md)
 
@@ -46,7 +47,7 @@ def main() -> None:
     )
     print("|---|---|---|---|---|---|")
     for sf in ("0.01", "0.1"):
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), f"sf{sf}")
         path, _ = ivf_served._ivf_index(spark, sf_dir)
         idx = spark.read.parquet(path)
         total_files = (

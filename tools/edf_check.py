@@ -24,7 +24,8 @@ import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from datafusion_tpc_spark import registry  # noqa: E402
 
@@ -37,7 +38,7 @@ def main() -> None:
 
     last: dict[str, int] = {}
     max_round = 0
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         rnum = int(re.search(r"r(\d+)\.json$", path).group(1))
         max_round = max(max_round, rnum)
         with open(path) as f:
