@@ -86,6 +86,10 @@ HEADLINE = [
     # admission read — its regression would mean the
     # SelectedBucketsCount serving plan degraded
     "q_dedup_lsh_served",
+    # round-13 promotion (same precedent): the bucket-pruned
+    # train-span decontamination read — the third serving path; its
+    # regression would mean the pruned index probe degraded
+    "q_dedup_decontam_served",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",

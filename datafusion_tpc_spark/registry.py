@@ -233,6 +233,12 @@ def load_all() -> None:
     # r12 birth (deadline r18): the LSH band-index serving twin —
     # near-dup admission control from a bucketed materialized index:
     from datafusion_tpc_spark.operators import lsh_served  # noqa: F401
+
+    # r13 birth (deadline r19 under cap 6): the decontamination
+    # serving twin — eval-integrity admission control from the
+    # bucketed train-span-hash index, completing the serving trilogy
+    # (ivf_served / lsh_served / decontam_served):
+    from datafusion_tpc_spark.operators import decontam_served  # noqa: F401
     # r11 birth (deadline r17): PSI distribution-drift audit (lives
     # outside queries/diagnostics.py because that module is in the
     # r11 window and window modules must not grow mid-round):

@@ -301,6 +301,8 @@ _BIRTH_ROUND = {
     "q_dedup_substr_maximal": 12,
     "q_dedup_lsh_served": 12,
     "q_dedup_lsh_served_batch": 12,
+    "q_dedup_decontam_served": 13,
+    "q_dedup_decontam_served_batch": 13,
 }
 
 
