@@ -173,3 +173,32 @@ def test_lsh_index_concurrent_cold(spark):
         a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
     assert a == b and len(a) >= 1
     assert spark.catalog.tableExists(name)
+
+
+def test_decontam_index_concurrent_cold(spark):
+    """(r13) Two threads racing the train-span index build from a
+    cold cache: _DCS_LOCK serializes the exists-check+build (the
+    lsh_served precedent — saveAsTable is not atomic), both served
+    results must be identical, and the catalog entry must survive
+    for reuse."""
+    import hashlib as _h
+
+    from datafusion_tpc_spark.catalog import sanitized_sf_tag
+    from datafusion_tpc_spark.functions.digest import SPLIT_TRAIN_LT
+    from datafusion_tpc_spark.operators import decontam_served
+    from datafusion_tpc_spark.operators.dedup import _SUB_L, _SUB_S
+
+    st = os.stat(os.path.join(SF_DIR, "documents.parquet"))
+    fp = _h.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{_SUB_L}:{_SUB_S}:"
+        f"{SPLIT_TRAIN_LT}:{decontam_served._SRV_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    name = f"train_spans_{sanitized_sf_tag(SF_DIR)}_{fp}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(decontam_served._CACHE_ROOT, ignore_errors=True)
+
+    fn = registry.QUERIES["q_dedup_decontam_served"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+    assert a == b and len(a) == 1
+    assert spark.catalog.tableExists(name)
