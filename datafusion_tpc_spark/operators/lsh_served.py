@@ -108,20 +108,11 @@ _LSH_SERVED_ORACLE = f"""
 """
 
 
-@query("q_dedup_lsh_served", oracle=_LSH_SERVED_ORACLE)
-def q_dedup_lsh_served(spark, sf_dir):
-    """Near-dup candidates of one document served from the
-    MATERIALIZED band index: compute the probe doc's 4 (band, bkey)
-    pairs in-engine from a pushed-down point read of documents,
-    collect them (bounded: exactly _BANDS rows — the ivf_served
-    probe-list precedent), and read the bucketed band table pruned to
-    the buckets those keys hash to. The serving plan scans ONLY the
-    index (`SelectedBucketsCount` ≤ 4 of {_SRV_BUCKETS} — plan-gated)
-    with zero corpus shingle/minhash lineage; candidates are exactly
-    q_dedup_minhash's pairs containing the probe (pinned in
-    tests/test_r12_ops.py). Oracle recomputes the banding in SQL (the
-    layout is a physical change only)."""
-    name = _lsh_index(spark, sf_dir)
+def _serve_probe(spark, sf_dir, name):
+    """The single-probe serving body shared by q_dedup_lsh_served and
+    q_dedup_lsh_upsert — parameterized only by the index table name
+    (the two queries differ in how the index was MAINTAINED, never in
+    how it is read)."""
     probe = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") == PROBE_DOC)  # pushed-down point read
@@ -146,6 +137,22 @@ def q_dedup_lsh_served(spark, sf_dir):
             F.col("doc_id").asc_nulls_last(),
         )
     )
+
+
+@query("q_dedup_lsh_served", oracle=_LSH_SERVED_ORACLE)
+def q_dedup_lsh_served(spark, sf_dir):
+    """Near-dup candidates of one document served from the
+    MATERIALIZED band index: compute the probe doc's 4 (band, bkey)
+    pairs in-engine from a pushed-down point read of documents,
+    collect them (bounded: exactly _BANDS rows — the ivf_served
+    probe-list precedent), and read the bucketed band table pruned to
+    the buckets those keys hash to. The serving plan scans ONLY the
+    index (`SelectedBucketsCount` ≤ 4 of {_SRV_BUCKETS} — plan-gated)
+    with zero corpus shingle/minhash lineage; candidates are exactly
+    q_dedup_minhash's pairs containing the probe (pinned in
+    tests/test_r12_ops.py). Oracle recomputes the banding in SQL (the
+    layout is a physical change only)."""
+    return _serve_probe(spark, sf_dir, _lsh_index(spark, sf_dir))
 
 
 _LSH_SERVED_BATCH_ORACLE = f"""
@@ -215,3 +222,86 @@ def q_dedup_lsh_served_batch(spark, sf_dir):
             F.col("doc_id").asc_nulls_last(),
         )
     )
+
+
+def _ingest_projection(spark, sf_dir):
+    """The incremental maintenance WRITE's source: band rows of the
+    ingest batch only, from ONE pushed-down doc_id < BATCH_N read —
+    |batch| x _BANDS rows, never a corpus recompute. Split out so
+    tests/test_r13_ops.py can gate the pushed filter on the write
+    plan itself."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BATCH_N)
+        .select("doc_id", "text")
+    )
+    return _band_projection(docs)
+
+
+def _upserted_index(spark, sf_dir: str) -> str:
+    """The INCREMENTALLY MAINTAINED band index: base table built from
+    the pre-existing corpus (doc_id >= BATCH_N) once, then the ingest
+    batch's band rows APPENDED — Spark's bucketed saveAsTable append
+    writes per-bucket files alongside the base set and
+    SelectedBucketsCount pruning spans both generations. Same
+    lock/fingerprint/per-PID-dir story as _lsh_index (one lock on
+    purpose: the two indexes share the band computation and a cold
+    start may build both)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.md5(
+        f"up:{st.st_mtime_ns}:{st.st_size}:{_K}:{_BANDS}:"
+        f"{_SRV_BUCKETS}:{BATCH_N}".encode()
+    ).hexdigest()[:12]
+    tag = sanitized_sf_tag(sf_dir)
+    name = f"lsh_upsert_{tag}_{fp}"
+    with _LSH_LOCK:
+        if not spark.catalog.tableExists(name):
+            dir_key = f"{tag}_lshup-{fp}-{os.getpid()}"
+            path = os.path.join(_CACHE_ROOT, dir_key, "bands")
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            base = _band_projection(
+                docs.filter(F.col("doc_id") >= BATCH_N)
+            )
+            (
+                base.write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(_SRV_BUCKETS, "bkey")
+                .sortBy("bkey")
+                .saveAsTable(name)
+            )
+            # the incremental ingest: |batch| x _BANDS rows appended,
+            # bucketed identically — the maintenance cost is the
+            # batch's own minhash, independent of corpus size
+            (
+                _ingest_projection(spark, sf_dir)
+                .write.mode("append")
+                .option("path", path)
+                .bucketBy(_SRV_BUCKETS, "bkey")
+                .sortBy("bkey")
+                .saveAsTable(name)
+            )
+            prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
+    return name
+
+
+@query("q_dedup_lsh_upsert", oracle=_LSH_SERVED_ORACLE)
+def q_dedup_lsh_upsert(spark, sf_dir):
+    """Near-dup admission served from the INCREMENTALLY MAINTAINED
+    band index — the maintenance path the materialize-once serving
+    queries point at: the corpus index is built before the ingest
+    batch exists (doc_id >= {BATCH_N}), the batch's band rows are
+    APPENDED (one pushed-down batch read -> |batch| x _BANDS rows,
+    plan-gated in tests/test_r13_ops.py — no corpus recompute), and
+    the probe (itself part of the batch) is served from the upserted
+    table with the same bucket-pruned plan as q_dedup_lsh_served.
+    Candidates must be IDENTICAL to serving from the full-corpus
+    rebuild (pinned) — incremental maintenance is a physical change
+    only, so the oracle is _LSH_SERVED_ORACLE unchanged.
+
+    At 100 TB this is the production ingest loop: per-batch index
+    maintenance costs the batch's own minhash plus a bucketed append
+    (no rebuild, no corpus scan), and the r13 bucket-count curve
+    (BASELINE.md) gives the bucket sizing the append inherits."""
+    return _serve_probe(spark, sf_dir, _upserted_index(spark, sf_dir))

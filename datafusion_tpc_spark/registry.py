@@ -110,11 +110,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # PRE-STAGED R14 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r13 window verifies green): forced = the 49 anchor-r8
-# greens; the remaining free slot(s) go to the last never-verified
-# births q_dedup_lsh_served_batch then q_agg_winsorize_td (rows-only,
-# weakest evidence claim, r15 if capacity is 1). Give any NEW r14
-# query a _BIRTH_ROUND pin.
+# assumes the r13 window verifies green): under the r13 cap-6 regime
+# (inventory 303, capacity 350) nothing is FORCED before its 7th
+# stale round, but keep rotating the oldest anchors proactively —
+# schedule the 49 anchor-r8 greens, then spend the remaining slot on
+# the never-verified backlog in this order: q_dedup_lsh_served_batch,
+# q_agg_winsorize_td (rows-only — weakest evidence claim), then the
+# r13 births (q_dedup_decontam_served(+_batch), q_dedup_lsh_upsert,
+# deadline r19). Give any NEW r14 query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:

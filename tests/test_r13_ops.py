@@ -1,6 +1,7 @@
 """Round-13 operator invariants: the decontamination serving path
-(q_dedup_decontam_served / _batch) — the third materialized-index
-serving twin, after ivf_served (r11) and lsh_served (r12)."""
+(q_dedup_decontam_served / _batch — the third materialized-index
+serving twin, after ivf_served r11 and lsh_served r12) and the
+incremental band-index maintenance path (q_dedup_lsh_upsert)."""
 
 from __future__ import annotations
 
@@ -134,3 +135,44 @@ def test_decontam_served_batch_matches_singles_and_audit(spark):
             r["n_windows"],
             r["n_contam"],
         )
+
+
+def test_lsh_upsert_identical_to_full_rebuild(spark):
+    """Incremental maintenance is a physical change only: serving
+    from the upserted index (base corpus built without the batch +
+    appended batch band rows) must produce exactly
+    q_dedup_lsh_served's candidates from the full-corpus rebuild."""
+    a = registry.QUERIES["q_dedup_lsh_upsert"](spark, SF_DIR).collect()
+    b = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR).collect()
+    assert len(a) >= 1
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_upsert_ingest_is_batch_only_and_pruned(spark):
+    """(a) The maintenance write's source plan must read documents
+    with the batch predicate PUSHED to the scan (no corpus recompute
+    — the whole point of incremental maintenance); (b) the post-
+    upsert serving plan must still be bucket-pruned across both file
+    generations (base + appended) with zero mining lineage."""
+    from datafusion_tpc_spark.operators.lsh_served import (
+        _BANDS,
+        _SRV_BUCKETS,
+        _ingest_projection,
+    )
+
+    ingest = _ingest_projection(spark, SF_DIR)
+    iplan = ingest._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,10\)", iplan), (
+        iplan
+    )
+    assert iplan.count("Scan parquet") == 1
+
+    df = registry.QUERIES["q_dedup_lsh_upsert"](spark, SF_DIR)
+    df.collect()
+    final = _final_plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", final)
+    assert m, final
+    assert int(m.group(1)) <= _BANDS
+    assert int(m.group(2)) == _SRV_BUCKETS
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final, "corpus mining lineage in serving plan"

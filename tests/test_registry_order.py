@@ -303,6 +303,7 @@ _BIRTH_ROUND = {
     "q_dedup_lsh_served_batch": 12,
     "q_dedup_decontam_served": 13,
     "q_dedup_decontam_served_batch": 13,
+    "q_dedup_lsh_upsert": 13,
 }
 
 
