@@ -1043,3 +1043,55 @@ def test_substr_maximal_matches_python(spark, texts):
             "|".join(f"{a}-{b}" for a, b in spans),
         )
     assert got == expected, texts
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+)
+@given(td_case())
+def test_td_partial_fold_algebra(case):
+    """(r13) td_partial_fold is the PRODUCTION per-partition partial
+    (ADVICE r12: chunk per Arrow batch + periodic re-compress instead
+    of concatenating the partition) — drive the exact fold over
+    arbitrary batch splits: weight conserved exactly, weighted mean
+    to float-sum accuracy, bounded width (<= k+1), monotone means,
+    means inside [min, max], and empty-input safety."""
+    import pandas as pd
+    import numpy as np
+
+    from datafusion_tpc_spark.queries.stats_ext import td_partial_fold
+
+    vals, splits = case
+    k = 8
+    batches = [
+        pd.DataFrame({"v": p})
+        for p in np.split(np.asarray(vals, dtype=np.float64), splits)
+    ]
+    out = td_partial_fold(iter(batches), "v", k)
+    if not vals:
+        assert out == []
+        return
+    assert sum(w for _, w in out) == len(vals)
+    exact_sum = float(np.sum(np.asarray(vals, dtype=np.float64)))
+    merged_sum = sum(m * w for m, w in out)
+    assert merged_sum == pytest.approx(exact_sum, rel=1e-9, abs=1e-6)
+    assert len(out) <= k + 1
+    assert all(a[0] <= b[0] + 1e-9 for a, b in zip(out, out[1:]))
+    lo, hi = min(vals), max(vals)
+    assert all(lo - 1e-9 <= m <= hi + 1e-9 for m, _ in out)
+
+    # force the PERIODIC RE-COMPRESS branch (len(cents) > 8k): k=2
+    # with single-row batches accumulates one centroid per batch, so
+    # any n > 16 crosses the threshold repeatedly mid-fold — the same
+    # invariants must hold through the interim compressions
+    out2 = td_partial_fold(
+        iter(pd.DataFrame({"v": [v]}) for v in vals), "v", 2
+    )
+    assert sum(w for _, w in out2) == len(vals)
+    assert sum(m * w for m, w in out2) == pytest.approx(
+        exact_sum, rel=1e-9, abs=1e-6
+    )
+    assert len(out2) <= 3
+    assert all(lo - 1e-9 <= m <= hi + 1e-9 for m, _ in out2)
