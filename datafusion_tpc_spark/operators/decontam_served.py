@@ -47,6 +47,7 @@ from datafusion_tpc_spark.functions.digest import (
     split_bucket,
     split_bucket_duck,
 )
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.registry import query
 
 # Same strided windowing / split convention as q_dedup_decontam
@@ -141,18 +142,22 @@ def _served(spark, sf_dir, pred):
     n_win = {}
     for r in rows:
         n_win[r["doc_id"]] = n_win.get(r["doc_id"], 0) + r["cnt"]
-    base = spark.createDataFrame(
-        sorted(n_win.items()) or [(-1, 0)], "doc_id long, n_windows long"
-    ).filter(F.col("doc_id") >= 0)
     if not rows:
-        return base.select(
-            "doc_id",
-            F.col("n_windows").cast("bigint"),
-            F.lit(0).cast("bigint").alias("n_contam"),
-            F.lit(0.0).alias("contam_frac"),
-        )
+        # no windowed probe docs: empty result with the full schema
+        return values_df(
+            spark,
+            [(-1, 0, 0, 0.0)],
+            "doc_id long, n_windows long, n_contam long,"
+            " contam_frac double",
+        ).filter(F.col("doc_id") >= 0)
     hs = sorted({r["h"] for r in rows})
-    probe_df = spark.createDataFrame(
+    # VALUES literals, not createDataFrame: the RDD-backed literal
+    # frames were 3x the serving read (functions/literals.py, r13)
+    base = values_df(
+        spark, sorted(n_win.items()), "doc_id long, n_windows long"
+    )
+    probe_df = values_df(
+        spark,
         [(r["doc_id"], r["h"], r["cnt"]) for r in rows],
         "doc_id long, h long, cnt long",
     )

@@ -60,6 +60,7 @@ from datafusion_tpc_spark.catalog import (
     prune_stale_cache_dirs,
     sanitized_sf_tag,
 )
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.registry import query
 
 _CACHE_ROOT = os.path.join(
@@ -307,7 +308,10 @@ def q_sim_ivf_served_batch(spark, sf_dir):
         # broadcast probe table (the box_cover precedent)
     )
     cells = sorted({int(r["cell"]) for r in probe_rows})
-    probe = spark.createDataFrame(
+    # VALUES literal, not createDataFrame: the RDD-backed probe frame
+    # costs ~0.2-0.4 s of scheduling per action (functions/literals.py)
+    probe = values_df(
+        spark,
         [(int(r["qid"]), int(r["cell"])) for r in probe_rows],
         "qid long, cell int",
     )

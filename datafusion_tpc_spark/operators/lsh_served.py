@@ -34,6 +34,7 @@ from datafusion_tpc_spark.catalog import (
     prune_stale_cache_dirs,
     sanitized_sf_tag,
 )
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK
 from datafusion_tpc_spark.registry import query
 
@@ -201,7 +202,10 @@ def q_dedup_lsh_served_batch(spark, sf_dir):
     )
     probe_rows = _band_projection(probes).collect()  # ≤ BATCH_N·_BANDS
     keys = sorted({r["bkey"] for r in probe_rows})
-    probe_df = spark.createDataFrame(
+    # VALUES literal, not createDataFrame: the RDD-backed probe frame
+    # costs ~0.2-0.4 s of scheduling per action (functions/literals.py)
+    probe_df = values_df(
+        spark,
         [(r["doc_id"], r["band"], r["bkey"]) for r in probe_rows],
         "qid long, band int, bkey string",
     )
