@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import _h60_duck, cosine
 from datafusion_tpc_spark.functions.lloyd import assign, d2_expr, duck_iter, update
 from datafusion_tpc_spark.functions.seeds import seed_pick
@@ -153,7 +154,7 @@ def ivf_model(spark, sf_dir):
     )
     v = raw.select("vec_id", "label", "emb", F.expr(_NORM_E).alias("e"))
     codebook = _trained_codebook(spark, sf_dir, v)
-    cents = spark.createDataFrame(codebook, "cid int, e array<double>")
+    cents = values_df(spark, codebook, "cid int, e array<double>")
     # Final assignment is a ROW-LOCAL projection over the literal
     # codebook (r10 late fix): lloyd.assign's crossJoin+groupBy shape
     # would shuffle the FULL vector payload through the vec_id

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 
@@ -384,8 +385,8 @@ def q_pipe_upsert(spark, sf_dir):
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    updates = spark.createDataFrame(
-        _UPSERT_ROWS, "doc_id long, text string, lang string, source string"
+    updates = values_df(
+        spark, _UPSERT_ROWS, "doc_id long, text string, lang string, source string"
     )
     merged = (
         base.join(F.broadcast(updates.select("doc_id")), "doc_id", "left_anti")

@@ -49,6 +49,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import (  # noqa: F401
     SPLIT_TRAIN_LT,
     SPLIT_VAL_LT,
@@ -820,8 +821,8 @@ def q_dedup_eval(spark, sf_dir):
         # composition (band_table's cache stays: pre-existing
         # cross-call shared behavior, per the ADVICE-r7 adjudication)
         drain_sh_caches()
-    m = spark.createDataFrame(
-        [(n_exact, n_cand, tp)], "n_exact bigint, n_cand bigint, tp bigint"
+    m = values_df(
+        spark, [(n_exact, n_cand, tp)], "n_exact bigint, n_cand bigint, tp bigint"
     )
     return m.select(
         "n_exact",

@@ -37,6 +37,7 @@ import os
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.registry import query
 
 _DAMP = 0.85
@@ -400,7 +401,7 @@ def q_graph_bfs(spark, sf_dir):
         .unionAll(cs.select(snode.alias("src"), cnode.alias("dst")))
         .localCheckpoint(eager=True)
     )
-    dist = spark.createDataFrame([(_BFS_SOURCE, 0)], "node string, dist int")
+    dist = values_df(spark, [(_BFS_SOURCE, 0)], "node string, dist int")
     for _ in range(_BFS_ROUNDS):
         relaxed = (
             edges.join(dist, edges.src == dist.node)

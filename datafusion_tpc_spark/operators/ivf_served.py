@@ -184,7 +184,7 @@ def ivf_served_candidates(spark, sf_dir: str):
     from datafusion_tpc_spark.functions.digest import cosine
 
     path, codebook = _ivf_index(spark, sf_dir)
-    cents = spark.createDataFrame(codebook, "cid int, e array<double>")
+    cents = values_df(spark, codebook, "cid int, e array<double>")
     qraw = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QID)  # pushed-down point read
@@ -289,7 +289,7 @@ def q_sim_ivf_served_batch(spark, sf_dir):
     )
 
     path, codebook = _ivf_index(spark, sf_dir)
-    cents = spark.createDataFrame(codebook, "cid int, e array<double>")
+    cents = values_df(spark, codebook, "cid int, e array<double>")
     qb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < BATCH_N)  # pushed-down batch read

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import cosine
 from datafusion_tpc_spark.registry import query
 
@@ -171,8 +172,8 @@ def q_sim_mmr(spark, sf_dir):
         picked.append(v)
         rows.append((len(picked), v, r, ms))
 
-    out = spark.createDataFrame(
-        rows, schema="rank long, vec_id long, rel double, maxsim double"
+    out = values_df(
+        spark, rows, "rank long, vec_id long, rel double, maxsim double"
     )
     return out.select(
         "rank",

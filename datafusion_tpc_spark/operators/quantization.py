@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import _h60_duck, cosine
 from datafusion_tpc_spark.functions.seeds import seed_pick
 from datafusion_tpc_spark.registry import query
@@ -421,7 +422,8 @@ def q_sim_pqadc(spark, sf_dir):
     # caveat documented in the BASELINE row. Values are collected
     # doubles re-embedded verbatim (IEEE round-trip is exact), so the
     # oracle's in-SQL retraining still hash-matches downstream.
-    cents = spark.createDataFrame(
+    cents = values_df(
+        spark,
         [(r["sub"], r["cid"], list(r["e"])) for r in cents.collect()],
         "sub int, cid int, e array<double>",
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.functions.literals import values_df
 from datafusion_tpc_spark.functions.digest import cosine
 from datafusion_tpc_spark.registry import query
 
@@ -308,7 +309,8 @@ def q_sim_anneval(spark, sf_dir):
         cand.unpersist()
     e = load_table(spark, sf_dir, "embeddings")
     n_corpus = e.filter(F.col("vec_id") != _QID).count()
-    m = spark.createDataFrame(
+    m = values_df(
+        spark,
         [(n_exact, n_cand, tp, n_corpus)],
         "n_exact bigint, n_cand bigint, tp bigint, n_corpus bigint",
     )
@@ -402,7 +404,8 @@ def q_sim_ivfeval(spark, sf_dir):
         cand.unpersist()
     e = load_table(spark, sf_dir, "embeddings")
     n_corpus = e.filter(F.col("vec_id") != _QID).count()
-    m = spark.createDataFrame(
+    m = values_df(
+        spark,
         [(n_exact, n_cand, tp, n_cells, n_corpus)],
         "n_exact bigint, n_cand bigint, tp bigint, n_cells bigint, n_corpus bigint",
     )
@@ -935,8 +938,8 @@ def q_sim_ivf_sweep(spark, sf_dir):
         .withColumn("n_pairs", F.sum("c").over(Window.partitionBy()))
     )
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    sweep = spark.createDataFrame(
-        [(p,) for p in range(1, _NPROBE_MAX + 1)], "nprobe int"
+    sweep = values_df(
+        spark, [(p,) for p in range(1, _NPROBE_MAX + 1)], "nprobe int"
     )
     return (
         sweep.join(F.broadcast(by_rnk), F.col("rnk") <= F.col("nprobe"), "left")

@@ -278,6 +278,14 @@ def q_scan_dpp(spark, sf_dir):
             partition_by=["o_orderstatus"],
         )
     part = spark.read.parquet(out_dir)
+    # createDataFrame ON PURPOSE (r13): converting this dim to a
+    # VALUES LocalRelation kills the DPP demonstration — Catalyst
+    # constant-folds the filter INTO the LocalRelation rows, leaving
+    # no selective predicate on the dim side, and PartitionPruning
+    # then declines to inject the dynamicpruning subquery
+    # (test_dpp_subquery_is_injected caught it). The RDD-backed dim
+    # keeps the Filter node visible; its ~0.2 s literal overhead is
+    # the cost of demonstrating the real mechanism.
     dim = spark.createDataFrame(
         [("F", "final"), ("O", "open"), ("P", "pending")], "status string, label string"
     ).filter(F.col("label") == "final")
