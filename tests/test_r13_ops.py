@@ -176,3 +176,55 @@ def test_lsh_upsert_ingest_is_batch_only_and_pruned(spark):
     assert int(m.group(2)) == _SRV_BUCKETS
     assert final.count("Scan parquet") == 1
     assert "Generate" not in final, "corpus mining lineage in serving plan"
+
+
+def test_lsh_upsert_multi_generation(spark):
+    """The maintenance loop holds over SUCCESSIVE ingest batches: a
+    3-generation table (base corpus, then two appended batches) must
+    (a) serve the probe with rows identical to the full rebuild, and
+    (b) keep SelectedBucketsCount pruning across all three file
+    generations — the production loop is append-per-batch forever,
+    not the single append q_dedup_lsh_upsert demonstrates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.operators.lsh_served import (
+        _SRV_BUCKETS,
+        _band_projection,
+        _serve_probe,
+    )
+
+    name = "lsh_upsert_gen3_test"
+    path = os.path.join("/tmp", "lsh_upsert_gen3_test")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    slices = (
+        F.col("doc_id") >= 20,                                # base corpus
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 20),     # ingest 1
+        F.col("doc_id") < 10,                                 # ingest 2
+    )
+    for i, pred in enumerate(slices):
+        mode = "overwrite" if i == 0 else "append"
+        (
+            _band_projection(docs.filter(pred))
+            .write.mode(mode)
+            .option("path", path)
+            .bucketBy(_SRV_BUCKETS, "bkey")
+            .sortBy("bkey")
+            .saveAsTable(name)
+        )
+    try:
+        df = _serve_probe(spark, SF_DIR, name)
+        rows = df.collect()
+        full = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, full))
+        final = _final_plan(df)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", final)
+        assert m and int(m.group(2)) == _SRV_BUCKETS, final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
