@@ -40,12 +40,15 @@ def _sql_lit(v) -> str:
 def values_df(spark, rows, schema: str):
     """LocalTableScan literal frame from bounded collected rows.
 
-    ``rows``: non-empty sequence of tuples (int/float/str/bool/None
-    cells). ``schema``: the createDataFrame-style DDL string it
-    replaces, e.g. ``"doc_id long, h long, cnt long"`` — every column
-    is CAST to its declared type so join/agg typing is identical to
-    the createDataFrame form. Raises on empty input (VALUES has no
-    empty form; callers guard the no-rows case already)."""
+    ``rows``: non-empty sequence of tuples (int/float/str/bool/None/
+    flat list cells). ``schema``: the createDataFrame-style DDL
+    string it replaces, e.g. ``"doc_id long, h long, cnt long"`` —
+    every column is CAST to its declared type so join/agg typing is
+    identical to the createDataFrame form. Limitation: the parser
+    splits each field on its LAST space, so types containing spaces
+    (``decimal(10, 2)``) must be written spaceless
+    (``decimal(10,2)``). Raises on empty input (VALUES has no empty
+    form; callers guard the no-rows case already)."""
     rows = list(rows)
     if not rows:
         raise ValueError("values_df requires at least one row")
