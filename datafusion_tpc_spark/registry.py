@@ -113,11 +113,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # assumes the r13 window verifies green): under the r13 cap-6 regime
 # (inventory 303, capacity 350) nothing is FORCED before its 7th
 # stale round, but keep rotating the oldest anchors proactively —
-# schedule the 49 anchor-r8 greens, then spend the remaining slot on
-# the never-verified backlog in this order: q_dedup_lsh_served_batch,
+# schedule the 49 anchor-r8 greens (computed from CORRECTNESS_r*
+# at end of r13): q_agg_approxd, q_agg_arrayagg, q_agg_basic,
+# q_agg_bootstrap, q_agg_corrmat, q_agg_cube, q_agg_distinct,
+# q_agg_entropy, q_agg_having, q_agg_median, q_agg_pctl,
+# q_agg_pctl_w, q_agg_rollup, q_agg_salted, q_agg_stats,
+# q_agg_tdigest, q_agg_theta, q_agg_winsorize, q_dedup_clusters,
+# q_dedup_embed, q_dedup_embed_lsh, q_dedup_eval, q_dedup_exact,
+# q_dedup_incr, q_dedup_minhash, q_dedup_ngram, q_dedup_simhash,
+# q_dq_reconcile, q_logs_agg, q_logs_filter, q_logs_scan,
+# q_pipe_bm25, q_pipe_bpe_train, q_pipe_canonical,
+# q_pipe_contamination, q_pipe_curriculum, q_pipe_forget,
+# q_pipe_kept, q_pipe_near_split, q_pipe_pii_redact,
+# q_pipe_quality_filter, q_pipe_sample, q_pipe_sample_stratified,
+# q_pipe_shard, q_pipe_split, q_pipe_tfidf, q_pivot, q_sink_dpo,
+# q_udaf — then spend the remaining slot on the never-verified
+# backlog in this order: q_dedup_lsh_served_batch,
 # q_agg_winsorize_td (rows-only — weakest evidence claim), then the
 # r13 births (q_dedup_decontam_served(+_batch), q_dedup_lsh_upsert,
-# deadline r19). Give any NEW r14 query a _BIRTH_ROUND pin.
+# deadline r19; they spill to r15's free slots if r14 takes only
+# one). Give any NEW r14 query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:
