@@ -48,91 +48,79 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The round-13 driver window: the driver verifies exactly these 50
+# The round-14 driver window: the driver verifies exactly these 50
 # query ids, in this order (forcing computation via tools/edf_check.py;
 # contents pinned by tests/test_registry_order.py, staleness audited
 # by test_window_staleness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # 43 forced anchor-r7 greens (deadline r13 under cap 5 —
-    # tools/edf_check.py output at rotation time):
-    "q_agg_abtest",
-    "q_agg_bitwise",
-    "q_agg_condagg",
-    "q_agg_gini",
-    "q_agg_histeq",
-    "q_agg_regr",
-    "q_evt_anomaly",
-    "q_evt_attrib",
-    "q_evt_cusum",
-    "q_evt_funnel",
-    "q_evt_locf",
-    "q_evt_markov",
-    "q_evt_paths",
-    "q_evt_retention",
-    "q_evt_rollup",
-    "q_evt_seasonality",
-    "q_fn_url",
-    "q_geo_nearest",
-    "q_graph_bfs",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_mm_decode",
-    "q_mm_dedup",
-    "q_mm_frames",
-    "q_mm_meta",
-    "q_mm_resize",
-    "q_pipe_diff",
-    "q_pipe_lm",
-    "q_sim_kmeans",
-    "q_sink_json",
-    "q_skyline",
-    "q_stream_enrich",
-    "q_stream_join_outer",
-    "q_stream_merge",
-    "q_stream_pysink",
-    "q_stream_pysource",
-    "q_stream_quantile",
-    "q_text_index",
-    "q_udf_arrow",
-    "q_win_ema",
-    "q_win_ratio",
-    "q_win_rolling_distinct",
-    "q_win_sessionize",
-    # 7 free slots — the never-driver-verified backlog, EXACT oracles
-    # (4 r11 births, deadline r17, + 3 r12 births, deadline r18):
-    "q_dedup_decontam",
-    "q_dedup_winnow",
-    "q_dedup_winnow_pairs",
-    "q_dq_psi",
-    "q_dedup_winnow_contain",
-    "q_dedup_substr_maximal",
-    "q_dedup_lsh_served",
+    # 49 anchor-r8 greens (edf_check at rotation: forced-into-r14 = 0
+    # under cap 6, but these 49 become FORCED at r15 — rotating them
+    # now keeps every forward deadline meetable; verified this
+    # rotation commit: staged set == anchor-r8 set exactly):
+    "q_agg_approxd",
+    "q_agg_arrayagg",
+    "q_agg_basic",
+    "q_agg_bootstrap",
+    "q_agg_corrmat",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_entropy",
+    "q_agg_having",
+    "q_agg_median",
+    "q_agg_pctl",
+    "q_agg_pctl_w",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_agg_tdigest",
+    "q_agg_theta",
+    "q_agg_winsorize",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_dedup_eval",
+    "q_dedup_exact",
+    "q_dedup_incr",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dq_reconcile",
+    "q_logs_agg",
+    "q_logs_filter",
+    "q_logs_scan",
+    "q_pipe_bm25",
+    "q_pipe_bpe_train",
+    "q_pipe_canonical",
+    "q_pipe_contamination",
+    "q_pipe_curriculum",
+    "q_pipe_forget",
+    "q_pipe_kept",
+    "q_pipe_near_split",
+    "q_pipe_pii_redact",
+    "q_pipe_quality_filter",
+    "q_pipe_sample",
+    "q_pipe_sample_stratified",
+    "q_pipe_shard",
+    "q_pipe_split",
+    "q_pipe_tfidf",
+    "q_pivot",
+    "q_sink_dpo",
+    "q_udaf",
+    # 1 free slot — the oldest never-driver-verified birth (r12,
+    # deadline r18): first driver row for the LSH-served batch leg:
+    "q_dedup_lsh_served_batch",
 )
 
-# PRE-STAGED R14 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r13 window verifies green): under the r13 cap-6 regime
-# (inventory 303, capacity 350) nothing is FORCED before its 7th
-# stale round, but keep rotating the oldest anchors proactively —
-# schedule the 49 anchor-r8 greens (computed from CORRECTNESS_r*
-# at end of r13): q_agg_approxd, q_agg_arrayagg, q_agg_basic,
-# q_agg_bootstrap, q_agg_corrmat, q_agg_cube, q_agg_distinct,
-# q_agg_entropy, q_agg_having, q_agg_median, q_agg_pctl,
-# q_agg_pctl_w, q_agg_rollup, q_agg_salted, q_agg_stats,
-# q_agg_tdigest, q_agg_theta, q_agg_winsorize, q_dedup_clusters,
-# q_dedup_embed, q_dedup_embed_lsh, q_dedup_eval, q_dedup_exact,
-# q_dedup_incr, q_dedup_minhash, q_dedup_ngram, q_dedup_simhash,
-# q_dq_reconcile, q_logs_agg, q_logs_filter, q_logs_scan,
-# q_pipe_bm25, q_pipe_bpe_train, q_pipe_canonical,
-# q_pipe_contamination, q_pipe_curriculum, q_pipe_forget,
-# q_pipe_kept, q_pipe_near_split, q_pipe_pii_redact,
-# q_pipe_quality_filter, q_pipe_sample, q_pipe_sample_stratified,
-# q_pipe_shard, q_pipe_split, q_pipe_tfidf, q_pivot, q_sink_dpo,
-# q_udaf — then spend the remaining slot on the never-verified
-# backlog in this order: q_dedup_lsh_served_batch,
-# q_agg_winsorize_td (rows-only — weakest evidence claim), then the
-# r13 births (q_dedup_decontam_served(+_batch), q_dedup_lsh_upsert,
-# deadline r19; they spill to r15's free slots if r14 takes only
-# one). Give any NEW r14 query a _BIRTH_ROUND pin.
+# PRE-STAGED R15 PLAN (recompute with tools/edf_check.py at rotation —
+# assumes the r14 window verifies green): the 49 anchor-r9 greens are
+# ALL FORCED at r15 (cap 6: anchor <= 15-7 = r8 after this round's
+# CORRECTNESS lands; the anchor-r9 block of 50 minus q_dedup_eval
+# which rotated here at anchor r8... recompute, do not trust this
+# prose). Spend the free slot(s) on the never-verified backlog in
+# this order: q_agg_winsorize_td (r12, rows-only — weakest evidence
+# claim), then the r13/r14 births (q_dedup_decontam_served(+_batch),
+# q_dedup_lsh_upsert, and any r14 births — deadline r19/r20). Give
+# any NEW r15 query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:

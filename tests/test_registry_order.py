@@ -28,67 +28,66 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-13 driver window (VERDICT r12 item 1): the 43 forced
-# anchor-r7 greens (post-r12 anchor distribution r7:43 r8:49 r9:50
-# r10:49 r11:54 r12:55; cap 5 at inventory 300 forces anchor <= r7)
-# plus 7 free slots spent on the entire never-driver-verified
-# backlog: the four r11 births (q_dedup_decontam, q_dedup_winnow,
-# q_dedup_winnow_pairs, q_dq_psi — deadline r17) and three r12
-# births (q_dedup_winnow_contain, q_dedup_substr_maximal,
-# q_dedup_lsh_served). Pinned INDEPENDENTLY of
-# registry.DRIVER_WINDOW on purpose: a silent edit there must fail
+# The round-14 driver window (VERDICT r13 item 1): the 49 anchor-r8
+# greens (post-r13 anchor distribution r8:49 r9:50 r10:49 r11:50
+# r12:52 r13:53; cap 6 at inventory 303 forces nothing into r14, but
+# the whole anchor-r8 block becomes FORCED at r15 — rotating it now
+# keeps every forward deadline meetable, edf_check OK) plus 1 free
+# slot spent on the oldest never-driver-verified birth
+# (q_dedup_lsh_served_batch, r12, deadline r18). Pinned INDEPENDENTLY
+# of registry.DRIVER_WINDOW on purpose: a silent edit there must fail
 # here, prompting a deliberate re-point.
 EXPECTED_WINDOW_50 = [
-    "q_agg_abtest",
-    "q_agg_bitwise",
-    "q_agg_condagg",
-    "q_agg_gini",
-    "q_agg_histeq",
-    "q_agg_regr",
-    "q_evt_anomaly",
-    "q_evt_attrib",
-    "q_evt_cusum",
-    "q_evt_funnel",
-    "q_evt_locf",
-    "q_evt_markov",
-    "q_evt_paths",
-    "q_evt_retention",
-    "q_evt_rollup",
-    "q_evt_seasonality",
-    "q_fn_url",
-    "q_geo_nearest",
-    "q_graph_bfs",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_mm_decode",
-    "q_mm_dedup",
-    "q_mm_frames",
-    "q_mm_meta",
-    "q_mm_resize",
-    "q_pipe_diff",
-    "q_pipe_lm",
-    "q_sim_kmeans",
-    "q_sink_json",
-    "q_skyline",
-    "q_stream_enrich",
-    "q_stream_join_outer",
-    "q_stream_merge",
-    "q_stream_pysink",
-    "q_stream_pysource",
-    "q_stream_quantile",
-    "q_text_index",
-    "q_udf_arrow",
-    "q_win_ema",
-    "q_win_ratio",
-    "q_win_rolling_distinct",
-    "q_win_sessionize",
-    "q_dedup_decontam",
-    "q_dedup_winnow",
-    "q_dedup_winnow_pairs",
-    "q_dq_psi",
-    "q_dedup_winnow_contain",
-    "q_dedup_substr_maximal",
-    "q_dedup_lsh_served",
+    "q_agg_approxd",
+    "q_agg_arrayagg",
+    "q_agg_basic",
+    "q_agg_bootstrap",
+    "q_agg_corrmat",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_entropy",
+    "q_agg_having",
+    "q_agg_median",
+    "q_agg_pctl",
+    "q_agg_pctl_w",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_agg_tdigest",
+    "q_agg_theta",
+    "q_agg_winsorize",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_embed_lsh",
+    "q_dedup_eval",
+    "q_dedup_exact",
+    "q_dedup_incr",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dq_reconcile",
+    "q_logs_agg",
+    "q_logs_filter",
+    "q_logs_scan",
+    "q_pipe_bm25",
+    "q_pipe_bpe_train",
+    "q_pipe_canonical",
+    "q_pipe_contamination",
+    "q_pipe_curriculum",
+    "q_pipe_forget",
+    "q_pipe_kept",
+    "q_pipe_near_split",
+    "q_pipe_pii_redact",
+    "q_pipe_quality_filter",
+    "q_pipe_sample",
+    "q_pipe_sample_stratified",
+    "q_pipe_shard",
+    "q_pipe_split",
+    "q_pipe_tfidf",
+    "q_pivot",
+    "q_sink_dpo",
+    "q_udaf",
+    "q_dedup_lsh_served_batch",
 ]
 
 

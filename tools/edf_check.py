@@ -84,6 +84,15 @@ def main() -> None:
             a[q] = rnd
         nxt = sum(1 for q in a if a[q] <= rnd + 1 - (cap + 1))
         print(f"  r{rnd}: window={len(chosen)} forced_next={nxt}")
+        if rnd == current and nxt >= 45:
+            # At cap 6 the staleness tripwire is silent at the round
+            # boundary (the suite can be fully green with a 49-query
+            # cliff one round out) — this is the loud replacement.
+            print(
+                f"  WARNING: {nxt} ids become FORCED at r{rnd + 1} — "
+                "skipping or shrinking this round's rotation makes "
+                "r+1 unschedulable. Rotate the staged block NOW."
+            )
     status = "OK" if ok and not missing_forced and not unknown else "FAIL"
     print(f"EDF: {status}")
     sys.exit(0 if status == "OK" else 1)
