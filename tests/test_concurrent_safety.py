@@ -181,19 +181,12 @@ def test_decontam_index_concurrent_cold(spark):
     lsh_served precedent — saveAsTable is not atomic), both served
     results must be identical, and the catalog entry must survive
     for reuse."""
-    import hashlib as _h
-
-    from datafusion_tpc_spark.catalog import sanitized_sf_tag
-    from datafusion_tpc_spark.functions.digest import SPLIT_TRAIN_LT
     from datafusion_tpc_spark.operators import decontam_served
-    from datafusion_tpc_spark.operators.dedup import _SUB_L, _SUB_S
 
-    st = os.stat(os.path.join(SF_DIR, "documents.parquet"))
-    fp = _h.md5(
-        f"{st.st_mtime_ns}:{st.st_size}:{_SUB_L}:{_SUB_S}:"
-        f"{SPLIT_TRAIN_LT}:{decontam_served._SRV_BUCKETS}".encode()
-    ).hexdigest()[:12]
-    name = f"train_spans_{sanitized_sf_tag(SF_DIR)}_{fp}"
+    # Derive the table name from the operator's own helper (ADVICE
+    # r13): an inline re-derivation of the md5 recipe would silently
+    # stop exercising the cold-build race if the recipe changed.
+    name = decontam_served._index_table_name(SF_DIR)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(decontam_served._CACHE_ROOT, ignore_errors=True)
 

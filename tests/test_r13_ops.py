@@ -160,11 +160,15 @@ def test_lsh_upsert_ingest_is_batch_only_and_pruned(spark):
         _ingest_projection,
     )
 
+    from datafusion_tpc_spark.operators.lsh_served import BATCH_N
+
     ingest = _ingest_projection(spark, SF_DIR)
     iplan = ingest._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,10\)", iplan), (
-        iplan
-    )
+    # Regex built from the imported constant (ADVICE r13): a BATCH_N
+    # change must not fail this assertion for the wrong reason.
+    assert re.search(
+        rf"PushedFilters: \[.*LessThan\(doc_id,{BATCH_N}\)", iplan
+    ), iplan
     assert iplan.count("Scan parquet") == 1
 
     df = registry.QUERIES["q_dedup_lsh_upsert"](spark, SF_DIR)
