@@ -90,6 +90,12 @@ HEADLINE = [
     # train-span decontamination read — the third serving path; its
     # regression would mean the pruned index probe degraded
     "q_dedup_decontam_served",
+    # round-14 promotion: the merge-on-ingest maintenance leg
+    # (dedupe-on-ingest anti-join + bucketed append + serve) — its
+    # regression would mean incremental index maintenance degraded
+    # toward rebuild cost; representative of the r13/r14 upsert
+    # trilogy (lsh/ivf/decontam)
+    "q_dedup_decontam_upsert",
     # extension ops (registered in later milestones; skipped if absent)
     "q_dedup_exact",
     "q_dedup_minhash",

@@ -155,20 +155,39 @@ def ivf_model(spark, sf_dir):
     v = raw.select("vec_id", "label", "emb", F.expr(_NORM_E).alias("e"))
     codebook = _trained_codebook(spark, sf_dir, v)
     cents = values_df(spark, codebook, "cid int, e array<double>")
-    # Final assignment is a ROW-LOCAL projection over the literal
-    # codebook (r10 late fix): lloyd.assign's crossJoin+groupBy shape
-    # would shuffle the FULL vector payload through the vec_id
-    # exchange — at 100 TB that is a corpus-payload shuffle for a
-    # value computable in the scan projection. The argmin folds the
-    # identical enc encoding (element-order d2, 1e-6 quantized,
-    # ·10+cid packing) over an 8-struct literal, so cell ids are
-    # bit-identical to the grouped form; the plan has ZERO exchanges
-    # (plan-gated in tests/test_plans.py).
+    return raw, v, cents, assign_cells(v, codebook)
+
+
+def assign_cells(v, codebook):
+    """THE cell-assignment projection (shared single implementation —
+    the band_projection precedent): (vec_id, label, emb, cell) from a
+    normalized view ``v`` and a trained literal ``codebook``.
+
+    Row-local projection over the literal codebook (r10 late fix):
+    lloyd.assign's crossJoin+groupBy shape would shuffle the FULL
+    vector payload through the vec_id exchange — at 100 TB that is a
+    corpus-payload shuffle for a value computable in the scan
+    projection. The argmin folds the identical enc encoding
+    (element-order d2, 1e-6 quantized, ·10+cid packing) over an
+    8-struct literal, so cell ids are bit-identical to the grouped
+    form; the plan has ZERO exchanges (plan-gated in
+    tests/test_plans.py). Also the ENCODE leg of incremental index
+    maintenance (operators/ivf_served.py q_sim_ivf_upsert): a new
+    batch is assigned from the PERSISTED codebook with no retrain."""
     cells_lit = F.array(
         *[
             F.struct(
                 F.lit(cid).cast("int").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in e]).alias("ce"),
+                F.array(
+                    *[
+                        # preserve NULL components (the zero-norm
+                        # nullif edge a PERSISTED codebook can carry)
+                        F.lit(None).cast("double")
+                        if x is None
+                        else F.lit(float(x))
+                        for x in e
+                    ]
+                ).alias("ce"),
             )
             for cid, e in codebook
         ]
@@ -182,7 +201,7 @@ def ivf_model(spark, sf_dir):
         )
         return F.round(d2 * 1e6).cast("bigint") * 10 + c["cid"].cast("bigint")
 
-    assigned = v.select(
+    return v.select(
         "vec_id",
         "label",
         "emb",
@@ -190,7 +209,6 @@ def ivf_model(spark, sf_dir):
         .cast("int")
         .alias("cell"),
     )
-    return raw, v, cents, assigned
 
 
 def ivf_candidates(spark, sf_dir):

@@ -175,6 +175,16 @@ def ivf_served_candidates(spark, sf_dir: str):
     in-engine TakeOrdered, collected to an nprobe-int IN-list) + a
     partition-pruned read of the materialized assignment. Contains
     zero training lineage — plan-gated in tests/test_plans.py."""
+    path, codebook = _ivf_index(spark, sf_dir)
+    return _serve_candidates(spark, sf_dir, path, codebook)
+
+
+def _serve_candidates(spark, sf_dir: str, path: str, codebook):
+    """The single-probe serving body shared by q_sim_ivf_served and
+    q_sim_ivf_upsert — parameterized only by the index path and its
+    persisted codebook (the two queries differ in how the index was
+    MAINTAINED, never in how it is read — the lsh_served._serve_probe
+    precedent)."""
     from datafusion_tpc_spark.functions.ivf import (
         IVF_NPROBE,
         QID,
@@ -182,8 +192,6 @@ def ivf_served_candidates(spark, sf_dir: str):
         _NORM_E,
     )
     from datafusion_tpc_spark.functions.digest import cosine
-
-    path, codebook = _ivf_index(spark, sf_dir)
     cents = values_df(spark, codebook, "cid int, e array<double>")
     qraw = (
         load_table(spark, sf_dir, "embeddings")
@@ -329,3 +337,131 @@ def q_sim_ivf_served_batch(spark, sf_dir):
         )
     )
     return ranked_topk_batch(cand)
+
+
+def _ingest_assignment(spark, sf_dir: str, codebook):
+    """The incremental maintenance WRITE's source: cell assignments
+    of the ingest batch only (vec_id < BATCH_N) — ONE pushed-down
+    read of the raw embeddings, ENCODED row-locally from the
+    PERSISTED codebook via functions/ivf.py::assign_cells (THE
+    assignment implementation — no retrain, no Lloyd lineage, zero
+    exchanges). Split out so tests/test_r14_ops.py can gate the
+    pushed filter and exchange-freedom on the write plan itself."""
+    from datafusion_tpc_spark.functions.ivf import BATCH_N, _NORM_E, assign_cells
+
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < BATCH_N)  # pushed-down batch read
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    v = raw.select("vec_id", "label", "emb", F.expr(_NORM_E).alias("e"))
+    return assign_cells(v, codebook)
+
+
+def _upserted_ivf_index(spark, sf_dir: str) -> tuple[str, list]:
+    """The INCREMENTALLY MAINTAINED assignment index: base table
+    written from the pre-existing corpus (vec_id >= BATCH_N) once,
+    then the ingest batch's assignments APPENDED — dynamic-partition
+    append writes per-cell files alongside the base generation and
+    PartitionFilters pruning spans both. The codebook comes from the
+    PERSISTED full-index metadata (_ivf_index — the trained-once
+    precondition: production retrains the coarse quantizer per epoch,
+    not per batch) and both generations encode through the identical
+    assign_cells projection, so the upserted table is row-identical
+    to the full rebuild. Same lock/fingerprint/atomic-rename story as
+    _ivf_index."""
+    from datafusion_tpc_spark.functions.ivf import BATCH_N
+
+    _, codebook = _ivf_index(spark, sf_dir)  # trained-once quantizer
+    tag = f"{_index_tag(sf_dir).split('-', 1)[0]}up-" + _index_tag(
+        sf_dir
+    ).split("-", 1)[1] + f"-b{BATCH_N}"
+    path = os.path.join(_CACHE_ROOT, tag)
+    meta = os.path.join(path, "_ivf_codebook.json")
+    with _IDX_LOCK:
+        if not os.path.exists(meta):
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
+            tmp = os.path.join(_CACHE_ROOT, f"tmp-{uuid.uuid4().hex}")
+            base = _ingest_base(spark, sf_dir, codebook)
+            (
+                base.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+            # the incremental ingest: |batch| assignment rows appended
+            # into the existing cell=<n> partition dirs — maintenance
+            # cost is the batch's own encode, independent of corpus
+            # size (the lsh_upsert precedent on the band index)
+            (
+                _ingest_assignment(spark, sf_dir, codebook)
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+            with open(os.path.join(tmp, "_ivf_codebook.json"), "w") as f:
+                json.dump(codebook, f)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+            prune_stale_cache_dirs(_CACHE_ROOT, tag)
+            _sweep_orphan_tmp_dirs()
+    return path, codebook
+
+
+def _ingest_base(spark, sf_dir: str, codebook):
+    """The 'corpus as of yesterday' base generation: every vector NOT
+    in the ingest batch, encoded through the same persisted-codebook
+    projection the batch uses."""
+    from datafusion_tpc_spark.functions.ivf import BATCH_N, _NORM_E, assign_cells
+
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= BATCH_N)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    v = raw.select("vec_id", "label", "emb", F.expr(_NORM_E).alias("e"))
+    return assign_cells(v, codebook)
+
+
+@query("q_sim_ivf_upsert", oracle=_served_oracle())
+def q_sim_ivf_upsert(spark, sf_dir):
+    """IVF ANN served from the INCREMENTALLY MAINTAINED assignment
+    index — the maintenance leg of the q_sim_ivf_served production
+    story (VERDICT r13 item 4, symmetrizing the serving trilogy): the
+    cell-partitioned index is built before the ingest batch exists
+    (vec_id >= BATCH_N), the batch is ENCODED from the PERSISTED
+    codebook (one pushed-down batch read -> |batch| assignment rows,
+    row-local assign_cells projection, no retrain — plan-gated in
+    tests/test_r14_ops.py) and APPENDED into the per-cell partition
+    dirs, and the probe (itself part of the batch, QID < BATCH_N) is
+    served from the upserted table with the same partition-pruned
+    plan as q_sim_ivf_served. Results must be IDENTICAL to serving
+    from the full-corpus encode (pinned) — incremental maintenance is
+    a physical change only, so the oracle is q_sim_ivf's unchanged.
+
+    At 100 TB this is the production vector-ingest loop: per-batch
+    index maintenance costs the batch's own encode plus a
+    dynamic-partition append (no retrain, no corpus re-encode), the
+    coarse quantizer retrains on epoch cadence via _ivf_index, and
+    PartitionFilters pruning spans all file generations."""
+    from datafusion_tpc_spark.functions.ivf import QID  # noqa: F401
+
+    path, codebook = _upserted_ivf_index(spark, sf_dir)
+    return (
+        _serve_candidates(spark, sf_dir, path, codebook)
+        .orderBy(
+            F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+        )
+        .limit(_K)
+    )

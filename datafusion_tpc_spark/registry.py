@@ -232,15 +232,18 @@ def load_all() -> None:
         multimodal,
         graph,
     )
-    # r11 birth (deadline r17): the IVF materialized-assignment
-    # serving twin (VERDICT r10 item 3):
+    # r11 birth (deadline r17) + r14 birth (deadline r20:
+    # q_sim_ivf_upsert, the persisted-codebook maintenance leg): the
+    # IVF materialized-assignment serving twin (VERDICT r10 item 3):
     from datafusion_tpc_spark.operators import ivf_served  # noqa: F401
 
     # r12 birth (deadline r18): the LSH band-index serving twin —
     # near-dup admission control from a bucketed materialized index:
     from datafusion_tpc_spark.operators import lsh_served  # noqa: F401
 
-    # r13 birth (deadline r19 under cap 6): the decontamination
+    # r13 birth (deadline r19 under cap 6) + r14 birth (deadline r20:
+    # q_dedup_decontam_upsert, the merge-on-ingest maintenance leg):
+    # the decontamination
     # serving twin — eval-integrity admission control from the
     # bucketed train-span-hash index, completing the serving trilogy
     # (ivf_served / lsh_served / decontam_served):

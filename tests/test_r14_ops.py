@@ -1,0 +1,292 @@
+"""Round-14 operator invariants: the maintenance leg symmetrized
+across the serving trilogy (VERDICT r13 item 4) — q_sim_ivf_upsert
+(partition-append of persisted-codebook assignments, no retrain) and
+q_dedup_decontam_upsert (bucketed merge-on-ingest of a train batch's
+span hashes, no corpus rescan)."""
+
+from __future__ import annotations
+
+import re
+
+from datafusion_tpc_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _final_plan(df):
+    return (
+        df._jdf.queryExecution().executedPlan().toString().split(
+            "Initial Plan"
+        )[0]
+    )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def test_ivf_upsert_matches_full_rebuild(spark):
+    """Incremental maintenance is a physical change only: the top-k
+    served from the upserted index is row-identical to
+    q_sim_ivf_served (the full-corpus encode), and the upserted
+    assignment TABLE itself carries exactly the full index's rows."""
+    from datafusion_tpc_spark.operators.ivf_served import (
+        _ivf_index,
+        _upserted_ivf_index,
+    )
+
+    up = registry.QUERIES["q_sim_ivf_upsert"](spark, SF_DIR).collect()
+    full = registry.QUERIES["q_sim_ivf_served"](spark, SF_DIR).collect()
+    assert up == full and len(up) > 0
+    fpath, _ = _ivf_index(spark, SF_DIR)
+    upath, _ = _upserted_ivf_index(spark, SF_DIR)
+    f = spark.read.parquet(fpath)
+    u = spark.read.parquet(upath)
+    assert u.exceptAll(f).count() == 0 and f.exceptAll(u).count() == 0
+
+
+def test_ivf_upsert_ingest_is_batch_only_encode(spark):
+    """The maintenance WRITE's source reads ONLY the ingest batch
+    (pushed-down vec_id < BATCH_N) and encodes it row-locally from
+    the persisted codebook — no retrain (no aggregate), no exchange,
+    one scan."""
+    from datafusion_tpc_spark.functions.ivf import BATCH_N
+    from datafusion_tpc_spark.operators.ivf_served import (
+        _ingest_assignment,
+        _ivf_index,
+    )
+
+    _, codebook = _ivf_index(spark, SF_DIR)
+    plan = (
+        _ingest_assignment(spark, SF_DIR, codebook)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(
+        rf"PushedFilters: \[.*LessThan\(vec_id,{BATCH_N}\)", plan
+    ), plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_ivf_upsert_serving_plan_pruned_and_training_free(spark):
+    """Serving from the maintained index keeps the q_sim_ivf_served
+    plan shape: PartitionFilters IN-list across BOTH file
+    generations, no training lineage, map-side top-k."""
+    df = registry.QUERIES["q_sim_ivf_upsert"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \([\d,]+\)\]", plan), plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_upsert_multi_generation(spark):
+    """The maintenance loop holds over SUCCESSIVE ingest batches: a
+    3-generation index (base, then two appended encode batches) still
+    serves rows identical to the full rebuild, with partition pruning
+    intact — the production loop is append-per-batch forever."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.functions.ivf import _NORM_E, assign_cells
+    from datafusion_tpc_spark.operators.ivf_served import (
+        _K,
+        _ivf_index,
+        _serve_candidates,
+    )
+
+    _, codebook = _ivf_index(spark, SF_DIR)
+    path = "/tmp/ivf_upsert_gen3_test"
+    shutil.rmtree(path, ignore_errors=True)
+    raw = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = raw.select("vec_id", "label", "emb", F.expr(_NORM_E).alias("e"))
+    slices = (
+        F.col("vec_id") >= 20,                                # base corpus
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20),     # ingest 1
+        F.col("vec_id") < 10,                                 # ingest 2
+    )
+    try:
+        for i, pred in enumerate(slices):
+            mode = "overwrite" if i == 0 else "append"
+            (
+                assign_cells(v.filter(pred), codebook)
+                .write.mode(mode)
+                .partitionBy("cell")
+                .parquet(path)
+            )
+        df = (
+            _serve_candidates(spark, SF_DIR, path, codebook)
+            .orderBy(
+                F.col("cos_sim").desc_nulls_last(),
+                F.col("vec_id").asc_nulls_last(),
+            )
+            .limit(_K)
+        )
+        rows = df.collect()
+        full = registry.QUERIES["q_sim_ivf_served"](spark, SF_DIR).collect()
+        assert rows == full
+        plan = _final_plan(df)
+        assert re.search(
+            r"PartitionFilters: \[cell#\d+ IN \([\d,]+\)\]", plan
+        ), plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ----------------------------------------------------------- decontam
+
+
+def test_decontam_upsert_matches_full_rebuild(spark):
+    """Served answer identical to q_dedup_decontam_served, and the
+    upserted index is set-equal to the full rebuild with NO duplicate
+    h — the dedupe-on-ingest anti-join is what keeps the serving
+    SUM-rollup from double-counting."""
+    from datafusion_tpc_spark.operators.decontam_served import (
+        _index_table_name,
+        _upserted_span_index,
+    )
+
+    up = registry.QUERIES["q_dedup_decontam_upsert"](spark, SF_DIR).collect()
+    full = registry.QUERIES["q_dedup_decontam_served"](spark, SF_DIR).collect()
+    assert up == full and len(up) == 1
+    u = spark.table(_upserted_span_index(spark, SF_DIR))
+    f = spark.table(_index_table_name(SF_DIR))
+    assert u.count() == u.distinct().count(), "duplicate h in upserted index"
+    assert u.exceptAll(f).count() == 0 and f.exceptAll(u).count() == 0
+
+
+def test_decontam_upsert_ingest_is_batch_only(spark):
+    """The merge's source reads ONLY the ingest batch (pushed-down
+    doc_id < DCS_INGEST_LT, one scan), and the dedupe-on-ingest read
+    of the existing index is bucket-pruned (SelectedBucketsCount) —
+    maintenance cost is independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.operators.decontam_served import (
+        _SRV_BUCKETS,
+        DCS_INGEST_LT,
+        _ingest_hashes,
+        _upserted_span_index,
+    )
+
+    ing = _ingest_hashes(spark, SF_DIR)
+    iplan = ing._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        rf"PushedFilters: \[.*LessThan\(doc_id,{DCS_INGEST_LT}\)", iplan
+    ), iplan
+    assert iplan.count("Scan parquet") == 1
+    # the merge-time existing-hash read: bucket-pruned point read of
+    # the index, same shape as the serving read
+    name = _upserted_span_index(spark, SF_DIR)
+    hs = sorted(int(r["h"]) for r in ing.collect())
+    probe = spark.table(name).filter(F.col("h").isin(hs))
+    probe.collect()
+    pplan = _final_plan(probe)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", pplan)
+    assert m and int(m.group(2)) == _SRV_BUCKETS, pplan
+
+
+def test_decontam_upsert_serving_plan_unchanged(spark):
+    """The upserted table serves through the exact q_dedup_decontam_
+    served plan: one index scan, zero corpus windowing lineage.
+    Pruning survival on a dirty probe is gated at sf0.001 (at sf0.01
+    the clean probe lets AQE elide the index read — itself correct,
+    the r13 clean-probe fast path)."""
+    sf = "/root/testdata/sf0.001"
+    df = registry.QUERIES["q_dedup_decontam_upsert"](spark, sf)
+    rows = df.collect()
+    assert rows[0]["n_contam"] > 0, "fixture drift: probe no longer dirty"
+    full = registry.QUERIES["q_dedup_decontam_served"](spark, sf).collect()
+    assert rows == full
+    final = _final_plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", final)
+    assert m, final
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final, "corpus windowing lineage in serving plan"
+
+
+def test_decontam_upsert_multi_generation(spark):
+    """Merge-per-batch forever: three successive train batches merged
+    into a base index must keep (a) the no-duplicate-h invariant, (b)
+    set-equality with the full rebuild, (c) served-row identity, and
+    (d) bucket pruning across all file generations."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.functions.digest import SPLIT_TRAIN_LT, h60, split_bucket
+    from datafusion_tpc_spark.functions.literals import values_df
+    from datafusion_tpc_spark.operators.decontam_served import (
+        _SRV_BUCKETS,
+        _WIN_EXPR,
+        PROBE_DOC,
+        _index_table_name,
+        _served,
+        _train_span_index,
+    )
+
+    name = "dcs_upsert_gen3_test"
+    path = "/tmp/dcs_upsert_gen3_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def batch_hashes(pred):
+        return (
+            docs.filter(pred)
+            .filter(split_bucket() < SPLIT_TRAIN_LT)
+            .select(F.explode(F.expr(_WIN_EXPR)).alias("s"))
+            .select(h60(F.col("s")).alias("h"))
+            .distinct()
+        )
+
+    slices = (
+        F.col("doc_id") >= 100,                                # base corpus
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 100),     # ingest 1
+        F.col("doc_id") < 50,                                  # ingest 2
+    )
+    try:
+        (
+            batch_hashes(slices[0])
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(_SRV_BUCKETS, "h")
+            .sortBy("h")
+            .saveAsTable(name)
+        )
+        for pred in slices[1:]:
+            hs = sorted(int(r["h"]) for r in batch_hashes(pred).collect())
+            batch_df = values_df(spark, [(h,) for h in hs], "h long")
+            existing = spark.table(name).filter(F.col("h").isin(hs))
+            (
+                batch_df.join(existing, "h", "left_anti")
+                .write.mode("append")
+                .option("path", path)
+                .bucketBy(_SRV_BUCKETS, "h")
+                .sortBy("h")
+                .saveAsTable(name)
+            )
+        u = spark.table(name)
+        assert u.count() == u.distinct().count(), "duplicate h"
+        f = spark.table(_train_span_index(spark, SF_DIR))
+        assert u.exceptAll(f).count() == 0 and f.exceptAll(u).count() == 0
+        df = _served(
+            spark, SF_DIR, F.col("doc_id") == PROBE_DOC, index_name=name
+        )
+        rows = df.collect()
+        full = registry.QUERIES["q_dedup_decontam_served"](
+            spark, SF_DIR
+        ).collect()
+        assert rows == full
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)

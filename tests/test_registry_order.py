@@ -303,6 +303,8 @@ _BIRTH_ROUND = {
     "q_dedup_decontam_served": 13,
     "q_dedup_decontam_served_batch": 13,
     "q_dedup_lsh_upsert": 13,
+    "q_sim_ivf_upsert": 14,
+    "q_dedup_decontam_upsert": 14,
 }
 
 

@@ -177,9 +177,6 @@ JUSTIFIED_MULTI = {
     "q_tpch_q15": _TPCH_SHAPE + " (revenue view: max + join)",
     "q_tpch_q17": _TPCH_SHAPE + " (avg-quantity-per-part subquery)",
     "q_tpch_q18": _TPCH_SHAPE + " (having-sum subquery)",
-    # misc declared shapes
-    "q_skyline": "dominance self-anti-join over the same slice is the "
-    "declared skyline algorithm",
 }
 
 
