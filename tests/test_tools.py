@@ -113,3 +113,46 @@ def test_prune_file_entries_and_extra(tmp_path):
         "orders-otherfp.parquet",
         "orders.parquet",
     ]
+
+
+def test_baseline_rows_skips_autogen_block(tmp_path):
+    """(r14) The consolidated numbers-of-record table is RENDERED
+    FROM baseline_rows (tools/gen_baseline_index.py) — the parser
+    must never read it back, or a stale copy would shadow newer
+    per-round rows appended after it."""
+    md = tmp_path / "B.md"
+    md.write_text(
+        "| q_live | 0.5000 | 2026-08-16 r14 (current) |\n"
+        "<!-- AUTOGEN:numbers-of-record begin (tools/gen_baseline_index.py) -->\n"
+        "| q_live | 0.1000 | stale consolidated copy |\n"
+        "| q_ghost | 9.9999 | only exists in the stale block |\n"
+        "<!-- AUTOGEN:numbers-of-record end -->\n"
+        "| q_live | 0.7000 | 2026-08-16 r14 (newer, appended after block) |\n"
+    )
+    rows = baseline_rows(str(md))
+    assert rows["q_live"] == 0.7
+    assert "q_ghost" not in rows
+
+
+def test_gen_baseline_index_idempotent_and_resolved():
+    """Re-rendering the real BASELINE.md block is a no-op, and the
+    block's rows equal the parser's resolved view (query ids only)."""
+    import re
+
+    from gen_baseline_index import BEGIN, END, render
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    src = open(os.path.join(repo, "BASELINE.md")).read()
+    assert BEGIN in src and END in src, "run tools/gen_baseline_index.py"
+    current = src[src.index(BEGIN) : src.index(END) + len(END)]
+    assert current == render()
+    parsed = {
+        q: v
+        for q, v in baseline_rows(os.path.join(repo, "BASELINE.md")).items()
+        if re.match(r"^q_[a-z0-9_]+$", q)
+    }
+    in_block = dict(
+        re.findall(r"\| (q_[a-z0-9_]+) \| (\d+\.\d{4}) \|", current)
+    )
+    assert set(in_block) == set(parsed)
+    assert all(float(in_block[q]) == round(parsed[q], 4) for q in parsed)

@@ -26,7 +26,19 @@ def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
     (seconds in cell 2). Newest rows are appended last — last one
     wins."""
     rows: dict[str, float] = {}
+    in_autogen = False
     for line in open(path):
+        # the consolidated numbers-of-record table is RENDERED FROM
+        # this parse (tools/gen_baseline_index.py) — it must never
+        # feed back into it, or a stale copy would shadow newer
+        # per-round rows appended after it
+        if "AUTOGEN:numbers-of-record begin" in line:
+            in_autogen = True
+        if "AUTOGEN:numbers-of-record end" in line:
+            in_autogen = False
+            continue
+        if in_autogen:
+            continue
         cells = [c.strip() for c in line.split("|")]
         if len(cells) < 4 or not cells[1].startswith("q_"):
             continue
