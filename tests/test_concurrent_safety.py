@@ -195,3 +195,47 @@ def test_decontam_index_concurrent_cold(spark):
         a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
     assert a == b and len(a) == 1
     assert spark.catalog.tableExists(name)
+
+
+def test_ivf_upsert_concurrent_cold(spark):
+    """(r14) Two threads racing the UPSERTED IVF index build from a
+    cold cache: _upserted_ivf_index takes _IDX_LOCK only AFTER
+    _ivf_index released it (threading.Lock is non-reentrant — nesting
+    would deadlock), so the race must publish exactly two entries
+    (full + upserted), identical served results, no tmp leak."""
+    from datafusion_tpc_spark.operators import ivf_served
+
+    shutil.rmtree(ivf_served._CACHE_ROOT, ignore_errors=True)
+    fn = registry.QUERIES["q_sim_ivf_upsert"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+    assert a == b and len(a) == 20
+    entries = os.listdir(ivf_served._CACHE_ROOT)
+    assert len([e for e in entries if not e.endswith(".superseded")]) == 2
+    assert not [e for e in entries if e.startswith("tmp-")]
+
+
+def test_decontam_upsert_concurrent_cold(spark):
+    """(r14) Two threads racing the MERGED span-index build from a
+    cold cache: _DCS_LOCK serializes base-build + merge-append (a
+    concurrent interleave could append the batch twice and break the
+    DISTINCT-h invariant), both served results identical, no
+    duplicate h, catalog entry survives."""
+    from datafusion_tpc_spark.operators import decontam_served
+
+    fn = registry.QUERIES["q_dedup_decontam_upsert"]
+    # cold: drop EVERY train_spans* catalog entry (base family too —
+    # rmtree'ing the cache root under a still-registered base table
+    # would leave a catalog entry pointing at deleted files and break
+    # later q_dedup_decontam_served calls in this session)
+    for r in spark.sql("SHOW TABLES").collect():
+        if r["tableName"].startswith("train_spans"):
+            spark.sql(f"DROP TABLE IF EXISTS {r['tableName']}")
+    shutil.rmtree(decontam_served._CACHE_ROOT, ignore_errors=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = list(pool.map(lambda _: _rows(fn(spark, SF_DIR)), range(2)))
+    assert a == b and len(a) == 1
+    up_name = decontam_served._upserted_span_index(spark, SF_DIR)
+    u = spark.table(up_name)
+    assert u.count() == u.distinct().count(), "duplicate h after race"
+    assert spark.catalog.tableExists(up_name)
