@@ -248,6 +248,10 @@ def load_all() -> None:
     # bucketed train-span-hash index, completing the serving trilogy
     # (ivf_served / lsh_served / decontam_served):
     from datafusion_tpc_spark.operators import decontam_served  # noqa: F401
+    # r14 birth (deadline r20): the streaming admission-gate capstone
+    # composing all three serving indexes per micro-batch (exact /
+    # near-dup / contamination tiers, EXACT-oracled):
+    from datafusion_tpc_spark.streaming import admission  # noqa: F401
     # r11 birth (deadline r17): PSI distribution-drift audit (lives
     # outside queries/diagnostics.py because that module is in the
     # r11 window and window modules must not grow mid-round):

@@ -305,6 +305,7 @@ _BIRTH_ROUND = {
     "q_dedup_lsh_upsert": 13,
     "q_sim_ivf_upsert": 14,
     "q_dedup_decontam_upsert": 14,
+    "q_stream_admission": 14,
 }
 
 

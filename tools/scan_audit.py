@@ -177,6 +177,12 @@ JUSTIFIED_MULTI = {
     "q_tpch_q15": _TPCH_SHAPE + " (revenue view: max + join)",
     "q_tpch_q17": _TPCH_SHAPE + " (avg-quantity-per-part subquery)",
     "q_tpch_q18": _TPCH_SHAPE + " (having-sum subquery)",
+    # misc declared shapes
+    "q_skyline": "dominance self-anti-join over the same slice is the "
+    "declared skyline algorithm (NOTE: the flag comes and goes with "
+    "AQE's runtime reuse decisions — r14 re-observed it after an r13 "
+    "sweep without it; keep the justification, the algorithm is the "
+    "two-sided self-join by construction)",
 }
 
 
