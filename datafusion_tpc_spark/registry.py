@@ -112,15 +112,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # PRE-STAGED R15 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r14 window verifies green): the 49 anchor-r9 greens are
-# ALL FORCED at r15 (cap 6: anchor <= 15-7 = r8 after this round's
-# CORRECTNESS lands; the anchor-r9 block of 50 minus q_dedup_eval
-# which rotated here at anchor r8... recompute, do not trust this
-# prose). Spend the free slot(s) on the never-verified backlog in
-# this order: q_agg_winsorize_td (r12, rows-only — weakest evidence
-# claim), then the r13/r14 births (q_dedup_decontam_served(+_batch),
-# q_dedup_lsh_upsert, and any r14 births — deadline r19/r20). Give
-# any NEW r15 query a _BIRTH_ROUND pin.
+# assumes the r14 window verifies green; computed at r14 close with
+# the r14 window simulated as verified, post-r14 anchors
+# 9:50 10:49 11:50 12:51 13:53 14:53): r15 window = the 50 anchor-r9
+# greens EXACTLY (deadline r16 — EDF schedules the oldest block
+# proactively; ZERO free slots): q_agg_avg q_evt_hop q_evt_session
+# q_evt_tumble q_explode q_fn_blake q_fn_blake3 q_fn_date
+# q_fn_datebin q_fn_hash q_fn_json q_fn_math q_fn_nondet q_fn_regex
+# q_fn_string q_fn_struct q_join_anti q_join_broadcast q_join_cross
+# q_join_full q_join_inner q_join_left q_join_residual q_join_right
+# q_join_salted q_join_semi q_join_theta q_stream_dedup q_stream_hop
+# q_stream_join q_stream_late q_stream_session q_stream_stateful
+# q_stream_tumble q_tpch_q1 q_tpch_q10 q_tpch_q18 q_tpch_q3
+# q_tpch_q4 q_tpch_q5 q_tpch_q6 q_udf q_udf_grouped_map q_udf_iter
+# q_udtf q_win_dist q_win_lag q_win_movavg q_win_range q_win_rank.
+# SCHEDULE IS TIGHT THROUGH r20: the remaining blocks are
+# r10:49 r11:50 r12:51 r13:53 r14:53 against 50-slot windows — keep
+# r15-r17 births at ZERO (inventory 306 = 6 ids already spill past
+# r20's last window; every birth adds one more never-verified id at
+# end of build). The 7 never-verified ids after r14
+# (q_agg_winsorize_td r12; q_dedup_decontam_served(+_batch),
+# q_dedup_lsh_upsert r13; q_sim_ivf_upsert, q_dedup_decontam_upsert,
+# q_stream_admission r14) ride their anchor blocks: winsorize_td in
+# the r18 window (anchor-12 block), the r13 births in r19, the r14
+# births in r20. Give any NEW query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:
