@@ -353,16 +353,19 @@ def _upserted_span_index(spark, sf_dir: str) -> str:
             # existing-hash read, LEFT ANTI, bucketed append
             batch_rows = _ingest_hashes(spark, sf_dir).collect()
             hs = sorted(int(r["h"]) for r in batch_rows)
-            batch_df = values_df(spark, [(h,) for h in hs], "h long")
-            existing = spark.table(name).filter(F.col("h").isin(hs))
-            (
-                batch_df.join(existing, "h", "left_anti")
-                .write.mode("append")
-                .option("path", path)
-                .bucketBy(_SRV_BUCKETS, "h")
-                .sortBy("h")
-                .saveAsTable(name)
-            )
+            if hs:  # an empty ingest batch (degenerate corpus with no
+                # low-id train docs) has nothing to merge — and
+                # values_df has no empty form
+                batch_df = values_df(spark, [(h,) for h in hs], "h long")
+                existing = spark.table(name).filter(F.col("h").isin(hs))
+                (
+                    batch_df.join(existing, "h", "left_anti")
+                    .write.mode("append")
+                    .option("path", path)
+                    .bucketBy(_SRV_BUCKETS, "h")
+                    .sortBy("h")
+                    .saveAsTable(name)
+                )
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name
 

@@ -140,6 +140,11 @@ def admission_gate(spark, sf_dir: str, batch_df):
     dig_rows = batch_df.select(
         "doc_id", F.md5("text").alias("h")
     ).collect()  # |batch| rows
+    if not dig_rows:
+        # empty batch (degenerate corpus with no probe-range docs):
+        # empty verdict frame with the full schema — values_df has no
+        # empty form, so filter a sentinel row away
+        return _empty_verdicts(spark)
     band_rows = _band_projection(
         batch_df.select("doc_id", "text")
     ).collect()  # ≤ |batch|·4 rows
@@ -265,6 +270,15 @@ def admission_gate(spark, sf_dir: str, batch_df):
     )
 
 
+def _empty_verdicts(spark):
+    return values_df(
+        spark,
+        [(-1, 0, 0, 0, 0, 0)],
+        "doc_id long, exact_dup long, n_near_cand long,"
+        " n_windows long, n_contam long, admitted long",
+    ).filter(F.col("doc_id") >= 0)
+
+
 def _fixture_dir(spark, sf_dir: str) -> str:
     """3-slice replay fixture of the probe docs (doc_id < BATCH_N),
     one parquet file per micro-batch — the late_data.py pattern
@@ -347,6 +361,10 @@ def run_admission_stream(spark, sf_dir: str):
         q.processAllAvailable()
     finally:
         q.stop()
+    if not os.path.isdir(out):
+        # every micro-batch was empty (degenerate corpus with no
+        # probe-range docs): no verdict file was ever appended
+        return _empty_verdicts(spark)
     return spark.read.parquet(out).orderBy(F.col("doc_id").asc_nulls_last())
 
 

@@ -400,3 +400,30 @@ def test_admission_verdict_semantics_dirty_probe(spark):
                 and r["n_near_cand"] == 0
                 and r["n_contam"] == 0
             )
+
+
+def test_admission_gate_empty_batch(spark):
+    """An empty incoming batch (degenerate corpus with no probe-range
+    docs) must yield an empty verdict frame with the full schema —
+    values_df has no empty form, so the gate needs an explicit
+    guard."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.streaming.admission import admission_gate
+
+    probes = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 0)
+        .select("doc_id", "text")
+    )
+    df = admission_gate(spark, SF_DIR, probes)
+    assert df.collect() == []
+    assert df.columns == [
+        "doc_id",
+        "exact_dup",
+        "n_near_cand",
+        "n_windows",
+        "n_contam",
+        "admitted",
+    ]
