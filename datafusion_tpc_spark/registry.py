@@ -48,94 +48,85 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The round-14 driver window: the driver verifies exactly these 50
+# The round-15 driver window: the driver verifies exactly these 50
 # query ids, in this order (forcing computation via tools/edf_check.py;
 # contents pinned by tests/test_registry_order.py, staleness audited
 # by test_window_staleness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # 49 anchor-r8 greens (edf_check at rotation: forced-into-r14 = 0
-    # under cap 6, but these 49 become FORCED at r15 — rotating them
-    # now keeps every forward deadline meetable; verified this
-    # rotation commit: staged set == anchor-r8 set exactly):
-    "q_agg_approxd",
-    "q_agg_arrayagg",
-    "q_agg_basic",
-    "q_agg_bootstrap",
-    "q_agg_corrmat",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_entropy",
-    "q_agg_having",
-    "q_agg_median",
-    "q_agg_pctl",
-    "q_agg_pctl_w",
-    "q_agg_rollup",
-    "q_agg_salted",
-    "q_agg_stats",
-    "q_agg_tdigest",
-    "q_agg_theta",
-    "q_agg_winsorize",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_dedup_embed_lsh",
-    "q_dedup_eval",
-    "q_dedup_exact",
-    "q_dedup_incr",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dq_reconcile",
-    "q_logs_agg",
-    "q_logs_filter",
-    "q_logs_scan",
-    "q_pipe_bm25",
-    "q_pipe_bpe_train",
-    "q_pipe_canonical",
-    "q_pipe_contamination",
-    "q_pipe_curriculum",
-    "q_pipe_forget",
-    "q_pipe_kept",
-    "q_pipe_near_split",
-    "q_pipe_pii_redact",
-    "q_pipe_quality_filter",
-    "q_pipe_sample",
-    "q_pipe_sample_stratified",
-    "q_pipe_shard",
-    "q_pipe_split",
-    "q_pipe_tfidf",
-    "q_pivot",
-    "q_sink_dpo",
-    "q_udaf",
-    # 1 free slot — the oldest never-driver-verified birth (r12,
-    # deadline r18): first driver row for the LSH-served batch leg:
-    "q_dedup_lsh_served_batch",
+    # The 50 anchor-r9 greens EXACTLY, per the r14 pre-stage block
+    # (verified at rotation: staged set == anchor-r9 set, edf_check
+    # forced-into-r15 = 0 but all 50 become FORCED at r16 — ZERO free
+    # slots, ZERO births this round):
+    "q_agg_avg",
+    "q_evt_hop",
+    "q_evt_session",
+    "q_evt_tumble",
+    "q_explode",
+    "q_fn_blake",
+    "q_fn_blake3",
+    "q_fn_date",
+    "q_fn_datebin",
+    "q_fn_hash",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_nondet",
+    "q_fn_regex",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_residual",
+    "q_join_right",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_stream_dedup",
+    "q_stream_hop",
+    "q_stream_join",
+    "q_stream_late",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_stream_tumble",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_udf",
+    "q_udf_grouped_map",
+    "q_udf_iter",
+    "q_udtf",
+    "q_win_dist",
+    "q_win_lag",
+    "q_win_movavg",
+    "q_win_range",
+    "q_win_rank",
 )
 
-# PRE-STAGED R15 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r14 window verifies green; computed at r14 close with
-# the r14 window simulated as verified, post-r14 anchors
-# 9:50 10:49 11:50 12:51 13:53 14:53): r15 window = the 50 anchor-r9
-# greens EXACTLY (deadline r16 — EDF schedules the oldest block
-# proactively; ZERO free slots): q_agg_avg q_evt_hop q_evt_session
-# q_evt_tumble q_explode q_fn_blake q_fn_blake3 q_fn_date
-# q_fn_datebin q_fn_hash q_fn_json q_fn_math q_fn_nondet q_fn_regex
-# q_fn_string q_fn_struct q_join_anti q_join_broadcast q_join_cross
-# q_join_full q_join_inner q_join_left q_join_residual q_join_right
-# q_join_salted q_join_semi q_join_theta q_stream_dedup q_stream_hop
-# q_stream_join q_stream_late q_stream_session q_stream_stateful
-# q_stream_tumble q_tpch_q1 q_tpch_q10 q_tpch_q18 q_tpch_q3
-# q_tpch_q4 q_tpch_q5 q_tpch_q6 q_udf q_udf_grouped_map q_udf_iter
-# q_udtf q_win_dist q_win_lag q_win_movavg q_win_range q_win_rank.
-# SCHEDULE IS TIGHT THROUGH r20: the remaining blocks are
-# r10:49 r11:50 r12:51 r13:53 r14:53 against 50-slot windows — keep
-# r15-r17 births at ZERO (inventory 306 = 6 ids already spill past
-# r20's last window; every birth adds one more never-verified id at
-# end of build). The 7 never-verified ids after r14
-# (q_agg_winsorize_td r12; q_dedup_decontam_served(+_batch),
-# q_dedup_lsh_upsert r13; q_sim_ivf_upsert, q_dedup_decontam_upsert,
-# q_stream_admission r14) ride their anchor blocks: winsorize_td in
-# the r18 window (anchor-12 block), the r13 births in r19, the r14
-# births in r20. Give any NEW query a _BIRTH_ROUND pin.
+# PRE-STAGED R16 PLAN (recompute with tools/edf_check.py at rotation —
+# assumes the r15 window verifies green; computed at r15 rotation with
+# the r15 window simulated as verified, post-r15 anchors
+# 10:49 11:50 12:51 13:53 14:53 15:50): r16 window = the 49 anchor-r10
+# ids (deadline r17 — EDF schedules the oldest block proactively) plus
+# ONE free slot. Spend the free slot on q_agg_winsorize_td (r12 birth,
+# the oldest never-driver-verified id — pulling it forward to r16
+# shrinks the anchor-12 block to 50 = exactly r18's window). The
+# anchor-r10 49: q_dedup_substr_norm q_fn_bitmap q_fn_conv q_fn_lambda
+# ... (recompute the exact list from CORRECTNESS_r10 at rotation; the
+# authoritative command is tools/edf_check.py run AFTER updating
+# DRIVER_WINDOW). SCHEDULE THROUGH r20: remaining blocks
+# r11:50 r12:51(→50 if winsorize_td pulled) r13:53 r14:53 against
+# 50-slot windows — keep r16-r17 births at ZERO. Never-verified after
+# r15: q_agg_winsorize_td (r12 → r16 free slot),
+# q_dedup_decontam_served(+_batch) + q_dedup_lsh_upsert (r13 → r19),
+# q_sim_ivf_upsert + q_dedup_decontam_upsert + q_stream_admission
+# (r14 → r20). Give any NEW query a _BIRTH_ROUND pin.
 
 
 def _promote_window(window: tuple[str, ...]) -> None:

@@ -28,66 +28,66 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-14 driver window (VERDICT r13 item 1): the 49 anchor-r8
-# greens (post-r13 anchor distribution r8:49 r9:50 r10:49 r11:50
-# r12:52 r13:53; cap 6 at inventory 303 forces nothing into r14, but
-# the whole anchor-r8 block becomes FORCED at r15 — rotating it now
-# keeps every forward deadline meetable, edf_check OK) plus 1 free
-# slot spent on the oldest never-driver-verified birth
-# (q_dedup_lsh_served_batch, r12, deadline r18). Pinned INDEPENDENTLY
-# of registry.DRIVER_WINDOW on purpose: a silent edit there must fail
+# The round-15 driver window (VERDICT r14 item 1): the 50 anchor-r9
+# greens EXACTLY, per the r14 pre-stage block (post-r14 anchor
+# distribution r9:50 r10:49 r11:50 r12:51 r13:53 r14:53; cap 6 at
+# inventory 306 forces nothing into r15, but the whole anchor-r9
+# block becomes FORCED at r16 — rotating it now keeps every forward
+# deadline meetable, edf_check OK post-rotation). ZERO free slots,
+# ZERO births this round. Pinned INDEPENDENTLY of
+# registry.DRIVER_WINDOW on purpose: a silent edit there must fail
 # here, prompting a deliberate re-point.
 EXPECTED_WINDOW_50 = [
-    "q_agg_approxd",
-    "q_agg_arrayagg",
-    "q_agg_basic",
-    "q_agg_bootstrap",
-    "q_agg_corrmat",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_entropy",
-    "q_agg_having",
-    "q_agg_median",
-    "q_agg_pctl",
-    "q_agg_pctl_w",
-    "q_agg_rollup",
-    "q_agg_salted",
-    "q_agg_stats",
-    "q_agg_tdigest",
-    "q_agg_theta",
-    "q_agg_winsorize",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_dedup_embed_lsh",
-    "q_dedup_eval",
-    "q_dedup_exact",
-    "q_dedup_incr",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dq_reconcile",
-    "q_logs_agg",
-    "q_logs_filter",
-    "q_logs_scan",
-    "q_pipe_bm25",
-    "q_pipe_bpe_train",
-    "q_pipe_canonical",
-    "q_pipe_contamination",
-    "q_pipe_curriculum",
-    "q_pipe_forget",
-    "q_pipe_kept",
-    "q_pipe_near_split",
-    "q_pipe_pii_redact",
-    "q_pipe_quality_filter",
-    "q_pipe_sample",
-    "q_pipe_sample_stratified",
-    "q_pipe_shard",
-    "q_pipe_split",
-    "q_pipe_tfidf",
-    "q_pivot",
-    "q_sink_dpo",
-    "q_udaf",
-    "q_dedup_lsh_served_batch",
+    "q_agg_avg",
+    "q_evt_hop",
+    "q_evt_session",
+    "q_evt_tumble",
+    "q_explode",
+    "q_fn_blake",
+    "q_fn_blake3",
+    "q_fn_date",
+    "q_fn_datebin",
+    "q_fn_hash",
+    "q_fn_json",
+    "q_fn_math",
+    "q_fn_nondet",
+    "q_fn_regex",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_residual",
+    "q_join_right",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_stream_dedup",
+    "q_stream_hop",
+    "q_stream_join",
+    "q_stream_late",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_stream_tumble",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_udf",
+    "q_udf_grouped_map",
+    "q_udf_iter",
+    "q_udtf",
+    "q_win_dist",
+    "q_win_lag",
+    "q_win_movavg",
+    "q_win_range",
+    "q_win_rank",
 ]
 
 
