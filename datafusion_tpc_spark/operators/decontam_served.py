@@ -300,6 +300,58 @@ def _ingest_hashes(spark, sf_dir):
     )
 
 
+# Beyond this many batch hashes the IN-list literal plan stops paying
+# (planner cost of a 10⁴-literal isin + the driver round-trip) and the
+# merge switches to the distributed SortMergeJoin form below.
+_DCS_INLIST_MAX = 10_000
+
+
+def _merge_ingest_batch(
+    spark, name: str, path: str, batch, inlist_max: int = _DCS_INLIST_MAX
+) -> None:
+    """Dedupe-on-ingest merge of a distinct-hash ingest batch into the
+    bucketed span index ``name`` — two physical forms, one result:
+
+    - ≤ ``inlist_max`` hashes: bounded collect (|batch chars|/S, same
+      bound as the serving probe collect), bucket-pruned existing-hash
+      point read (SelectedBucketsCount-gated like the serving plan),
+      LEFT ANTI against the literals, bucketed append.
+    - > ``inlist_max``: the at-scale form (VERDICT r14 item 5, was
+      prose-only) — the batch never touches the driver; LEFT ANTI as
+      a SortMergeJoin against the index, whose bucketBy/sortBy('h')
+      layout makes its side of the join shuffle-AND-sort-free (one
+      index scan per batch, only the batch side shuffles).
+
+    Both append only hashes absent from the index, preserving the
+    DISTINCT-h invariant the serving rollup's SUM depends on. The
+    branch probe is a single limit(inlist_max+1) collect — bounded by
+    construction, and its rows are reused as the IN-list so the small
+    path still runs exactly one batch action."""
+    probe_rows = batch.limit(inlist_max + 1).collect()
+    if len(probe_rows) <= inlist_max:
+        hs = sorted(int(r["h"]) for r in probe_rows)
+        if not hs:  # an empty ingest batch (degenerate corpus with no
+            # low-id train docs) has nothing to merge — and
+            # values_df has no empty form
+            return
+        batch_df = values_df(spark, [(h,) for h in hs], "h long")
+        existing = spark.table(name).filter(F.col("h").isin(hs))
+        new_rows = batch_df.join(existing, "h", "left_anti")
+    else:
+        # hint('merge') pins the SMJ so the planner cannot broadcast
+        # the (by-definition large here) batch side
+        new_rows = batch.hint("merge").join(
+            spark.table(name).select("h"), "h", "left_anti"
+        )
+    (
+        new_rows.write.mode("append")
+        .option("path", path)
+        .bucketBy(_SRV_BUCKETS, "h")
+        .sortBy("h")
+        .saveAsTable(name)
+    )
+
+
 def _upserted_span_index(spark, sf_dir: str) -> str:
     """The INCREMENTALLY MAINTAINED train-span index: base table
     built from the pre-existing train corpus (doc_id >=
@@ -311,17 +363,11 @@ def _upserted_span_index(spark, sf_dir: str) -> str:
     The index's semantics are DISTINCT h, so a blind append would
     double-count any batch hash already present (the serving rollup
     SUMs matched probe counts). The merge is therefore
-    dedupe-on-ingest: collect the batch's distinct hashes (bounded at
-    |batch chars|/S — the same bound as the serving probe collect),
-    read the base index pruned to exactly those hashes (bucket-pruned
-    point read, SelectedBucketsCount-gated like the serving plan),
-    and append only the anti-joined remainder. Maintenance cost is
-    the batch's own windowing + one pruned point read + a
-    |new hashes|-row append — independent of corpus size. Beyond
-    ~10⁴ batch hashes the IN-list literal form stops paying; the
-    at-scale fallback is the same anti-join as a bucketed
-    SortMergeJoin (index side shuffle-free, one index scan per
-    batch), which stays correct without the literals."""
+    dedupe-on-ingest — see _merge_ingest_batch for the two physical
+    forms (IN-list point read vs at-scale SortMergeJoin) and the
+    bound on each. Maintenance cost is the batch's own windowing +
+    one pruned point read + a |new hashes|-row append — independent
+    of corpus size."""
     fp = hashlib.md5(
         f"up:{_index_fingerprint(sf_dir)}:{DCS_INGEST_LT}".encode()
     ).hexdigest()[:12]
@@ -348,24 +394,18 @@ def _upserted_span_index(spark, sf_dir: str) -> str:
                 .sortBy("h")
                 .saveAsTable(name)
             )
-            # dedupe-on-ingest: batch hashes not already indexed —
-            # bounded collect (|batch chars|/S), bucket-pruned
-            # existing-hash read, LEFT ANTI, bucketed append
-            batch_rows = _ingest_hashes(spark, sf_dir).collect()
-            hs = sorted(int(r["h"]) for r in batch_rows)
-            if hs:  # an empty ingest batch (degenerate corpus with no
-                # low-id train docs) has nothing to merge — and
-                # values_df has no empty form
-                batch_df = values_df(spark, [(h,) for h in hs], "h long")
-                existing = spark.table(name).filter(F.col("h").isin(hs))
-                (
-                    batch_df.join(existing, "h", "left_anti")
-                    .write.mode("append")
-                    .option("path", path)
-                    .bucketBy(_SRV_BUCKETS, "h")
-                    .sortBy("h")
-                    .saveAsTable(name)
+            try:
+                _merge_ingest_batch(
+                    spark, name, path, _ingest_hashes(spark, sf_dir)
                 )
+            except BaseException:
+                # Two-step publish guard (ADVICE r14): the base
+                # saveAsTable above has already registered the table,
+                # so a failed merge must not leave the UNMERGED index
+                # servable — every later tableExists() call in the
+                # session would silently undercount contamination.
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                raise
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name
 
