@@ -91,6 +91,22 @@ _PARTSUPP_CACHE = os.path.join(
 _PARTSUPP_LOCK = threading.Lock()
 
 
+def pid_alive(pid: int) -> bool:
+    """Is a cache/run dir's owning process still running? Used by the
+    streaming run-dir pruners (ADVICE r14): a dir name embeds its
+    creator's PID so a concurrent process (driver rehearsal alongside
+    bench) never rmtree's another's in-flight checkpoint mid-stream.
+    kill(pid, 0) probes without signaling; EPERM means
+    alive-but-other-user."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def prune_stale_cache_dirs(
     root: str,
     live_key: str,

@@ -45,14 +45,17 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import threading
+import time
 import uuid
 
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import (
     load_table,
+    pid_alive,
     prune_stale_cache_dirs,
     sanitized_sf_tag,
 )
@@ -121,7 +124,7 @@ def _digest_index(spark, sf_dir: str) -> str:
     return name
 
 
-def admission_gate(spark, sf_dir: str, batch_df):
+def admission_gate(spark, sf_dir: str, batch_df, timings: dict | None = None):
     """The per-batch gate body shared by the streaming foreachBatch
     and the one-shot batch form: screen ``batch_df`` (doc_id, text)
     through the three indexes; return one verdict row per input doc.
@@ -131,12 +134,18 @@ def admission_gate(spark, sf_dir: str, batch_df):
     chars|/16 window hashes), re-enter each as a VALUES literal, and
     read each index pruned to the batch's own keys (bucket-pruned
     point reads — plan-gated in tests/test_r14_ops.py). Zero corpus
-    lineage anywhere."""
+    lineage anywhere.
+
+    ``timings``, when given, accumulates the gate's driver-side cost
+    split (tools/bench_admission_budget.py): 'fingerprint_collect_s'
+    covers the three bounded collects; the returned frame is lazy, so
+    its index reads/joins execute at the caller's action."""
     dig_name = _digest_index(spark, sf_dir)
     lsh_name = _lsh_index(spark, sf_dir)
     span_name = _train_span_index(spark, sf_dir)
 
     # --- batch fingerprints (bounded collects, in-engine exprs) ---
+    t0 = time.perf_counter()
     dig_rows = batch_df.select(
         "doc_id", F.md5("text").alias("h")
     ).collect()  # |batch| rows
@@ -144,6 +153,12 @@ def admission_gate(spark, sf_dir: str, batch_df):
         # empty batch (degenerate corpus with no probe-range docs):
         # empty verdict frame with the full schema — values_df has no
         # empty form, so filter a sentinel row away
+        if timings is not None:
+            timings["fingerprint_collect_s"] = (
+                timings.get("fingerprint_collect_s", 0.0)
+                + time.perf_counter()
+                - t0
+            )
         return _empty_verdicts(spark)
     band_rows = _band_projection(
         batch_df.select("doc_id", "text")
@@ -156,6 +171,12 @@ def admission_gate(spark, sf_dir: str, batch_df):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )  # ≤ |batch chars|/16 rows
+    if timings is not None:
+        timings["fingerprint_collect_s"] = (
+            timings.get("fingerprint_collect_s", 0.0)
+            + time.perf_counter()
+            - t0
+        )
 
     base = values_df(
         spark, [(r["doc_id"],) for r in dig_rows], "doc_id long"
@@ -319,9 +340,16 @@ def _fixture_dir(spark, sf_dir: str) -> str:
     return path
 
 
-def run_admission_stream(spark, sf_dir: str):
+def run_admission_stream(spark, sf_dir: str, timings: dict | None = None):
     """Drain the 3-slice probe replay through the foreachBatch gate;
-    returns the final verdict DataFrame (one row per probe doc)."""
+    returns the final verdict DataFrame (one row per probe doc).
+
+    ``timings`` (tools/bench_admission_budget.py) accumulates the
+    drain's cost split: 'fingerprint_collect_s' (gate driver collects),
+    'verdict_exec_s' (index reads + joins + parquet append, executed
+    at the per-batch write), 'n_batches'. Total drain wall minus those
+    is the streaming machinery itself (trigger scheduling + checkpoint
+    commits)."""
     fixture = _fixture_dir(spark, sf_dir)
     # build the indexes BEFORE the stream starts — arrivals race the
     # gate, not the index builds (production: indexes precede intake)
@@ -330,11 +358,22 @@ def run_admission_stream(spark, sf_dir: str):
     _train_span_index(spark, sf_dir)
     if os.path.isdir(_CACHE_ROOT):
         for stale in os.listdir(_CACHE_ROOT):
-            if stale.startswith("run_") and stale not in _LIVE_RUNS:
-                shutil.rmtree(
-                    os.path.join(_CACHE_ROOT, stale), ignore_errors=True
-                )
-    run_name = f"run_{uuid.uuid4().hex[:8]}"
+            if not stale.startswith("run_") or stale in _LIVE_RUNS:
+                continue
+            # The run dir embeds its owning PID (ADVICE r14): a
+            # concurrent process (driver rehearsal alongside bench)
+            # must not have its in-flight checkpoint/verdict dir
+            # rmtree'd mid-stream. Prune only dirs whose owner is
+            # this process (stale from an earlier call here) or dead.
+            m = re.match(r"run_(\d+)_", stale)
+            if m:
+                pid = int(m.group(1))
+                if pid != os.getpid() and pid_alive(pid):
+                    continue
+            shutil.rmtree(
+                os.path.join(_CACHE_ROOT, stale), ignore_errors=True
+            )
+    run_name = f"run_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     _LIVE_RUNS.add(run_name)
     root = os.path.join(_CACHE_ROOT, run_name)
     out = os.path.join(root, "verdicts")
@@ -342,9 +381,14 @@ def run_admission_stream(spark, sf_dir: str):
     def gate_batch(bdf, batch_id: int):
         if bdf.isEmpty():
             return
-        admission_gate(bdf.sparkSession, sf_dir, bdf).write.mode(
-            "append"
-        ).parquet(out)
+        verdicts = admission_gate(bdf.sparkSession, sf_dir, bdf, timings)
+        t0 = time.perf_counter()
+        verdicts.write.mode("append").parquet(out)
+        if timings is not None:
+            timings["verdict_exec_s"] = (
+                timings.get("verdict_exec_s", 0.0) + time.perf_counter() - t0
+            )
+            timings["n_batches"] = timings.get("n_batches", 0) + 1
 
     src = (
         spark.readStream.schema("doc_id long, text string")

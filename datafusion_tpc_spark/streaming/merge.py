@@ -36,11 +36,13 @@ the current-version pointer.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import functions as F
 
+from datafusion_tpc_spark.catalog import pid_alive
 from datafusion_tpc_spark.registry import query
 from datafusion_tpc_spark.streaming.events_source import _events_streaming
 
@@ -90,14 +92,22 @@ def run_merge_stream(spark, src, tag: str):
     """Drain `src` (a streaming events DataFrame) through the
     foreachBatch merge; returns the final state DataFrame."""
     # prune prior runs (ADVICE r4 pattern) — but never a directory
-    # created by THIS process: a lazily-returned DataFrame from an
-    # earlier call in the same session still reads its version dir
-    # at collect time (review r5)
+    # created by THIS process (a lazily-returned DataFrame from an
+    # earlier call in the same session still reads its version dir at
+    # collect time, review r5) and never one whose embedded owner PID
+    # is still alive (ADVICE r14: a concurrent process's in-flight
+    # checkpoint must not be rmtree'd mid-stream)
     if os.path.isdir(_MERGE_CACHE):
         for stale in os.listdir(_MERGE_CACHE):
-            if stale not in _LIVE_RUNS:
-                shutil.rmtree(os.path.join(_MERGE_CACHE, stale), ignore_errors=True)
-    run_name = f"{tag}_{uuid.uuid4().hex[:8]}"
+            if stale in _LIVE_RUNS:
+                continue
+            m = re.search(r"_(\d+)_[0-9a-f]{8}$", stale)
+            if m:
+                pid = int(m.group(1))
+                if pid != os.getpid() and pid_alive(pid):
+                    continue
+            shutil.rmtree(os.path.join(_MERGE_CACHE, stale), ignore_errors=True)
+    run_name = f"{tag}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     _LIVE_RUNS.add(run_name)
     root = os.path.join(_MERGE_CACHE, run_name)
     os.makedirs(root, exist_ok=True)
