@@ -61,6 +61,12 @@ def main() -> None:
         ("lsh", lsh_served, "q_dedup_lsh_served_batch"),
         ("decontam", decontam_served, "q_dedup_decontam_served"),
         ("decontam", decontam_served, "q_dedup_decontam_served_batch"),
+        # r15: the UPSERTED decontam index — same probe, but the scan
+        # spans the base + merge file generations; the point is that
+        # SelectedBucketsCount pruning holds across generations at
+        # every bucket count (the _SRV_BUCKETS constant enters the
+        # upsert fingerprint, so each setting builds fresh)
+        ("decontam", decontam_served, "q_dedup_decontam_upsert"),
     )
     print("| sf | query | buckets | sel/total | pruned frac | median s |")
     print("|---|---|---|---|---|---|")
