@@ -278,14 +278,23 @@ def _upserted_index(spark, sf_dir: str) -> str:
             # the incremental ingest: |batch| x _BANDS rows appended,
             # bucketed identically — the maintenance cost is the
             # batch's own minhash, independent of corpus size
-            (
-                _ingest_projection(spark, sf_dir)
-                .write.mode("append")
-                .option("path", path)
-                .bucketBy(_SRV_BUCKETS, "bkey")
-                .sortBy("bkey")
-                .saveAsTable(name)
-            )
+            try:
+                (
+                    _ingest_projection(spark, sf_dir)
+                    .write.mode("append")
+                    .option("path", path)
+                    .bucketBy(_SRV_BUCKETS, "bkey")
+                    .sortBy("bkey")
+                    .saveAsTable(name)
+                )
+            except BaseException:
+                # Two-step publish guard (the decontam_served r15
+                # pattern): the base saveAsTable above has already
+                # registered the table, so a failed ingest append
+                # must not leave the batch-less index servable —
+                # near-dup candidates would silently undercount.
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                raise
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name
 

@@ -153,3 +153,37 @@ def test_decontam_upsert_publish_guard(spark, monkeypatch):
     rows = registry.QUERIES["q_dedup_decontam_upsert"](spark, SF_DIR).collect()
     full = registry.QUERIES["q_dedup_decontam_served"](spark, SF_DIR).collect()
     assert rows == full and len(rows) == 1
+
+
+def test_lsh_upsert_publish_guard(spark, monkeypatch):
+    """Same two-step publish hazard as decontam (the base band table
+    registers before the ingest append): a failed append must drop the
+    table, or later calls serve batch-less candidates (near-dup
+    undercount)."""
+    import hashlib
+
+    from datafusion_tpc_spark.catalog import sanitized_sf_tag
+    from datafusion_tpc_spark.operators import lsh_served as lsh
+    import os
+
+    st = os.stat(os.path.join(SF_DIR, "documents.parquet"))
+    fp = hashlib.md5(
+        f"up:{st.st_mtime_ns}:{st.st_size}:{lsh._K}:{lsh._BANDS}:"
+        f"{lsh._SRV_BUCKETS}:{lsh.BATCH_N}".encode()
+    ).hexdigest()[:12]
+    name = f"lsh_upsert_{sanitized_sf_tag(SF_DIR)}_{fp}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def boom(*a, **k):
+        raise RuntimeError("ingest append failed mid-flight")
+
+    monkeypatch.setattr(lsh, "_ingest_projection", boom)
+    with pytest.raises(RuntimeError, match="mid-flight"):
+        lsh._upserted_index(spark, SF_DIR)
+    assert not spark.catalog.tableExists(name), (
+        "batch-less band index left registered after a failed append"
+    )
+    monkeypatch.undo()
+    rows = registry.QUERIES["q_dedup_lsh_upsert"](spark, SF_DIR).collect()
+    full = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR).collect()
+    assert rows == full and len(rows) > 0
