@@ -117,13 +117,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ONE free slot. Spend the free slot on q_agg_winsorize_td (r12 birth,
 # the oldest never-driver-verified id — pulling it forward to r16
 # shrinks the anchor-12 block to 50 = exactly r18's window). The
-# anchor-r10 49: q_dedup_substr_norm q_fn_bitmap q_fn_conv q_fn_lambda
-# ... (recompute the exact list from CORRECTNESS_r10 at rotation; the
-# authoritative command is tools/edf_check.py run AFTER updating
-# DRIVER_WINDOW). SCHEDULE THROUGH r20: remaining blocks
-# r11:50 r12:51(→50 if winsorize_td pulled) r13:53 r14:53 against
-# 50-slot windows — keep r16-r17 births at ZERO. Never-verified after
-# r15: q_agg_winsorize_td (r12 → r16 free slot),
+# anchor-r10 49 (recomputed from CORRECTNESS_r01-r14 at the r15
+# rotation; re-derive at the r16 rotation in case r15 seats change
+# anchors): q_agg_decimal q_agg_gsets q_agg_hist q_agg_mode
+# q_asof_join q_case_cast q_cte q_distinct q_except q_except_all
+# q_filter_proj q_fn_array q_fn_map q_intersect q_intersect_all
+# q_limit q_pipe_chunk q_pipe_rep q_pipe_upsert q_pred_algebra
+# q_pred_like q_range_join q_scan_avro q_scan_csv q_scan_dpp
+# q_scan_full q_scan_json q_scan_orc q_scan_partitioned q_scan_xml
+# q_sort_multi q_stream_sink q_sub_corr_scalar q_sub_in q_sub_notin
+# q_sub_scalar q_text_fingerprint q_text_lang q_text_quality
+# q_text_stats q_text_vocab q_topk q_topk_group q_tpch_q14 q_tpch_q21
+# q_tpch_q7 q_union q_union_all q_values. SCHEDULE THROUGH r20:
+# remaining blocks r11:50 r12:51(→50 if winsorize_td pulled) r13:53
+# r14:53 against 50-slot windows — keep r16-r17 births at ZERO.
+# Never-verified after r15: q_agg_winsorize_td (r12 → r16 free slot),
 # q_dedup_decontam_served(+_batch) + q_dedup_lsh_upsert (r13 → r19),
 # q_sim_ivf_upsert + q_dedup_decontam_upsert + q_stream_admission
 # (r14 → r20). Give any NEW query a _BIRTH_ROUND pin.
