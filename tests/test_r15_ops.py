@@ -187,3 +187,52 @@ def test_lsh_upsert_publish_guard(spark, monkeypatch):
     rows = registry.QUERIES["q_dedup_lsh_upsert"](spark, SF_DIR).collect()
     full = registry.QUERIES["q_dedup_lsh_served"](spark, SF_DIR).collect()
     assert rows == full and len(rows) > 0
+
+
+def test_admission_concurrent_drains_identical(spark):
+    """Two streams draining simultaneously in one process (the
+    multi-tenant shape tools/bench_admission_budget.py measures at
+    12-way) must not interfere: independent run dirs/checkpoints,
+    identical verdicts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datafusion_tpc_spark.streaming.admission import (
+        run_admission_stream,
+    )
+
+    def drain(_):
+        return sorted(
+            tuple(r) for r in run_admission_stream(spark, SF_DIR).collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        a, b = list(ex.map(drain, range(2)))
+    assert a == b and len(a) > 0
+
+
+def test_admission_prune_spares_live_foreign_pid(spark):
+    """The run-dir pruner (ADVICE r14) must remove dirs owned by dead
+    processes but never one whose embedded owner PID is alive in
+    another process — rmtree'ing a concurrent driver rehearsal's
+    in-flight checkpoint mid-stream was the failure mode."""
+    import os
+    import shutil
+
+    from datafusion_tpc_spark.streaming.admission import (
+        _CACHE_ROOT,
+        run_admission_stream,
+    )
+
+    live_foreign = os.path.join(_CACHE_ROOT, "run_1_deadbeef")  # PID 1: init, always alive
+    dead = os.path.join(_CACHE_ROOT, "run_999999999_cafebabe")
+    os.makedirs(live_foreign, exist_ok=True)
+    os.makedirs(dead, exist_ok=True)
+    try:
+        run_admission_stream(spark, SF_DIR).collect()
+        assert os.path.isdir(live_foreign), (
+            "pruned a run dir whose owning process is alive"
+        )
+        assert not os.path.isdir(dead), "dead-owner run dir not reclaimed"
+    finally:
+        shutil.rmtree(live_foreign, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)
