@@ -300,9 +300,16 @@ def _ingest_hashes(spark, sf_dir):
     )
 
 
-# Beyond this many batch hashes the IN-list literal plan stops paying
-# (planner cost of a 10⁴-literal isin + the driver round-trip) and the
-# merge switches to the distributed SortMergeJoin form below.
+# Beyond this many batch hashes the merge switches from the IN-list
+# literal plan to the distributed SortMergeJoin form below. The trade,
+# MEASURED by tools/bench_merge_crossover.py (BASELINE.md r15): the
+# IN-list path costs ~0.9 ms per hash of driver/plan work (collect +
+# VALUES parse + isin), linear all the way to 89 s at 10⁵, while its
+# only advantage is the bucket-PRUNED existing-hash read vs the SMJ's
+# one full index scan. On the shipped fixture the index scan is ~free,
+# so SMJ wins at EVERY size; at a production-scale index the pruned
+# read is the win, and 10⁴ (≈9 s of plan cost) is the point where the
+# avoided index scan must be worth seconds to justify the literals.
 _DCS_INLIST_MAX = 10_000
 
 
