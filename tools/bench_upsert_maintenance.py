@@ -156,13 +156,35 @@ def _decontam_legs(spark, sf_dir):
         write_h(train_h(F.col("doc_id") >= DCS_INGEST_LT), name, path, "overwrite")
 
     def maintain(name, path):
-        # the full merge: bounded collect + bucket-pruned existing
-        # read + anti-join + bucketed append (the q_dedup_decontam_
-        # upsert maintenance step verbatim)
-        hs = sorted(int(r["h"]) for r in _ingest_hashes(spark, sf_dir).collect())
-        batch_df = values_df(spark, [(h,) for h in hs], "h long")
-        existing = spark.table(name).filter(F.col("h").isin(hs))
-        write_h(batch_df.join(existing, "h", "left_anti"), name, path, "append")
+        # the full merge, product code verbatim (r15: was an inline
+        # copy; _merge_ingest_batch defaults to the IN-list form at
+        # this batch size — bounded collect + bucket-pruned existing
+        # read + anti-join + bucketed append)
+        from datafusion_tpc_spark.operators.decontam_served import (
+            _merge_ingest_batch,
+        )
+
+        _merge_ingest_batch(spark, name, path, _ingest_hashes(spark, sf_dir))
+
+    return base, maintain, rebuild
+
+
+def _decontam_smj_legs(spark, sf_dir):
+    """The decontam maintain step FORCED onto the SortMergeJoin merge
+    form (inlist_max=0) — r15: the crossover measurement showed the
+    IN-list form's VALUES/isin plan cost (~0.9 ms/hash) is what made
+    the r14 table read 'merge > tiny rebuild'; this row shows the
+    maintenance step itself with that overhead removed."""
+    base, _maintain, rebuild = _decontam_legs(spark, sf_dir)
+    from datafusion_tpc_spark.operators.decontam_served import (
+        _ingest_hashes,
+        _merge_ingest_batch,
+    )
+
+    def maintain(name, path):
+        _merge_ingest_batch(
+            spark, name, path, _ingest_hashes(spark, sf_dir), inlist_max=0
+        )
 
     return base, maintain, rebuild
 
@@ -171,6 +193,7 @@ FAMILIES = {
     "lsh": _lsh_legs,
     "ivf": _ivf_legs,
     "decontam": _decontam_legs,
+    "decontam_smj": _decontam_smj_legs,
 }
 
 
