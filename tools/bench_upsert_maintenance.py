@@ -121,7 +121,6 @@ def _ivf_legs(spark, sf_dir):
 def _decontam_legs(spark, sf_dir):
     from datafusion_tpc_spark.catalog import load_table
     from datafusion_tpc_spark.functions.digest import SPLIT_TRAIN_LT, h60, split_bucket
-    from datafusion_tpc_spark.functions.literals import values_df
     from datafusion_tpc_spark.operators.decontam_served import (
         _SRV_BUCKETS,
         _WIN_EXPR,
