@@ -48,94 +48,97 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The round-15 driver window: the driver verifies exactly these 50
+# The round-16 driver window: the driver verifies exactly these 50
 # query ids, in this order (forcing computation via tools/edf_check.py;
 # contents pinned by tests/test_registry_order.py, staleness audited
 # by test_window_staleness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # The 50 anchor-r9 greens EXACTLY, per the r14 pre-stage block
-    # (verified at rotation: staged set == anchor-r9 set, edf_check
-    # forced-into-r15 = 0 but all 50 become FORCED at r16 — ZERO free
-    # slots, ZERO births this round):
-    "q_agg_avg",
-    "q_evt_hop",
-    "q_evt_session",
-    "q_evt_tumble",
-    "q_explode",
-    "q_fn_blake",
-    "q_fn_blake3",
-    "q_fn_date",
-    "q_fn_datebin",
-    "q_fn_hash",
-    "q_fn_json",
-    "q_fn_math",
-    "q_fn_nondet",
-    "q_fn_regex",
-    "q_fn_string",
-    "q_fn_struct",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_residual",
-    "q_join_right",
-    "q_join_salted",
-    "q_join_semi",
-    "q_join_theta",
-    "q_stream_dedup",
-    "q_stream_hop",
-    "q_stream_join",
-    "q_stream_late",
-    "q_stream_session",
-    "q_stream_stateful",
-    "q_stream_tumble",
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_udf",
-    "q_udf_grouped_map",
-    "q_udf_iter",
-    "q_udtf",
-    "q_win_dist",
-    "q_win_lag",
-    "q_win_movavg",
-    "q_win_range",
-    "q_win_rank",
+    # The 49 anchor-r10 ids EXACTLY (recomputed from CORRECTNESS_r01-r15
+    # at the r16 rotation: staged set == anchor-r10 set) plus the ONE
+    # free slot spent on q_agg_winsorize_td (r12 birth, oldest
+    # never-driver-verified id — pulling it forward shrinks the
+    # anchor-r12 block to exactly 50 for r18). edf_check post-rotation:
+    # forced 0, feasible through r23. ZERO births this round.
+    "q_agg_decimal",
+    "q_agg_gsets",
+    "q_agg_hist",
+    "q_agg_mode",
+    "q_agg_winsorize_td",
+    "q_asof_join",
+    "q_case_cast",
+    "q_cte",
+    "q_distinct",
+    "q_except",
+    "q_except_all",
+    "q_filter_proj",
+    "q_fn_array",
+    "q_fn_map",
+    "q_intersect",
+    "q_intersect_all",
+    "q_limit",
+    "q_pipe_chunk",
+    "q_pipe_rep",
+    "q_pipe_upsert",
+    "q_pred_algebra",
+    "q_pred_like",
+    "q_range_join",
+    "q_scan_avro",
+    "q_scan_csv",
+    "q_scan_dpp",
+    "q_scan_full",
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_partitioned",
+    "q_scan_xml",
+    "q_sort_multi",
+    "q_stream_sink",
+    "q_sub_corr_scalar",
+    "q_sub_in",
+    "q_sub_notin",
+    "q_sub_scalar",
+    "q_text_fingerprint",
+    "q_text_lang",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_vocab",
+    "q_topk",
+    "q_topk_group",
+    "q_tpch_q14",
+    "q_tpch_q21",
+    "q_tpch_q7",
+    "q_union",
+    "q_union_all",
+    "q_values",
 )
 
-# PRE-STAGED R16 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r15 window verifies green; computed at r15 rotation with
-# the r15 window simulated as verified, post-r15 anchors
-# 10:49 11:50 12:51 13:53 14:53 15:50): r16 window = the 49 anchor-r10
-# ids (deadline r17 — EDF schedules the oldest block proactively) plus
-# ONE free slot. Spend the free slot on q_agg_winsorize_td (r12 birth,
-# the oldest never-driver-verified id — pulling it forward to r16
-# shrinks the anchor-12 block to 50 = exactly r18's window). The
-# anchor-r10 49 (recomputed from CORRECTNESS_r01-r14 at the r15
-# rotation; re-derive at the r16 rotation in case r15 seats change
-# anchors): q_agg_decimal q_agg_gsets q_agg_hist q_agg_mode
-# q_asof_join q_case_cast q_cte q_distinct q_except q_except_all
-# q_filter_proj q_fn_array q_fn_map q_intersect q_intersect_all
-# q_limit q_pipe_chunk q_pipe_rep q_pipe_upsert q_pred_algebra
-# q_pred_like q_range_join q_scan_avro q_scan_csv q_scan_dpp
-# q_scan_full q_scan_json q_scan_orc q_scan_partitioned q_scan_xml
-# q_sort_multi q_stream_sink q_sub_corr_scalar q_sub_in q_sub_notin
-# q_sub_scalar q_text_fingerprint q_text_lang q_text_quality
-# q_text_stats q_text_vocab q_topk q_topk_group q_tpch_q14 q_tpch_q21
-# q_tpch_q7 q_union q_union_all q_values. SCHEDULE THROUGH r20:
-# remaining blocks r11:50 r12:51(→50 if winsorize_td pulled) r13:53
-# r14:53 against 50-slot windows — keep r16-r17 births at ZERO.
-# Never-verified after r15: q_agg_winsorize_td (r12 → r16 free slot),
-# q_dedup_decontam_served(+_batch) + q_dedup_lsh_upsert (r13 → r19),
-# q_sim_ivf_upsert + q_dedup_decontam_upsert + q_stream_admission
-# (r14 → r20). Give any NEW query a _BIRTH_ROUND pin.
-
+# PRE-STAGED R17 PLAN (recompute with tools/edf_check.py at rotation —
+# assumes the r16 window verifies green; computed at the r16 rotation
+# with the r16 window simulated as verified, post-r16 anchors
+# 11:50 12:50 13:53 14:53 15:50 16:50): r17 window = the 50 anchor-r11
+# ids EXACTLY (deadline r18 — EDF schedules the oldest block
+# proactively), ZERO free slots, ZERO births. The anchor-r11 50
+# (recomputed from CORRECTNESS_r01-r15 at the r16 rotation; re-derive
+# at the r17 rotation in case r16 seats change anchors): q_agg_cms
+# q_agg_hll q_dedup_prefix q_dedup_semantic q_dq_benford
+# q_dq_calibration q_dq_checks q_dq_chi2 q_dq_drift q_dq_kanon
+# q_dq_ldiv q_dq_prcurve q_dq_skew q_dq_tclose q_evt_autocorr
+# q_evt_backtest q_evt_holt q_evt_interarrival q_evt_islands
+# q_evt_rfm q_evt_survival q_join_pit q_pipe_budget q_pipe_cdc
+# q_pipe_domain_cap q_pipe_lenbucket q_pipe_split_content
+# q_pipe_temperature q_scd2 q_sim_ann q_sim_anneval
+# q_sim_anneval_batch q_sim_batch q_sim_centroid q_sim_hardneg
+# q_sim_ivf q_sim_ivf_batch q_sim_ivf_sweep q_sim_ivfeval
+# q_sim_ivfeval_batch q_sim_mmr q_sim_ndcg q_sim_ndcg_batch
+# q_sim_pca q_sim_pq q_sim_pqadc q_sim_rrf q_sim_sq8 q_sim_topk
+# q_text_readability. SCHEDULE THROUGH r20: remaining blocks r12:50
+# r13:53 r14:53 r15:50 against 50-slot windows — r18 takes anchor-r12
+# (exactly 50 after winsorize_td's pull-forward), r19 takes anchor-r13
+# (53: includes the r13 never-verified seats q_dedup_decontam_served,
+# q_dedup_decontam_served_batch, q_dedup_lsh_upsert — 3 spill to the
+# r19 forced set per edf_check), r20 takes anchor-r14 (53: includes
+# the r14 never-verified seats q_sim_ivf_upsert,
+# q_dedup_decontam_upsert, q_stream_admission). Keep r17 births at
+# ZERO. Give any NEW query a _BIRTH_ROUND pin.
 
 def _promote_window(window: tuple[str, ...]) -> None:
     """Reorder QUERIES in place so `window` occupies the first

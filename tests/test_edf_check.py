@@ -61,10 +61,38 @@ def test_truly_infeasible_is_fail_even_with_edf_choice():
     assert any("INFEASIBLE" in ln for ln in lines)
 
 
-def test_cli_post_rotation_exits_zero_without_pre_rotation_banner():
-    """Repo state in this round is post-rotation (DRIVER_WINDOW is the
-    staged anchor block, not the r14 keys): the CLI must exit 0 and
-    must NOT print the PRE-ROTATION banner."""
+def _repo_phase():
+    """Derive the repo's round phase the same way edf_check does:
+    pre-rotation iff the committed DRIVER_WINDOW equals the key set of
+    the latest CORRECTNESS_r*.json (the driver just verified it and the
+    rotation commit hasn't landed yet)."""
+    import glob
+    import json
+    import re
+
+    from datafusion_tpc_spark import registry
+
+    latest, latest_round = None, -1
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > latest_round:
+            latest_round, latest = int(m.group(1)), path
+    if latest is None:
+        return "post"
+    with open(latest) as f:
+        keys = set(json.load(f))
+    return "pre" if set(registry.DRIVER_WINDOW) == keys else "post"
+
+
+def test_cli_exits_zero_and_banner_matches_phase():
+    """Phase-agnostic CLI pin (VERDICT r15 item 1: the old form
+    hard-coded "post-rotation", turning the suite red the moment the
+    driver committed the round-end CORRECTNESS artifact). The test now
+    derives the expected phase from repo state and asserts the matching
+    behavior — banner + exit 0 pre-rotation, no banner + exit 0
+    post-rotation — so it is green in BOTH phases while still pinning
+    both CLI behaviors (the synthetic simulate() tests above pin the
+    scheduling semantics independently of repo state)."""
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "edf_check.py")],
         capture_output=True,
@@ -73,5 +101,8 @@ def test_cli_post_rotation_exits_zero_without_pre_rotation_banner():
         timeout=120,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "PRE-ROTATION" not in proc.stdout
     assert "EDF: OK" in proc.stdout
+    if _repo_phase() == "pre":
+        assert "PRE-ROTATION" in proc.stdout
+    else:
+        assert "PRE-ROTATION" not in proc.stdout

@@ -28,66 +28,65 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-15 driver window (VERDICT r14 item 1): the 50 anchor-r9
-# greens EXACTLY, per the r14 pre-stage block (post-r14 anchor
-# distribution r9:50 r10:49 r11:50 r12:51 r13:53 r14:53; cap 6 at
-# inventory 306 forces nothing into r15, but the whole anchor-r9
-# block becomes FORCED at r16 — rotating it now keeps every forward
-# deadline meetable, edf_check OK post-rotation). ZERO free slots,
+# The round-16 driver window (VERDICT r15 item 1): the 49 anchor-r10
+# ids EXACTLY (recomputed at the r16 rotation from CORRECTNESS_r01-r15:
+# staged set == anchor-r10 set) plus the ONE free slot spent on
+# q_agg_winsorize_td (r12 birth, the oldest never-driver-verified id).
+# Post-rotation edf_check: forced 0, free 50, feasible through r23.
 # ZERO births this round. Pinned INDEPENDENTLY of
 # registry.DRIVER_WINDOW on purpose: a silent edit there must fail
 # here, prompting a deliberate re-point.
 EXPECTED_WINDOW_50 = [
-    "q_agg_avg",
-    "q_evt_hop",
-    "q_evt_session",
-    "q_evt_tumble",
-    "q_explode",
-    "q_fn_blake",
-    "q_fn_blake3",
-    "q_fn_date",
-    "q_fn_datebin",
-    "q_fn_hash",
-    "q_fn_json",
-    "q_fn_math",
-    "q_fn_nondet",
-    "q_fn_regex",
-    "q_fn_string",
-    "q_fn_struct",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_residual",
-    "q_join_right",
-    "q_join_salted",
-    "q_join_semi",
-    "q_join_theta",
-    "q_stream_dedup",
-    "q_stream_hop",
-    "q_stream_join",
-    "q_stream_late",
-    "q_stream_session",
-    "q_stream_stateful",
-    "q_stream_tumble",
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_udf",
-    "q_udf_grouped_map",
-    "q_udf_iter",
-    "q_udtf",
-    "q_win_dist",
-    "q_win_lag",
-    "q_win_movavg",
-    "q_win_range",
-    "q_win_rank",
+    "q_agg_decimal",
+    "q_agg_gsets",
+    "q_agg_hist",
+    "q_agg_mode",
+    "q_agg_winsorize_td",
+    "q_asof_join",
+    "q_case_cast",
+    "q_cte",
+    "q_distinct",
+    "q_except",
+    "q_except_all",
+    "q_filter_proj",
+    "q_fn_array",
+    "q_fn_map",
+    "q_intersect",
+    "q_intersect_all",
+    "q_limit",
+    "q_pipe_chunk",
+    "q_pipe_rep",
+    "q_pipe_upsert",
+    "q_pred_algebra",
+    "q_pred_like",
+    "q_range_join",
+    "q_scan_avro",
+    "q_scan_csv",
+    "q_scan_dpp",
+    "q_scan_full",
+    "q_scan_json",
+    "q_scan_orc",
+    "q_scan_partitioned",
+    "q_scan_xml",
+    "q_sort_multi",
+    "q_stream_sink",
+    "q_sub_corr_scalar",
+    "q_sub_in",
+    "q_sub_notin",
+    "q_sub_scalar",
+    "q_text_fingerprint",
+    "q_text_lang",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_vocab",
+    "q_topk",
+    "q_topk_group",
+    "q_tpch_q14",
+    "q_tpch_q21",
+    "q_tpch_q7",
+    "q_union",
+    "q_union_all",
+    "q_values",
 ]
 
 
