@@ -333,30 +333,38 @@ def _merge_ingest_batch(
     DISTINCT-h invariant the serving rollup's SUM depends on. The
     branch probe is a single limit(inlist_max+1) collect — bounded by
     construction, and its rows are reused as the IN-list so the small
-    path still runs exactly one batch action."""
-    probe_rows = batch.limit(inlist_max + 1).collect()
-    if len(probe_rows) <= inlist_max:
-        hs = sorted(int(r["h"]) for r in probe_rows)
-        if not hs:  # an empty ingest batch (degenerate corpus with no
-            # low-id train docs) has nothing to merge — and
-            # values_df has no empty form
-            return
-        batch_df = values_df(spark, [(h,) for h in hs], "h long")
-        existing = spark.table(name).filter(F.col("h").isin(hs))
-        new_rows = batch_df.join(existing, "h", "left_anti")
-    else:
-        # hint('merge') pins the SMJ so the planner cannot broadcast
-        # the (by-definition large here) batch side
-        new_rows = batch.hint("merge").join(
-            spark.table(name).select("h"), "h", "left_anti"
+    path still runs exactly one batch action. The batch is persisted
+    across the probe (ADVICE r15): on the SMJ branch the join reuses
+    the cached partitions instead of re-running the batch's windowing
+    lineage, and probe and join are guaranteed to see the SAME rows
+    even if the ingest source were nondeterministic."""
+    batch = batch.persist()
+    try:
+        probe_rows = batch.limit(inlist_max + 1).collect()
+        if len(probe_rows) <= inlist_max:
+            hs = sorted(int(r["h"]) for r in probe_rows)
+            if not hs:  # an empty ingest batch (degenerate corpus with
+                # no low-id train docs) has nothing to merge — and
+                # values_df has no empty form
+                return
+            batch_df = values_df(spark, [(h,) for h in hs], "h long")
+            existing = spark.table(name).filter(F.col("h").isin(hs))
+            new_rows = batch_df.join(existing, "h", "left_anti")
+        else:
+            # hint('merge') pins the SMJ so the planner cannot
+            # broadcast the (by-definition large here) batch side
+            new_rows = batch.hint("merge").join(
+                spark.table(name).select("h"), "h", "left_anti"
+            )
+        (
+            new_rows.write.mode("append")
+            .option("path", path)
+            .bucketBy(_SRV_BUCKETS, "h")
+            .sortBy("h")
+            .saveAsTable(name)
         )
-    (
-        new_rows.write.mode("append")
-        .option("path", path)
-        .bucketBy(_SRV_BUCKETS, "h")
-        .sortBy("h")
-        .saveAsTable(name)
-    )
+    finally:
+        batch.unpersist()
 
 
 def _upserted_span_index(spark, sf_dir: str) -> str:
@@ -411,7 +419,13 @@ def _upserted_span_index(spark, sf_dir: str) -> str:
                 # so a failed merge must not leave the UNMERGED index
                 # servable — every later tableExists() call in the
                 # session would silently undercount contamination.
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                # Best-effort DROP (ADVICE r15): if the session/JVM is
+                # the thing that failed, the cleanup itself raises —
+                # the ORIGINAL exception must still propagate.
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                except BaseException:
+                    pass
                 raise
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name

@@ -293,7 +293,13 @@ def _upserted_index(spark, sf_dir: str) -> str:
                 # registered the table, so a failed ingest append
                 # must not leave the batch-less index servable —
                 # near-dup candidates would silently undercount.
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                # Best-effort DROP (ADVICE r15): if the session/JVM
+                # is the thing that failed, the cleanup itself raises
+                # — the ORIGINAL exception must still propagate.
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                except BaseException:
+                    pass
                 raise
             prune_stale_cache_dirs(_CACHE_ROOT, dir_key)
     return name

@@ -136,6 +136,26 @@ def admission_gate(spark, sf_dir: str, batch_df, timings: dict | None = None):
     point reads — plan-gated in tests/test_r14_ops.py). Zero corpus
     lineage anywhere.
 
+    Why the gate has NO SortMergeJoin fallback (r16, symmetry check
+    vs decontam_served._merge_ingest_batch's dual form): the measured
+    IN-list crossover (~0.9 ms/literal of driver plan cost, BASELINE
+    r15) applies here too, but the SMJ alternative's price is one
+    FULL index scan per execution. The merge executes once per ingest
+    batch on the maintenance path, where a corpus-proportional scan
+    can amortize against a 10⁵-hash batch; the gate executes once per
+    TRIGGER on the serving path, where corpus-proportional work in
+    the latency budget is exactly what the zero-corpus-lineage plan
+    gate forbids — at 100 TB an index scan per micro-batch IS the
+    outage. The probe volume is bounded by construction instead: the
+    stream reads with maxFilesPerTrigger=1, so a batch is one ingest
+    file, and per doc the fingerprints are 1 digest + _BANDS band
+    keys + ≤|chars|/16 window hashes. An ingest whose file sizing
+    approaches the 10⁴-literal crossover shrinks the trigger file
+    size (the knob bench_admission_budget measured flat across a 10×
+    corpus axis) rather than switching plans — at fixed batch size
+    the probe cost is independent of corpus scale, which is the
+    scaling property that matters.
+
     ``timings``, when given, accumulates the gate's driver-side cost
     split (tools/bench_admission_budget.py): 'fingerprint_collect_s'
     covers the three bounded collects; the returned frame is lazy, so

@@ -43,7 +43,10 @@ from datafusion_tpc_spark.session import get_spark  # noqa: E402
 
 REPS = 3
 SF_DIR = "/root/testdata/sf0.1"
-BATCH_SIZES = (1_000, 5_000, 10_000, 50_000, 100_000)
+# Small sizes included so every BASELINE.md r15 crossover row is
+# reproducible by the tool as committed (ADVICE r15 — the 50-500 rows
+# of record originally came from an ad-hoc run with a modified list).
+BATCH_SIZES = (50, 100, 200, 500, 1_000, 5_000, 10_000, 50_000, 100_000)
 _BASE = "/tmp/merge_crossover"
 
 
