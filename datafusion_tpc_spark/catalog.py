@@ -62,15 +62,66 @@ def sanitized_sf_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
 
 
+# Session-scoped table memo (r16): spark.read.parquet costs ~125 ms
+# of driver-side schema/footer work per table and every query callable
+# re-loads its tables at call time, so an N-query session paid
+# O(N × tables) of pure re-analysis (the driver's 50-query correctness
+# pass ~45 s, a full 304-query mirror ~4 min). DataFrames are
+# immutable lazy plans — one per (session, table, file fingerprint) is
+# semantically identical to one per call. Keyed WEAKLY by the session
+# (the driver's session, not only ours — no leak across restarts) and
+# by the source file's (mtime_ns, size) (verify-skill convention: a
+# testdata drop that replaces files at the same path must invalidate).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+_MEMO_LOCK = threading.Lock()
+
+
+def _session_memo(store_attr: str, spark: SparkSession) -> dict:
+    global _TABLE_MEMO, _VIEW_MEMO
+    if _TABLE_MEMO is None:
+        import weakref
+
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+        _VIEW_MEMO = weakref.WeakKeyDictionary()
+    store = _TABLE_MEMO if store_attr == "table" else _VIEW_MEMO
+    memo = store.get(spark)
+    if memo is None:
+        memo = store[spark] = {}
+    return memo
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes events.ts ns→µs timestamp.
 
     With SPARK_GRAFT_OPT_CACHE=1 (bench path) the read goes through
     the layout-optimized copy (fixtures/optimize.py): identical rows,
-    row groups sized so scans parallelize across cores."""
+    row groups sized so scans parallelize across cores.
+
+    Memoized per (session, sf_dir, name, opt-flag, source fingerprint)
+    — see _TABLE_MEMO. configure_runtime still runs on every call (it
+    is the driver-session contract hook and costs ~3 ms)."""
     configure_runtime(spark)
-    path = f"{sf_dir}/{name}.parquet"
-    if os.environ.get("SPARK_GRAFT_OPT_CACHE") == "1":
+    src = f"{sf_dir}/{name}.parquet"
+    opt = os.environ.get("SPARK_GRAFT_OPT_CACHE") == "1"
+    try:
+        st = os.stat(src)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None  # non-file layouts (partitioned dirs): stat the dir
+        try:
+            st = os.stat(sf_dir)
+            fp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
+    key = (sf_dir, name, opt, fp)
+    with _MEMO_LOCK:
+        memo = _session_memo("table", spark)
+        df = memo.get(key)
+    if df is not None:
+        return df
+    path = src
+    if opt:
         from fixtures.optimize import ensure_optimized
 
         path = ensure_optimized(sf_dir, name)
@@ -80,6 +131,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double division loses precision at 1e18 ns. Truncation
         # matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    with _MEMO_LOCK:
+        memo[key] = df
     return df
 
 
@@ -271,10 +324,21 @@ def derived_partsupp_bytes(sf_dir: str) -> int:
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view (in-memory session
     catalog — reference benches/query.rs:35 registers its one table the
-    same way). Returns name → DataFrame."""
+    same way). Returns name → DataFrame.
+
+    createOrReplaceTempView costs ~50 ms/table of analysis, so a view
+    is re-registered only when the memoized DataFrame under that name
+    CHANGED for this session (new sf_dir, flipped opt flag, or a
+    testdata swap — the load_table fingerprint covers all three).
+    Precondition: the ten TABLES view names are owned by this function
+    (nothing else in the repo registers them — audited r16)."""
     out: dict[str, DataFrame] = {}
+    with _MEMO_LOCK:
+        views = _session_memo("view", spark)
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if views.get(name) is not df:
+            df.createOrReplaceTempView(name)
+            views[name] = df
         out[name] = df
     return out

@@ -8,6 +8,11 @@
 2. ADVICE r15 item on _merge_ingest_batch: the batch is persisted
    across the branch probe, so the SMJ branch runs the ingest lineage
    once and probe + join see the same rows.
+3. The session-scoped table memo: load_table/register_tables paid
+   ~0.9 s of driver-side re-analysis (schema read + view analysis)
+   on EVERY query call; the memo makes repeat calls ~12 ms while a
+   testdata swap at the same path (verify-skill convention) still
+   invalidates via the (mtime_ns, size) fingerprint.
 """
 
 from __future__ import annotations
@@ -152,3 +157,57 @@ def test_merge_batch_persisted_across_branch_probe(spark, monkeypatch):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_table_memo_identity_and_fingerprint_invalidation(
+    spark, tmp_path
+):
+    """Repeat load_table calls in one session return the SAME
+    DataFrame object (the memo hit that removes the per-call ~125 ms
+    schema re-read); replacing the file at the same path — the
+    testdata-drop scenario the verify skill documents — invalidates
+    via the (mtime_ns, size) fingerprint."""
+    import shutil
+
+    from datafusion_tpc_spark.catalog import load_table, register_tables
+
+    d1 = load_table(spark, SF_DIR, "region")
+    assert load_table(spark, SF_DIR, "region") is d1
+
+    # fingerprint invalidation on a swapped file
+    sf2 = tmp_path / "sfx"
+    sf2.mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), sf2 / f"{t}.parquet")
+    a = load_table(spark, str(sf2), "region")
+    assert load_table(spark, str(sf2), "region") is a
+    # replace at the same path with different bytes (nation's file)
+    shutil.copy(os.path.join(SF_DIR, "nation.parquet"), sf2 / "region.parquet")
+    os.utime(sf2 / "region.parquet", ns=(1, 1))  # force mtime change
+    b = load_table(spark, str(sf2), "region")
+    assert b is not a, "stale DataFrame served after a testdata swap"
+
+    # register_tables switches the session views when sf_dir changes
+    register_tables(spark, SF_DIR)
+    n1 = spark.sql("SELECT count(*) c FROM region").collect()[0]["c"]
+    assert n1 > 0
+
+
+def test_register_tables_skips_reregister_but_switches_sf(spark):
+    """The view memo: same sf_dir twice -> the second call registers
+    nothing new (same DataFrame objects under every name); switching
+    sf_dir re-points the views (counts change), switching back
+    re-points again."""
+    from datafusion_tpc_spark.catalog import register_tables
+
+    out1 = register_tables(spark, SF_DIR)
+    out2 = register_tables(spark, SF_DIR)
+    assert all(out1[k] is out2[k] for k in out1)
+    c_small = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+    other = SF_DIR.replace("0.01", "0.001")
+    if other != SF_DIR and os.path.isdir(other):
+        register_tables(spark, other)
+        c_other = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+        register_tables(spark, SF_DIR)
+        c_back = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+        assert c_back == c_small and c_other != c_small
