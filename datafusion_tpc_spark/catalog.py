@@ -68,27 +68,46 @@ def sanitized_sf_tag(sf_dir: str) -> str:
 # O(N × tables) of pure re-analysis (the driver's 50-query correctness
 # pass ~45 s, a full 304-query mirror ~4 min). DataFrames are
 # immutable lazy plans — one per (session, table, file fingerprint) is
-# semantically identical to one per call. Keyed WEAKLY by the session
-# (the driver's session, not only ours — no leak across restarts) and
-# by the source file's (mtime_ns, size) (verify-skill convention: a
-# testdata drop that replaces files at the same path must invalidate).
-_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
-_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+# semantically identical to one per call. The memo dict is ATTACHED TO
+# THE SESSION OBJECT (not held in a module global): its lifetime is
+# exactly the session's, and the spark→memo→DataFrame→spark loop is a
+# plain reference cycle the gc collects when the session is dropped.
+# (A WeakKeyDictionary keyed by the session does NOT work here — the
+# memoized DataFrames strongly reference their session, so the value
+# chain roots the key and the entry never evicts; r16 review.)
 _MEMO_LOCK = threading.Lock()
 
 
-def _session_memo(store_attr: str, spark: SparkSession) -> dict:
-    global _TABLE_MEMO, _VIEW_MEMO
-    if _TABLE_MEMO is None:
-        import weakref
+def _session_store(spark: SparkSession, attr: str) -> dict:
+    """The session-attached memo dict. Callers hold _MEMO_LOCK."""
+    store = getattr(spark, attr, None)
+    if store is None:
+        store = {}
+        setattr(spark, attr, store)
+    return store
 
-        _TABLE_MEMO = weakref.WeakKeyDictionary()
-        _VIEW_MEMO = weakref.WeakKeyDictionary()
-    store = _TABLE_MEMO if store_attr == "table" else _VIEW_MEMO
-    memo = store.get(spark)
-    if memo is None:
-        memo = store[spark] = {}
-    return memo
+
+def _source_fingerprint(src: str):
+    """(mtime_ns, size) of a file source; for a directory-shaped table
+    the direct children are folded in (an in-place part-file rewrite
+    does not bump the directory's own mtime). None = unverifiable —
+    the caller must NOT memoize."""
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    if not os.path.isdir(src):
+        return (st.st_mtime_ns, st.st_size)
+    try:
+        entries = tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(src)
+            )
+        )
+    except OSError:
+        return None
+    return ("dir", st.st_mtime_ns, entries)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,27 +118,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     row groups sized so scans parallelize across cores.
 
     Memoized per (session, sf_dir, name, opt-flag, source fingerprint)
-    — see _TABLE_MEMO. configure_runtime still runs on every call (it
-    is the driver-session contract hook and costs ~3 ms)."""
+    on the session object itself. configure_runtime still runs on
+    every call (it is the driver-session contract hook, ~3 ms)."""
     configure_runtime(spark)
     src = f"{sf_dir}/{name}.parquet"
     opt = os.environ.get("SPARK_GRAFT_OPT_CACHE") == "1"
-    try:
-        st = os.stat(src)
-        fp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fp = None  # non-file layouts (partitioned dirs): stat the dir
-        try:
-            st = os.stat(sf_dir)
-            fp = (st.st_mtime_ns, st.st_size)
-        except OSError:
-            pass
+    fp = _source_fingerprint(src)
     key = (sf_dir, name, opt, fp)
-    with _MEMO_LOCK:
-        memo = _session_memo("table", spark)
-        df = memo.get(key)
-    if df is not None:
-        return df
+    if fp is not None:
+        with _MEMO_LOCK:
+            df = _session_store(spark, "_dftpc_table_memo").get(key)
+        if df is not None:
+            return df
     path = src
     if opt:
         from fixtures.optimize import ensure_optimized
@@ -131,8 +141,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # double division loses precision at 1e18 ns. Truncation
         # matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    with _MEMO_LOCK:
-        memo[key] = df
+    if fp is not None:
+        with _MEMO_LOCK:
+            _session_store(spark, "_dftpc_table_memo")[key] = df
     return df
 
 
@@ -330,15 +341,20 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     is re-registered only when the memoized DataFrame under that name
     CHANGED for this session (new sf_dir, flipped opt flag, or a
     testdata swap — the load_table fingerprint covers all three).
+    The check-register-record triple runs under _MEMO_LOCK so the
+    view memo can never disagree with the live temp view under
+    concurrent callers with different sf_dirs (r16 review: unlocked,
+    two racing registrations could leave the memo pointing at the
+    loser and a later call would skip the healing re-register).
     Precondition: the ten TABLES view names are owned by this function
     (nothing else in the repo registers them — audited r16)."""
     out: dict[str, DataFrame] = {}
-    with _MEMO_LOCK:
-        views = _session_memo("view", spark)
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
-        if views.get(name) is not df:
-            df.createOrReplaceTempView(name)
-            views[name] = df
+        with _MEMO_LOCK:
+            views = _session_store(spark, "_dftpc_view_memo")
+            if views.get(name) is not df:
+                df.createOrReplaceTempView(name)
+                views[name] = df
         out[name] = df
     return out

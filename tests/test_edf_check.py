@@ -62,26 +62,19 @@ def test_truly_infeasible_is_fail_even_with_edf_choice():
 
 
 def _repo_phase():
-    """Derive the repo's round phase the same way edf_check does:
+    """Derive the repo's round phase with edf_check's OWN history
+    loader (r16 review: a hand-rolled copy of the glob/regex/latest
+    selection could silently diverge from the tool this test pins) —
     pre-rotation iff the committed DRIVER_WINDOW equals the key set of
-    the latest CORRECTNESS_r*.json (the driver just verified it and the
-    rotation commit hasn't landed yet)."""
-    import glob
-    import json
-    import re
-
+    the latest CORRECTNESS_r*.json (the driver just verified it and
+    the rotation commit hasn't landed yet)."""
     from datafusion_tpc_spark import registry
+    from tools.edf_check import load_history
 
-    latest, latest_round = None, -1
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > latest_round:
-            latest_round, latest = int(m.group(1)), path
-    if latest is None:
+    max_round, _, latest_keys = load_history(_REPO)
+    if max_round == 0:
         return "post"
-    with open(latest) as f:
-        keys = set(json.load(f))
-    return "pre" if set(registry.DRIVER_WINDOW) == keys else "post"
+    return "pre" if set(registry.DRIVER_WINDOW) == latest_keys else "post"
 
 
 def test_cli_exits_zero_and_banner_matches_phase():

@@ -205,9 +205,11 @@ def test_register_tables_skips_reregister_but_switches_sf(spark):
     assert all(out1[k] is out2[k] for k in out1)
     c_small = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
     other = SF_DIR.replace("0.01", "0.001")
-    if other != SF_DIR and os.path.isdir(other):
-        register_tables(spark, other)
-        c_other = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
-        register_tables(spark, SF_DIR)
-        c_back = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
-        assert c_back == c_small and c_other != c_small
+    if other == SF_DIR or not os.path.isdir(other):
+        # r16 review: don't let the re-pointing half vanish silently
+        pytest.skip(f"second sf_dir {other} not present on this machine")
+    register_tables(spark, other)
+    c_other = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+    register_tables(spark, SF_DIR)
+    c_back = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+    assert c_back == c_small and c_other != c_small
