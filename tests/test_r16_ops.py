@@ -213,3 +213,43 @@ def test_register_tables_skips_reregister_but_switches_sf(spark):
     register_tables(spark, SF_DIR)
     c_back = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
     assert c_back == c_small and c_other != c_small
+
+
+def test_register_tables_concurrent_storm_then_heal(spark):
+    """The r16 race fix's invariant: after register_tables(spark, sf)
+    returns with no concurrent callers, the session's views serve sf —
+    even right after a storm of concurrent registrations with MIXED
+    sf_dirs. Under the unlocked check-register-record the view memo
+    could stick to a losing registration and the final call would skip
+    the healing re-register (serving the wrong sf_dir indefinitely)."""
+    import threading
+
+    from datafusion_tpc_spark.catalog import load_table, register_tables
+
+    other = SF_DIR.replace("0.01", "0.001")
+    if other == SF_DIR or not os.path.isdir(other):
+        pytest.skip(f"second sf_dir {other} not present on this machine")
+
+    errs = []
+
+    def storm(sf):
+        try:
+            for _ in range(8):
+                register_tables(spark, sf)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=storm, args=(sf,))
+        for sf in (SF_DIR, other, SF_DIR, other)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    register_tables(spark, SF_DIR)
+    want = load_table(spark, SF_DIR, "lineitem").count()
+    got = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
+    assert got == want, "views not healed to the requested sf_dir"
