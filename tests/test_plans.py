@@ -445,9 +445,10 @@ def test_weighted_sample_take_ordered(spark):
 
 def test_r7_prefix_join_verify_width_is_pinned(spark):
     """q_dedup_prefix: the CPU-dense verify stage must keep its
-    explicit 32-way repartition (AQE's byte-based coalescing would
-    fold the tiny-bytes candidate set into one task and serialize
-    the hash-set intersections — measured 3.8 s -> sub-second)."""
+    explicit core-width repartition (cpu_width(spark) since r16; AQE's
+    byte-based coalescing would fold the tiny-bytes candidate set into
+    one task and serialize the hash-set intersections — measured
+    3.8 s -> sub-second)."""
     plan = _plan(spark, "q_dedup_prefix")
     assert "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan

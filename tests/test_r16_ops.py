@@ -253,3 +253,76 @@ def test_register_tables_concurrent_storm_then_heal(spark):
     want = load_table(spark, SF_DIR, "lineitem").count()
     got = spark.sql("SELECT count(*) c FROM lineitem").collect()[0]["c"]
     assert got == want, "views not healed to the requested sf_dir"
+
+
+# ---- optimization-pass pins (second half of the round) ----------------
+
+
+def test_order_windows_preagg_equals_join_then_agg(spark):
+    """q_join_overlap's r16 rewrite: aggregate lineitem by l_orderkey
+    FIRST, then attach o_custkey (guide §2.3 aggregate-before-shuffle)
+    — must be the same relation as the original join-then-aggregate
+    on the composite key. Commutes because orderkey determines
+    custkey and orders is unique per key."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.queries.sql_shapes import _order_windows
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    old = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_orderkey").alias("ok"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    )
+    new = _order_windows(spark, SF_DIR)
+    sym_diff = old.exceptAll(new).unionAll(new.exceptAll(old))
+    assert sym_diff.count() == 0
+
+
+def test_overlap_self_join_plans_without_sort_merge(spark):
+    """The pre-agg form lets the planner broadcast the window table's
+    self-join (before: SortMergeJoin + an extra composite-key
+    exchange). Pin the improved shape so a regression is visible."""
+    plan = (
+        registry.QUERIES["q_join_overlap"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_mg_arrow_sketch_candidates_cover_heavy_hitters(spark):
+    """q_agg_freq's r16 mapInArrow sketch: the candidate union must
+    still be a superset of the true heavy hitters (the MG guarantee),
+    and the row-local total must equal the explode-count total."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpc_spark.catalog import load_table
+    from datafusion_tpc_spark.operators.sketches import _K, _mg_partition
+
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    cand = {
+        r.token
+        for r in docs.repartition(4)
+        .mapInArrow(_mg_partition, "token string, residual long")
+        .select("token")
+        .distinct()
+        .collect()
+    }
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    n = tok.count()
+    truth = {
+        r.token
+        for r in tok.groupBy("token")
+        .count()
+        .filter(F.col("count") * _K > F.lit(n))
+        .collect()
+    }
+    assert truth <= cand, truth - cand
+    total_rowlocal = docs.agg(
+        F.sum(F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0)))
+    ).collect()[0][0]
+    assert total_rowlocal == n
