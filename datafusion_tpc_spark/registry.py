@@ -48,97 +48,96 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# The round-16 driver window: the driver verifies exactly these 50
+# The round-17 driver window: the driver verifies exactly these 50
 # query ids, in this order (forcing computation via tools/edf_check.py;
 # contents pinned by tests/test_registry_order.py, staleness audited
 # by test_window_staleness).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # The 49 anchor-r10 ids EXACTLY (recomputed from CORRECTNESS_r01-r15
-    # at the r16 rotation: staged set == anchor-r10 set) plus the ONE
-    # free slot spent on q_agg_winsorize_td (r12 birth, oldest
-    # never-driver-verified id — pulling it forward shrinks the
-    # anchor-r12 block to exactly 50 for r18). edf_check post-rotation:
-    # forced 0, feasible through r23. ZERO births this round.
-    "q_agg_decimal",
-    "q_agg_gsets",
-    "q_agg_hist",
-    "q_agg_mode",
-    "q_agg_winsorize_td",
-    "q_asof_join",
-    "q_case_cast",
-    "q_cte",
-    "q_distinct",
-    "q_except",
-    "q_except_all",
-    "q_filter_proj",
-    "q_fn_array",
-    "q_fn_map",
-    "q_intersect",
-    "q_intersect_all",
-    "q_limit",
-    "q_pipe_chunk",
-    "q_pipe_rep",
-    "q_pipe_upsert",
-    "q_pred_algebra",
-    "q_pred_like",
-    "q_range_join",
-    "q_scan_avro",
-    "q_scan_csv",
-    "q_scan_dpp",
-    "q_scan_full",
-    "q_scan_json",
-    "q_scan_orc",
-    "q_scan_partitioned",
-    "q_scan_xml",
-    "q_sort_multi",
-    "q_stream_sink",
-    "q_sub_corr_scalar",
-    "q_sub_in",
-    "q_sub_notin",
-    "q_sub_scalar",
-    "q_text_fingerprint",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_vocab",
-    "q_topk",
-    "q_topk_group",
-    "q_tpch_q14",
-    "q_tpch_q21",
-    "q_tpch_q7",
-    "q_union",
-    "q_union_all",
-    "q_values",
+    # The 50 anchor-r11 ids EXACTLY (re-derived at the r17 rotation
+    # from CORRECTNESS_r01-r16 + _BIRTH_ROUND: the EDF-chosen 50 ==
+    # the r16 pre-staged list, no seat changed anchors). ZERO free
+    # slots, ZERO births. edf_check post-rotation: forced 0, feasible
+    # through r24.
+    "q_agg_cms",
+    "q_agg_hll",
+    "q_dedup_prefix",
+    "q_dedup_semantic",
+    "q_dq_benford",
+    "q_dq_calibration",
+    "q_dq_checks",
+    "q_dq_chi2",
+    "q_dq_drift",
+    "q_dq_kanon",
+    "q_dq_ldiv",
+    "q_dq_prcurve",
+    "q_dq_skew",
+    "q_dq_tclose",
+    "q_evt_autocorr",
+    "q_evt_backtest",
+    "q_evt_holt",
+    "q_evt_interarrival",
+    "q_evt_islands",
+    "q_evt_rfm",
+    "q_evt_survival",
+    "q_join_pit",
+    "q_pipe_budget",
+    "q_pipe_cdc",
+    "q_pipe_domain_cap",
+    "q_pipe_lenbucket",
+    "q_pipe_split_content",
+    "q_pipe_temperature",
+    "q_scd2",
+    "q_sim_ann",
+    "q_sim_anneval",
+    "q_sim_anneval_batch",
+    "q_sim_batch",
+    "q_sim_centroid",
+    "q_sim_hardneg",
+    "q_sim_ivf",
+    "q_sim_ivf_batch",
+    "q_sim_ivf_sweep",
+    "q_sim_ivfeval",
+    "q_sim_ivfeval_batch",
+    "q_sim_mmr",
+    "q_sim_ndcg",
+    "q_sim_ndcg_batch",
+    "q_sim_pca",
+    "q_sim_pq",
+    "q_sim_pqadc",
+    "q_sim_rrf",
+    "q_sim_sq8",
+    "q_sim_topk",
+    "q_text_readability",
 )
 
-# PRE-STAGED R17 PLAN (recompute with tools/edf_check.py at rotation —
-# assumes the r16 window verifies green; computed at the r16 rotation
-# with the r16 window simulated as verified, post-r16 anchors
-# 11:50 12:50 13:53 14:53 15:50 16:50): r17 window = the 50 anchor-r11
-# ids EXACTLY (deadline r18 — EDF schedules the oldest block
-# proactively), ZERO free slots, ZERO births. The anchor-r11 50
-# (recomputed from CORRECTNESS_r01-r15 at the r16 rotation; re-derive
-# at the r17 rotation in case r16 seats change anchors): q_agg_cms
-# q_agg_hll q_dedup_prefix q_dedup_semantic q_dq_benford
-# q_dq_calibration q_dq_checks q_dq_chi2 q_dq_drift q_dq_kanon
-# q_dq_ldiv q_dq_prcurve q_dq_skew q_dq_tclose q_evt_autocorr
-# q_evt_backtest q_evt_holt q_evt_interarrival q_evt_islands
-# q_evt_rfm q_evt_survival q_join_pit q_pipe_budget q_pipe_cdc
-# q_pipe_domain_cap q_pipe_lenbucket q_pipe_split_content
-# q_pipe_temperature q_scd2 q_sim_ann q_sim_anneval
-# q_sim_anneval_batch q_sim_batch q_sim_centroid q_sim_hardneg
-# q_sim_ivf q_sim_ivf_batch q_sim_ivf_sweep q_sim_ivfeval
-# q_sim_ivfeval_batch q_sim_mmr q_sim_ndcg q_sim_ndcg_batch
-# q_sim_pca q_sim_pq q_sim_pqadc q_sim_rrf q_sim_sq8 q_sim_topk
-# q_text_readability. SCHEDULE THROUGH r20: remaining blocks r12:50
-# r13:53 r14:53 r15:50 against 50-slot windows — r18 takes anchor-r12
-# (exactly 50 after winsorize_td's pull-forward), r19 takes anchor-r13
-# (53: includes the r13 never-verified seats q_dedup_decontam_served,
+# PRE-STAGED R18 PLAN (recompute with tools/edf_check.py at rotation —
+# assumes the r17 window verifies green; computed at the r17 rotation
+# with the r17 window simulated as verified, post-r17 anchors
+# 12:50 13:53 14:53 15:50 16:50 17:50): r18 window = the 50 anchor-r12
+# ids EXACTLY (deadline r19 — EDF schedules the oldest block
+# proactively; exactly 50 after r16's winsorize_td pull-forward),
+# ZERO free slots, ZERO births. The anchor-r12 50 (recomputed from
+# CORRECTNESS_r01-r16 at the r17 rotation; re-derive at the r18
+# rotation in case r17 seats change anchors): q_agg_dp q_agg_freq
+# q_agg_kmv q_cte_recursive q_dedup_minhash_capped q_dedup_spans
+# q_dedup_substr q_fn_binary q_fn_interval q_fn_variant q_join_bloom
+# q_join_bucketed q_join_fuzzy q_join_lateral q_join_nullsafe
+# q_join_overlap q_join_overlap_banded q_layout_compact
+# q_layout_zorder q_pipe_bpe q_pipe_classify q_pipe_ipf
+# q_pipe_mixture q_pipe_pack q_pipe_sample_weighted q_profile
+# q_scan_corrupt q_scan_evolve q_scan_meta q_sim_ivf_served
+# q_sim_ivf_served_batch q_sink_avro q_text_compress q_text_kl
+# q_text_ttr q_text_zipf q_tpch_q11 q_tpch_q12 q_tpch_q13 q_tpch_q15
+# q_tpch_q16 q_tpch_q17 q_tpch_q19 q_tpch_q2 q_tpch_q20 q_tpch_q22
+# q_tpch_q8 q_tpch_q9 q_union_evo q_unpivot. SCHEDULE THROUGH r21:
+# remaining blocks r13:53 r14:53 r15:50 r16:50 against 50-slot
+# windows — r19 takes anchor-r13 (53: includes the r13
+# never-verified seats q_dedup_decontam_served,
 # q_dedup_decontam_served_batch, q_dedup_lsh_upsert — 3 spill to the
 # r19 forced set per edf_check), r20 takes anchor-r14 (53: includes
 # the r14 never-verified seats q_sim_ivf_upsert,
-# q_dedup_decontam_upsert, q_stream_admission). Keep r17 births at
-# ZERO. Give any NEW query a _BIRTH_ROUND pin.
+# q_dedup_decontam_upsert, q_stream_admission), r21 takes anchor-r15.
+# Keep r18 births at ZERO. Give any NEW query a _BIRTH_ROUND pin.
 
 def _promote_window(window: tuple[str, ...]) -> None:
     """Reorder QUERIES in place so `window` occupies the first

@@ -28,65 +28,64 @@ registry.load_all()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-16 driver window (VERDICT r15 item 1): the 49 anchor-r10
-# ids EXACTLY (recomputed at the r16 rotation from CORRECTNESS_r01-r15:
-# staged set == anchor-r10 set) plus the ONE free slot spent on
-# q_agg_winsorize_td (r12 birth, the oldest never-driver-verified id).
-# Post-rotation edf_check: forced 0, free 50, feasible through r23.
-# ZERO births this round. Pinned INDEPENDENTLY of
-# registry.DRIVER_WINDOW on purpose: a silent edit there must fail
-# here, prompting a deliberate re-point.
+# The round-17 driver window (VERDICT r16 item 7): the 50 anchor-r11
+# ids EXACTLY (re-derived at the r17 rotation from CORRECTNESS_r01-r16
+# + _BIRTH_ROUND: the EDF-chosen 50 == the r16 pre-staged list, no
+# seat changed anchors). ZERO free slots, ZERO births this round.
+# Post-rotation edf_check: forced 0, feasible through r24. Pinned
+# INDEPENDENTLY of registry.DRIVER_WINDOW on purpose: a silent edit
+# there must fail here, prompting a deliberate re-point.
 EXPECTED_WINDOW_50 = [
-    "q_agg_decimal",
-    "q_agg_gsets",
-    "q_agg_hist",
-    "q_agg_mode",
-    "q_agg_winsorize_td",
-    "q_asof_join",
-    "q_case_cast",
-    "q_cte",
-    "q_distinct",
-    "q_except",
-    "q_except_all",
-    "q_filter_proj",
-    "q_fn_array",
-    "q_fn_map",
-    "q_intersect",
-    "q_intersect_all",
-    "q_limit",
-    "q_pipe_chunk",
-    "q_pipe_rep",
-    "q_pipe_upsert",
-    "q_pred_algebra",
-    "q_pred_like",
-    "q_range_join",
-    "q_scan_avro",
-    "q_scan_csv",
-    "q_scan_dpp",
-    "q_scan_full",
-    "q_scan_json",
-    "q_scan_orc",
-    "q_scan_partitioned",
-    "q_scan_xml",
-    "q_sort_multi",
-    "q_stream_sink",
-    "q_sub_corr_scalar",
-    "q_sub_in",
-    "q_sub_notin",
-    "q_sub_scalar",
-    "q_text_fingerprint",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_vocab",
-    "q_topk",
-    "q_topk_group",
-    "q_tpch_q14",
-    "q_tpch_q21",
-    "q_tpch_q7",
-    "q_union",
-    "q_union_all",
-    "q_values",
+    "q_agg_cms",
+    "q_agg_hll",
+    "q_dedup_prefix",
+    "q_dedup_semantic",
+    "q_dq_benford",
+    "q_dq_calibration",
+    "q_dq_checks",
+    "q_dq_chi2",
+    "q_dq_drift",
+    "q_dq_kanon",
+    "q_dq_ldiv",
+    "q_dq_prcurve",
+    "q_dq_skew",
+    "q_dq_tclose",
+    "q_evt_autocorr",
+    "q_evt_backtest",
+    "q_evt_holt",
+    "q_evt_interarrival",
+    "q_evt_islands",
+    "q_evt_rfm",
+    "q_evt_survival",
+    "q_join_pit",
+    "q_pipe_budget",
+    "q_pipe_cdc",
+    "q_pipe_domain_cap",
+    "q_pipe_lenbucket",
+    "q_pipe_split_content",
+    "q_pipe_temperature",
+    "q_scd2",
+    "q_sim_ann",
+    "q_sim_anneval",
+    "q_sim_anneval_batch",
+    "q_sim_batch",
+    "q_sim_centroid",
+    "q_sim_hardneg",
+    "q_sim_ivf",
+    "q_sim_ivf_batch",
+    "q_sim_ivf_sweep",
+    "q_sim_ivfeval",
+    "q_sim_ivfeval_batch",
+    "q_sim_mmr",
+    "q_sim_ndcg",
+    "q_sim_ndcg_batch",
+    "q_sim_pca",
+    "q_sim_pq",
+    "q_sim_pqadc",
+    "q_sim_rrf",
+    "q_sim_sq8",
+    "q_sim_topk",
+    "q_text_readability",
 ]
 
 
