@@ -113,11 +113,13 @@ def test_lsh_guard_cleanup_failure_keeps_original_error(spark, monkeypatch):
 
 
 def test_merge_batch_persisted_across_branch_probe(spark, monkeypatch):
-    """The ADVICE r15 persist: _merge_ingest_batch must cache the batch
-    before the branch probe and unpersist on exit — on the SMJ branch
-    the join then reuses cached partitions instead of re-running the
-    ingest windowing, and probe and join cannot diverge under a
-    nondeterministic source."""
+    """The VERDICT r16 item-1 contract: _merge_ingest_batch persists
+    the batch ONLY on the SMJ branch (before its anti-join write, so
+    the ingest windowing lineage runs once there) and unpersists on
+    exit; the common small-batch branch must NOT persist — its only
+    batch action is the bounded probe collect, whose rows are the
+    IN-list, so an eager cache there is pure memory-store overhead
+    (the r16 driver-channel regression)."""
     from datafusion_tpc_spark.operators import decontam_served as dcs
 
     # patch the CONCRETE DataFrame class (pyspark 4 classic subclasses
@@ -149,10 +151,22 @@ def test_merge_batch_persisted_across_branch_probe(spark, monkeypatch):
         batch = spark.range(0, 100).select(
             (F.col("id") * 97 % (1 << 60)).alias("h")
         )
+        # SMJ branch (100 rows > inlist_max=10): persist + unpersist
         dcs._merge_ingest_batch(spark, name, path, batch, inlist_max=10)
-        assert calls["persist"] >= 1, "batch not persisted before probe"
+        assert calls["persist"] >= 1, "batch not persisted on SMJ branch"
         assert calls["unpersist"] >= calls["persist"], (
             "persisted batch leaked past the merge"
+        )
+        # small branch (100 rows <= inlist_max=10_000): NO persist —
+        # the probe collect is the branch's only batch action
+        calls["persist"] = calls["unpersist"] = 0
+        small = spark.range(100, 120).select(
+            (F.col("id") * 97 % (1 << 60)).alias("h")
+        )
+        dcs._merge_ingest_batch(spark, name, path, small)
+        assert calls["persist"] == 0, (
+            "small-batch branch persisted the batch (VERDICT r16 "
+            "item 1: the probe is the only action there)"
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
