@@ -11,6 +11,8 @@ tests/test_registry_order.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from datafusion_tpc_spark.catalog import load_table, register_tables
@@ -359,6 +361,21 @@ def _order_windows(spark, sf_dir):
     from orders drops in the inner join either way."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Size-gated explicit broadcast (ADVICE r16): the no-SortMergeJoin
+    # plan pin previously leaned on the planner's size estimate alone,
+    # so a stats change could silently flip this attach join to SMJ.
+    # The hint makes the pinned shape deterministic where orders is
+    # verifiably small; past the gate (big-SF corpora) the hint drops
+    # and the join correctly shuffles both sides on the order key
+    # (the prefix_join docs_small precedent).
+    try:
+        orders_small = (
+            os.path.getsize(os.path.join(sf_dir, "orders.parquet")) < 1 << 30
+        )
+    except OSError:
+        orders_small = False
+    if orders_small:
+        o = F.broadcast(o)
     per_ok = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
     )

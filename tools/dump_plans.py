@@ -50,10 +50,17 @@ def shape_summary(text: str) -> str:
             )
         )
     )
-    pushed = "PushedFilters: []" not in text and "PushedFilters" in text
+    # count per-scan (ADVICE r16): a single substring test understated
+    # pushdown on multi-scan plans where just one scan had no filters
+    n_pushed_total = len(re.findall(r"PushedFilters: \[", text))
+    n_pushed_nonempty = len(re.findall(r"PushedFilters: \[[^\]]", text))
+    if n_pushed_total:
+        pushed = f"{n_pushed_nonempty}/{n_pushed_total} scans"
+    else:
+        pushed = "n/a"
     return (
         f"exchanges={n_ex} joins={','.join(joins) or '-'} "
-        f"python={','.join(py) or '-'} pushed_filters={'yes' if pushed else 'none/empty'}"
+        f"python={','.join(py) or '-'} pushed_filters={pushed}"
     )
 
 
