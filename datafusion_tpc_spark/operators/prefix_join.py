@@ -28,8 +28,10 @@ bucket sizes are df-bounded on the RARE side of the vocabulary
 (boilerplate mega-shingles fall outside every prefix unless a doc is
 mostly boilerplate, in which case the dedup-cap guard pattern of
 dedup.py applies); verification touches candidate pairs only — never
-all pairs. Shuffles: shingle-keyed df agg, doc-keyed prefix ranking
-window, shingle-keyed candidate join, pair-keyed verify — all
+all pairs. Shuffles: shingle-keyed df agg, ONE doc-keyed per-doc agg
+(r17 — it yields rank order, counts, prefixes AND verify arrays; the
+r16 form paid a ranking window plus two more doc-keyed aggs over the
+same stream), shingle-keyed candidate join, pair-keyed verify — all
 map-side-combinable or key-bounded.
 """
 
@@ -47,9 +49,9 @@ from datafusion_tpc_spark.registry import query
 _T = 0.5  # Jaccard threshold — same contract as q_dedup_ngram
 
 # Bound cached-block lifetime across repeated calls (review r8 — the
-# ADVICE-r7 leak class): each q_dedup_prefix call caches its
-# dictionary-encoded shingle table because the returned plan uses the
-# subtree 4× (counts, prefix rank, both set-attach sides); without
+# ADVICE-r7 leak class): each q_dedup_prefix call caches its per-doc
+# sorted-id table because the returned plan uses the subtree 4×
+# (both candidate-prefix sides, both set-attach sides); without
 # rotation every call in a long-lived session pins another
 # corpus-scaled InMemoryRelation until session end. Rotating keeps at
 # most ONE call's cache resident; unpersisting under a concurrent
@@ -216,23 +218,38 @@ def q_dedup_prefix(spark, sf_dir):
     vocab = _vocab_sids(sh)
     if docs_small:
         vocab = F.broadcast(vocab)
-    sh_ids = sh.join(vocab, "s").select("doc_id", "sid", "df").cache()
-    _rotate_sh_cache(sh_ids)
-    counts = sh_ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        sh_ids.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("sid").asc()
-                )
-            ),
-        )
-        .join(counts, "doc_id")
-        # t=0.5 prefix: n - ceil(n/2) + 1 = floor(n/2) + 1, integer-exact
-        .filter(F.col("rn") <= F.expr("n DIV 2") + 1)
-        .select("doc_id", "sid", "n")
+    sh_ids = sh.join(vocab, "s").select("doc_id", "sid", "df")
+    # ONE doc-keyed exchange builds everything per-doc (r17, VERDICT
+    # r16 item 4 — guide §2.4 "two operations keyed the same way can
+    # share one exchange"): the r16 form paid the doc_id shuffle
+    # THREE times over the full id stream — a row_number window
+    # (rarest-first rank), a groupBy (per-doc count n, joined back),
+    # and a second groupBy (the verify set arrays). Collapsing them
+    # into a single groupBy that collects (df, sid) structs makes the
+    # rarest-first order an ARRAY SORT (per-doc ~|doc| elements,
+    # row-local JVM work instead of a corpus-wide sort-based window),
+    # the count a size(), and the prefix a slice() — floor(n/2)+1
+    # elements, the exact rows the rn <= n DIV 2 + 1 filter kept
+    # (sort_array on (df, sid) structs orders by df asc then sid asc,
+    # the same total order as the window's orderBy).
+    per_doc = sh_ids.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("df", "sid"))).alias("dsid")
     )
+    # The cache is the per-doc table (arrays, ~1/|doc| the rows of the
+    # r16 exploded-id cache, same payload bytes): its subtree feeds
+    # the candidate prefixes (both self-join sides) and both verify
+    # set-attach sides. Same rotation contract as before.
+    sets = per_doc.select(
+        "doc_id",
+        F.expr("transform(dsid, x -> x.sid)").alias("ss"),
+        F.size("dsid").alias("n"),
+        # t=0.5 prefix: n - ceil(n/2) + 1 = floor(n/2) + 1, integer-exact
+        F.expr("transform(slice(dsid, 1, size(dsid) DIV 2 + 1), x -> x.sid)").alias(
+            "pref"
+        ),
+    ).cache()
+    _rotate_sh_cache(sets)
+    ranked = sets.select("doc_id", F.explode("pref").alias("sid"), "n")
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(
@@ -268,27 +285,29 @@ def q_dedup_prefix(spark, sf_dir):
     # exact verification on candidates only — per-doc id ARRAYS, not a
     # (pair, shingle)-level join: two doc-keyed joins attach the sets,
     # array_intersect computes |A∩B| vectorized in the JVM. The set
-    # table is |docs| rows of ~|doc| ints; at scale both attach joins
-    # co-partition on doc id. Under the size gate the SETS side is
-    # hinted broadcast explicitly: left to estimates, Catalyst (r8)
-    # picked cand as the build side, which streams the verify compute
-    # over the cached 3-partition sets table and serializes the
-    # CPU-dense intersections the 32-way repartition above exists to
-    # spread (measured 1.4 s → 4.4 s; same failure family as the AQE
-    # byte-coalescing note). Broadcasting sets keeps cand — and its
-    # pinned width — as the stream side.
-    sets = sh_ids.groupBy("doc_id").agg(F.collect_list("sid").alias("ss"))
+    # table is |docs| rows of ~|doc| ints — since r17 it is the SAME
+    # cached per-doc table the prefixes sliced from, so no second
+    # doc-keyed aggregation of the id stream exists anywhere. Under
+    # the size gate the SETS side is hinted broadcast explicitly:
+    # left to estimates, Catalyst (r8) picked cand as the build side,
+    # which streams the verify compute over the cached few-partition
+    # sets table and serializes the CPU-dense intersections the
+    # core-width repartition above exists to spread (measured
+    # 1.4 s → 4.4 s; same failure family as the AQE byte-coalescing
+    # note). Broadcasting sets keeps cand — and its pinned width — as
+    # the stream side.
+    attach = sets.select("doc_id", "ss", "n")
     if docs_small:
-        sets = F.broadcast(sets)
-    sets_a = sets.select(
+        attach = F.broadcast(attach)
+    sets_a = attach.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ss").alias("ss_a"),
-        F.size("ss").alias("na"),
+        F.col("n").alias("na"),
     )
-    sets_b = sets.select(
+    sets_b = attach.select(
         F.col("doc_id").alias("doc_b"),
         F.col("ss").alias("ss_b"),
-        F.size("ss").alias("nb"),
+        F.col("n").alias("nb"),
     )
     n_common = F.size(F.array_intersect("ss_a", "ss_b"))
     jac = n_common / (F.col("na") + F.col("nb") - n_common)

@@ -56,34 +56,58 @@ def _mg_partition(batches):
     Arrow-native (r16): pandas ``str.split`` materialized a Python
     list object per document before counting; ``pyarrow.compute``'s
     split_pattern → list_flatten → value_counts stays in native
-    buffers end to end, so only the ≤ vocabulary-sized unique-token
-    dict ever touches Python (measured ~15% off the sketch pass,
-    identical candidate sets). The counter loop merges per-batch
-    exact counts — decrement amortizes across the batch instead of
-    per-token, same algorithm as the pandas form."""
+    buffers end to end. r17 (VERDICT r16 item 3): the counter MERGE is
+    Arrow-side too — the r16 form still ``to_pylist()``ed every unique
+    batch token into a Python dict, partly refunding the Arrow win on
+    wide-vocabulary batches. Now state stays a ≤ _K-row Arrow table:
+    per batch, concat + group_by-sum the batch's exact counts into the
+    carried counters, and when > _K counters survive, subtract the
+    (K+1)-st largest count from all and keep the strictly-positive
+    rows (the standard mergeable-summaries MG merge, Agarwal et al.:
+    each such event removes ≥ (K+1)·dec of stream mass, so total
+    decrement ≤ n_p/(K+1) and every token with local count above that
+    still surfaces — the same superset guarantee as the incremental
+    min-decrement form, verified by
+    test_mg_arrow_sketch_candidates_cover_heavy_hitters). The only
+    per-batch Python values are two scalars (row count, decrement)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    counters: dict[str, int] = {}
+    schema = pa.schema([("token", pa.string()), ("residual", pa.int64())])
+    counters = None  # pa.Table(token, residual), ≤ _K rows between batches
     for rb in batches:
         toks = pc.list_flatten(pc.split_pattern(rb.column("text"), " "))
         vc = toks.value_counts()
-        for token, cnt in zip(
-            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
-        ):
-            counters[token] = counters.get(token, 0) + cnt
-            if len(counters) > _K:
-                dec = min(counters.values())
-                counters = {
-                    t: c - dec for t, c in counters.items() if c - dec > 0
-                }
-    yield pa.RecordBatch.from_pydict(
-        {
-            "token": list(counters),
-            "residual": [int(v) for v in counters.values()],
-        },
-        schema=pa.schema([("token", pa.string()), ("residual", pa.int64())]),
-    )
+        batch_tab = pa.table(
+            {
+                "token": vc.field("values"),
+                "residual": pc.cast(vc.field("counts"), pa.int64()),
+            },
+            schema=schema,
+        )
+        if counters is None or counters.num_rows == 0:
+            merged = batch_tab
+        else:
+            merged = (
+                pa.concat_tables([counters, batch_tab])
+                .group_by("token")
+                .aggregate([("residual", "sum")])
+                .rename_columns(["token", "residual"])
+            )
+        if merged.num_rows > _K:
+            top = pc.select_k_unstable(
+                merged, k=_K + 1, sort_keys=[("residual", "descending")]
+            )
+            dec = pc.min(pc.take(merged.column("residual"), top)).as_py()
+            resid = pc.subtract(merged.column("residual"), dec)
+            merged = pa.table(
+                {"token": merged.column("token"), "residual": resid},
+                schema=schema,
+            ).filter(pc.greater(resid, 0))
+        counters = merged.combine_chunks()
+    if counters is None:
+        counters = pa.table({"token": [], "residual": []}, schema=schema)
+    yield from counters.to_batches(max_chunksize=max(counters.num_rows, 1))
 
 
 @query(
