@@ -38,6 +38,8 @@ the sketch's memory bound is what matters at real vocabulary sizes.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Window, functions as F
 
@@ -136,17 +138,32 @@ def q_agg_freq(spark, sf_dir):
     dropped a true heavy hitter, the hash would mismatch.
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
-    # repartition ONLY the sketch input (exercises multi-partition
-    # merge on the single-row-group fixture); the guarantee holds for
-    # ANY partitioning, so the recount phase reads the raw table and
-    # pays no corpus shuffle (review r5: a shared repartition forced
-    # both phases through a full-text exchange for nothing). Width is
-    # the session's core budget (r16, floor 8 keeps the merge path
-    # multi-partition on small sessions) — candidates stay ≤ _K ×
-    # partitions, bounded at any width.
+    # Size-gated sketch fan-out (r17). The r16 form repartitioned the
+    # corpus TEXT unconditionally — required on the single-row-group
+    # fixture (parquet cannot split one row group, so the CPU-dense
+    # split+count pass would otherwise run in ONE task), but at
+    # 100 TB it would ship the whole corpus through an exchange that
+    # the module's own design claim ("one mapInArrow pass, no
+    # shuffle") forbids: a large corpus is many files/row groups and
+    # the scan's natural partitions already parallelize the pass.
+    # Under the 1 GiB gate (the prefix_join docs_small family) the
+    # fan-out is a byte-light CPU spread (~1.5 MB of text here);
+    # past it the sketch consumes the scan directly and phase 1 is
+    # genuinely shuffle-free. The MG guarantee holds for ANY
+    # partitioning (docstring); candidates stay ≤ _K × partitions;
+    # the multi-partition merge path is pinned by
+    # test_mg_arrow_sketch_candidates_cover_heavy_hitters with its
+    # own repartition(4).
+    try:
+        docs_small = (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            < 1 << 30
+        )
+    except OSError:
+        docs_small = False
+    sketch_in = docs.repartition(cpu_width(spark)) if docs_small else docs
     candidates = (
-        docs.repartition(cpu_width(spark))
-        .mapInArrow(_mg_partition, "token string, residual long")
+        sketch_in.mapInArrow(_mg_partition, "token string, residual long")
         .select("token")
         .distinct()
     )

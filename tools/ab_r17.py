@@ -212,6 +212,88 @@ def main():
         diff = o.exceptAll(n).count() + n.exceptAll(o).count()
         cleanup.unpersist()
         print(f"q_dedup_prefix: exceptAll symmetric diff = {diff}")
+    elif what == "decontam":
+        # A/B the REAL maintenance leg (the shipped small-batch path:
+        # the sf0.1 ingest batch is ~hundreds of distinct hashes, far
+        # under _DCS_INLIST_MAX): r16's unconditional persist-before-
+        # probe vs the r17 SMJ-branch-conditional form. Fresh scratch
+        # base per rep (the merge appends); both arms merge the SAME
+        # _ingest_hashes batch.
+        import shutil
+
+        from datafusion_tpc_spark.operators.decontam_served import (
+            _ingest_hashes,
+            _merge_ingest_batch,
+            _DCS_INLIST_MAX,
+        )
+        from datafusion_tpc_spark.catalog import load_table as _lt
+        from datafusion_tpc_spark.functions.digest import (
+            SPLIT_TRAIN_LT,
+            h60,
+            split_bucket,
+        )
+        from datafusion_tpc_spark.operators.decontam_served import (
+            _SRV_BUCKETS,
+            _WIN_EXPR,
+            DCS_INGEST_LT,
+        )
+
+        def fresh_base(name, path):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                _lt(spark, SF_DIR, "documents")
+                .filter(F.col("doc_id") >= DCS_INGEST_LT)
+                .filter(split_bucket() < SPLIT_TRAIN_LT)
+                .select(F.explode(F.expr(_WIN_EXPR)).alias("s"))
+                .select(h60(F.col("s")).alias("h"))
+                .distinct()
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(_SRV_BUCKETS, "h")
+                .sortBy("h")
+                .saveAsTable(name)
+            )
+
+        def old_merge(name, path, batch):
+            # verbatim r16 shape: unconditional persist across the probe
+            batch = batch.persist()
+            try:
+                probe_rows = batch.limit(_DCS_INLIST_MAX + 1).collect()
+                assert len(probe_rows) <= _DCS_INLIST_MAX
+                hs = sorted(int(r["h"]) for r in probe_rows)
+                from datafusion_tpc_spark.functions.literals import values_df
+
+                batch_df = values_df(spark, [(h,) for h in hs], "h long")
+                existing = spark.table(name).filter(F.col("h").isin(hs))
+                new_rows = batch_df.join(existing, "h", "left_anti")
+                (
+                    new_rows.write.mode("append")
+                    .option("path", path)
+                    .bucketBy(_SRV_BUCKETS, "h")
+                    .sortBy("h")
+                    .saveAsTable(name)
+                )
+            finally:
+                batch.unpersist()
+
+        name, path = "ab_r17_dcs", "/tmp/ab_r17_dcs"
+        old_t, new_t = [], []
+        try:
+            for i in range(runs):
+                for arm, times in (("old", old_t), ("new", new_t)):
+                    fresh_base(name, path)
+                    batch = _ingest_hashes(spark, SF_DIR)
+                    t0 = time.perf_counter()
+                    if arm == "old":
+                        old_merge(name, path, batch)
+                    else:
+                        _merge_ingest_batch(spark, name, path, batch)
+                    times.append(time.perf_counter() - t0)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
+        report("decontam_merge(small-branch)", old_t, new_t)
     elif what == "freq":
         def b_old(s):
             return old_freq(s, SF_DIR), None
